@@ -1,0 +1,136 @@
+"""Embedding similarity search over the ``embeddings`` table
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+- ``cosine_expr``   : exact cosine as a sequential-double fold — runs
+                      JVM-side (higher-order functions, no UDF) and is
+                      bit-identical to the DuckDB oracle's list_reduce.
+- ``brute_topk``    : baseline exact top-k — broadcast the (small) query
+                      set, stream the corpus once, per-query window rank.
+                      At 100 TB the corpus side stays partition-parallel
+                      with no shuffle until the (tiny) top-k aggregation.
+- ``neardup_pairs`` : threshold self-join (embedding near-duplicate
+                      detection). The scale path is ``lsh_buckets`` —
+                      random-hyperplane signatures bucket the corpus so the
+                      self-join is per-bucket instead of |corpus|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.texthash import MOD
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential left-to-right double fold => deterministic and identical
+    to DuckDB's list_reduce over the same casts."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"{dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)})"
+
+
+def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return vecs.withColumn("vnorm", F.expr(norm_expr(vec_col)))
+
+
+def brute_topk(
+    vecs: DataFrame,
+    query_ids,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, rank per query.
+    Deterministic tiebreak (cosine desc, neighbor id asc)."""
+    queries = vecs.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cosine_expr("qvec", "cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def neardup_pairs(
+    vecs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= num/den. Exact self-join
+    form (the oracle-checkable baseline); use lsh_buckets to pre-bucket at
+    scale. Threshold test uses dot*den >= num*norm_a*norm_b — multiplication
+    only, no division, same expression order as the oracle."""
+    v = with_norm(vecs, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("vnorm")
+    )
+    a = v.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), F.col("vnorm").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), F.col("vnorm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dot", F.expr(dot_expr("va", "vb")))
+        .filter(F.col("dot") * threshold_den >= threshold_num * F.col("na") * F.col("nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_buckets(
+    vecs: DataFrame, n_planes: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Random-hyperplane LSH signature (the ANN scale path): sign pattern of
+    ``n_planes`` pseudo-random hyperplanes -> one integer bucket. Vectors in
+    the same bucket are near-duplicate candidates; the self-join then runs
+    per bucket. Hyperplane components are deterministic pseudo-randoms
+    derived from (plane, dim) by a multiplicative hash — reproducible across
+    runs and engines, no RNG state.
+
+    plane[p][d] = ((1103515245 * (p * 64 + d) + 12345) % MOD) / MOD - 0.5
+    """
+    dim = len(vecs.select(vec_col).first()[0])
+    planes = [
+        [((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, array({','.join(repr(x) for x in plane)}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        _ = arr
+    return vecs.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))

@@ -1,0 +1,56 @@
+"""Partitioners (P1-P3) — the reference's hash-for-ordered-parallelism layer.
+
+Reference: oplog/hasher.go. The contract is *per-key ordering under
+parallelism*: all rows for one table (or one _id) land in the same worker,
+in ts order. Spark form: ``repartition(n, key)`` + ``sortWithinPartitions``
+— one shuffle establishes both placement and, with the sort, intra-key
+order. DDL rows are pinned to partition 0 (hasher.go:37-40) — reproduced by
+hashing a constant for DDL rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def java_string_hash(col: Column) -> Column:
+    """The reference's TableHasher uses Java's String.hashCode
+    (oplog/hasher.go:141-152: ``h = 31*h + ch``). Pure column expression —
+    aggregate over the char codes; stays in codegen."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(col)),
+        F.lit(0).cast("int"),
+        lambda acc, i: acc * F.lit(31) + F.ascii(F.substring(col, i, 1)).cast("int"),
+    )
+
+
+def worker_by_ns(df: DataFrame, n: int, ns_col: str = "ns", op_col: str = "op") -> DataFrame:
+    """P1 TableHasher (oplog/hasher.go:29-43): worker = hash(ns) % n with
+    DDL pinned to worker 0; per-table ordering preserved by the sort."""
+    key = F.when(F.col(op_col) == "c", F.lit("")).otherwise(F.col(ns_col))
+    out = df.withColumn(
+        "worker", F.when(F.col(op_col) == "c", F.lit(0)).otherwise(F.pmod(F.abs(java_string_hash(key)), F.lit(n)))
+    )
+    return out.repartition(n, "worker").sortWithinPartitions("ts", "id")
+
+
+def worker_by_id(df: DataFrame, n: int, id_col: str = "id") -> DataFrame:
+    """P2 PrimaryKeyHasher (oplog/hasher.go:54-74): worker = hash(_id) % n;
+    same-_id ordering guaranteed by repartition + sortWithinPartitions."""
+    out = df.withColumn("worker", F.pmod(F.col(id_col).cast("bigint"), F.lit(n)))
+    return out.repartition(n, "worker").sortWithinPartitions("ts", id_col)
+
+
+def worker_by_whitelist(
+    df: DataFrame, n: int, id_collections: Sequence[str], ns_col: str = "ns", id_col: str = "id"
+) -> DataFrame:
+    """P3 WhiteListObjectIdHasher (oplog/hasher.go:87-110): listed
+    collections hash by _id, the rest by ns."""
+    key = F.when(
+        F.col(ns_col).isin(list(id_collections)), F.col(id_col).cast("string")
+    ).otherwise(F.col(ns_col))
+    out = df.withColumn("worker", F.pmod(F.abs(F.hash(key)), F.lit(n)))
+    return out.repartition(n, "worker").sortWithinPartitions("ts", id_col)

@@ -1,0 +1,761 @@
+"""Declared-query registry — SURVEY.md §2.9 Q0-Q24 plus the training-data
+pipeline queries, each as (Spark DataFrame builder, DuckDB oracle SQL).
+
+Contract (driver): for every key, the Spark result at sf0.01 must match the
+DuckDB oracle on row count, schema, and order-insensitive value hash, with
+column names aligned. Float aggregates are rounded identically on both
+sides; integer expressions are kept integer; DuckDB's HUGEINT sums are cast
+back to BIGINT to match Spark's LONG.
+
+Each Spark builder is the *operator library* exercised end-to-end (filters,
+partitioners, combiner, merge kernel, dedup, similarity, text) — not a
+restatement of the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from mongoshake_spark.functions import dedup, similarity, text as textfn
+from mongoshake_spark.functions.texthash import MOD, poly_hash_duckdb
+from mongoshake_spark.operators import combiner, filters, merge, transforms
+from mongoshake_spark.sources.oplog import (
+    OPLOG_VIEW_SQL_DUCKDB,
+    chunks_view,
+    oplog_view,
+)
+from mongoshake_spark.sources.tables import load_table, range_scan
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared query: Spark builder + (optional) DuckDB oracle."""
+
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+def _oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oplog_view(load_table(spark, sf_dir, "events"))
+
+
+# DuckDB CTE prefix: oplog_v derived from the pre-registered `events` view.
+_O = f"WITH oplog_v AS ({OPLOG_VIEW_SQL_DUCKDB})\n"
+
+_CHUNKS_CTE = """chunks AS (
+  SELECT 'tpch.lineitem' AS ns,
+         concat('shard', CAST(g % 2 AS VARCHAR)) AS shard,
+         g * w AS min_key, (g + 1) * w AS max_key
+  FROM (SELECT UNNEST(RANGE(0, 8)) AS g,
+               (SELECT CAST(max(l_orderkey) // 8 AS BIGINT) + 1 FROM lineitem) AS w))
+"""
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def reg(fn: QueryFn):
+        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Q0-Q24 — the MongoShake operator surface (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q0_oplog_view",
+    _O + "SELECT id, ts, user_id, op, ns, value, o FROM oplog_v ORDER BY id",
+    "Q0: the CDC view derivation itself (sources/oplog.py).",
+)
+def q0(spark, sf_dir):
+    return _oplog(spark, sf_dir).orderBy("id")
+
+
+@_q(
+    "q1_resume_scan",
+    _O
+    + """SELECT id, ts, op, ns FROM oplog_v
+WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+ORDER BY ts, id LIMIT 1000""",
+    "Q1 (S1/S2/N2/B1): resume-from-checkpoint scan — ts predicate pushed to source.",
+)
+def q1(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .filter(F.col("ts") > F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("id", "ts", "op", "ns")
+        .orderBy("ts", "id")
+        .limit(1000)
+    )
+
+
+@_q(
+    "q2_range_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+WHERE l_orderkey > 1000 AND l_orderkey <= 3000
+ORDER BY l_orderkey, l_linenumber""",
+    "Q2 (S4/S5/W11): range-split full-scan piece (lo, hi] on the split key.",
+)
+def q2(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        range_scan(li, "l_orderkey", lo=1000, hi=3000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "q3_op_classify",
+    _O
+    + """SELECT op, CASE WHEN op = 'c' THEN 'ddl' WHEN op = 'n' THEN 'noop' ELSE 'dml' END AS class,
+       count(*) AS cnt
+FROM oplog_v GROUP BY 1, 2 ORDER BY 1, 2""",
+    "Q3 (F1/F5/F7/N8): op classification & noop/DDL routing.",
+)
+def q3(spark, sf_dir):
+    df = _oplog(spark, sf_dir)
+    cls = (
+        F.when(filters.is_ddl(), "ddl")
+        .when(F.col("op") == "n", "noop")
+        .otherwise("dml")
+    )
+    return (
+        df.withColumn("class", cls)
+        .groupBy("op", "class")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("op", "class")
+    )
+
+
+@_q(
+    "q4_system_ns_filter",
+    _O
+    + """SELECT count(*) AS kept FROM oplog_v
+WHERE (ns = 'db1.$cmd')
+   OR NOT (ns LIKE 'db0.%' OR ns LIKE 'db1.%')""",
+    "Q4 (F2): system-namespace drop with allowlist priority.",
+)
+def q4(spark, sf_dir):
+    df = _oplog(spark, sf_dir)
+    keep = filters.keep_not_autologous(
+        prefixes=("db0.", "db1."), substrings=(), allowlist=("db1.$cmd",)
+    )
+    return filters.filter_chain(df, keep).agg(F.count("*").alias("kept"))
+
+
+@_q(
+    "q5_gid_filter",
+    _O + "SELECT count(*) AS cnt FROM oplog_v WHERE user_id % 10 IN (1, 3, 5)",
+    "Q5 (F3/S3): gid set-membership filter.",
+)
+def q5(spark, sf_dir):
+    df = _oplog(spark, sf_dir).withColumn("g", (F.col("user_id") % 10).cast("string"))
+    return filters.filter_chain(df, filters.keep_gid(["1", "3", "5"])).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@_q(
+    "q6_ns_whitelist",
+    _O
+    + r"""SELECT ns, count(*) AS cnt FROM oplog_v
+WHERE regexp_matches(ns, '^(db1|db2\.c5)$|^(db1\.|db2\.c5\.).*$')
+  AND NOT regexp_matches(ns, '^(db1\.c9)$|^(db1\.c9\.).*$')
+GROUP BY ns ORDER BY ns""",
+    "Q6 (F4): white/black namespace regex compiled as the reference does.",
+)
+def q6(spark, sf_dir):
+    df = _oplog(spark, sf_dir)
+    keep = filters.keep_namespace(whitelist=["db1", "db2.c5"], blacklist=["db1.c9"])
+    return (
+        filters.filter_chain(df, keep)
+        .groupBy("ns")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("ns")
+    )
+
+
+@_q(
+    "q7_orphan_filter",
+    "WITH " + _CHUNKS_CTE
+    + """SELECT count(*) AS owned FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM chunks c
+              WHERE c.ns = 'tpch.lineitem'
+                AND l.l_orderkey >= c.min_key AND l.l_orderkey < c.max_key
+                AND c.shard = 'shard0')""",
+    "Q7 (F6): orphan filter = broadcast range semi-join against the chunk map.",
+)
+def q7(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    chunks = chunks_view(spark, li)
+    owned = filters.orphan_filter(li, chunks, "l_orderkey", "tpch.lineitem", "shard0")
+    return owned.agg(F.count("*").alias("owned"))
+
+
+@_q(
+    "q8_event_normalize",
+    _O
+    + """SELECT id, CASE op WHEN 'i' THEN o ELSE NULL END AS full_doc,
+       CASE WHEN op = 'u' THEN concat('{"$set":', o, '}') ELSE NULL END AS update_doc
+FROM oplog_v WHERE op IN ('i','u') ORDER BY id LIMIT 500""",
+    "Q8 (N1): change-stream -> oplog normalization as a CASE projection.",
+)
+def q8(spark, sf_dir):
+    df = _oplog(spark, sf_dir).filter(F.col("op").isin("i", "u"))
+    return (
+        df.select(
+            "id",
+            F.when(F.col("op") == "i", F.col("o")).alias("full_doc"),
+            F.when(
+                F.col("op") == "u",
+                F.concat(F.lit('{"$set":'), F.col("o"), F.lit("}")),
+            ).alias("update_doc"),
+        )
+        .orderBy("id")
+        .limit(500)
+    )
+
+
+@_q(
+    "q9_partition_roundtrip",
+    _O
+    + """SELECT CAST(user_id % 8 AS INT) AS partition, count(*) AS cnt,
+       round(CAST(sum(value) AS DOUBLE), 2) AS chk
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "Q9 (S8/S12): sink encode/decode round trip — per-partition count/checksum.",
+)
+def q9(spark, sf_dir):
+    df = _oplog(spark, sf_dir)
+    return (
+        df.groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("chk"))
+        .orderBy("partition")
+    )
+
+
+@_q(
+    "q10_insert_dedup",
+    _O
+    + """SELECT user_id, max(ts) AS last_ts, count(*) AS versions
+FROM oplog_v WHERE op = 'i' GROUP BY user_id ORDER BY user_id""",
+    "Q10 (W2/W5): insert with dup-key->update — last writer wins per key.",
+)
+def q10(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .filter(F.col("op") == "i")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("versions"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q11_update_merge",
+    _O
+    + """SELECT user_id, arg_max(value, id) AS final_value
+FROM oplog_v WHERE op IN ('i','u') GROUP BY user_id ORDER BY user_id""",
+    "Q11 (W3): update-merge last-state reconstruction (max_by/arg_max).",
+)
+def q11(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .filter(F.col("op").isin("i", "u"))
+        .groupBy("user_id")
+        .agg(F.expr("max_by(value, id)").alias("final_value"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q12_delete_tombstones",
+    _O
+    + """SELECT count(*) AS survivors FROM (
+  SELECT user_id, arg_max(op, id) AS last_op FROM oplog_v GROUP BY user_id
+) t WHERE last_op <> 'd'""",
+    "Q12 (W4): delete tombstones — surviving keys only.",
+)
+def q12(spark, sf_dir):
+    last = (
+        _oplog(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.expr("max_by(op, id)").alias("last_op"))
+    )
+    return last.filter(F.col("last_op") != "d").agg(F.count("*").alias("survivors"))
+
+
+@_q(
+    "q13_cdc_materialize",
+    _O
+    + """SELECT user_id, arg_max(value, id) AS value FROM oplog_v
+WHERE op IN ('i','u','d') GROUP BY user_id
+HAVING arg_max(op, id) <> 'd' ORDER BY user_id""",
+    "Q13 (W2-W4 composed): full CDC MERGE materialization — the flagship.",
+)
+def q13(spark, sf_dir):
+    return merge.last_writer_wins(_oplog(spark, sf_dir)).orderBy("user_id")
+
+
+@_q(
+    "q14_replicated_join",
+    """SELECT c.c_mktsegment, count(*) AS orders_cnt, round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    "Q14 (S7): replicated tables join clean — broadcast dim join.",
+)
+def q14(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("orders_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "q15_ns_rename",
+    _O
+    + """SELECT CASE WHEN ns LIKE 'db0.%' THEN concat('tgt0.', substr(ns, 5)) ELSE ns END AS ns_out,
+       count(*) AS cnt
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "Q15 (N4): namespace rename projection, first-match rule list.",
+)
+def q15(spark, sf_dir):
+    df = _oplog(spark, sf_dir)
+    renamed = transforms.ns_transform(F.col("ns"), [("db0", "tgt0")])
+    return (
+        df.select(renamed.alias("ns_out"))
+        .groupBy("ns_out")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("ns_out")
+    )
+
+
+@_q(
+    "q16_delta_updates",
+    _O
+    + """SELECT op, count(*) AS cnt, CAST(sum(length(o)) AS BIGINT) AS payload
+FROM oplog_v WHERE op = 'u' GROUP BY op ORDER BY op""",
+    "Q16 (N7/W3): $set/$unset delta application — payload accounting.",
+)
+def q16(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .filter(F.col("op") == "u")
+        .groupBy("op")
+        .agg(F.count("*").alias("cnt"), F.sum(F.length("o")).alias("payload"))
+        .orderBy("op")
+    )
+
+
+@_q(
+    "q17_hash_partition",
+    _O
+    + """SELECT CAST(user_id % 8 AS INT) AS worker, count(*) AS cnt
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "Q17 (P1/P2): hash partition assignment stability/balance.",
+)
+def q17(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("worker"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("worker")
+    )
+
+
+@_q(
+    "q18_write_groups",
+    _O
+    + """SELECT ns, op, CAST((rn - 1) // 1000 AS BIGINT) AS grp, count(*) AS cnt FROM (
+  SELECT ns, op, row_number() OVER (PARTITION BY ns, op ORDER BY ts, id) AS rn
+  FROM oplog_v) t
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "Q18 (W1): adjacent (ns,op) write-grouping with 1000-row caps.",
+)
+def q18(spark, sf_dir):
+    grouped = combiner.write_groups(_oplog(spark, sf_dir))
+    return (
+        grouped.groupBy("ns", "op", "grp")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("ns", "op", "grp")
+    )
+
+
+@_q(
+    "q19_ddl_barriers",
+    _O
+    + """SELECT barrier_id, count(*) AS rows_in_segment FROM (
+  SELECT id, CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END)
+           OVER (ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS barrier_id
+  FROM oplog_v) t
+GROUP BY 1 ORDER BY 1""",
+    "Q19 (B2): DDL barrier segmentation — batch id increments at each 'c'.",
+)
+def q19(spark, sf_dir):
+    seg = combiner.ddl_barriers(_oplog(spark, sf_dir))
+    return (
+        seg.groupBy("barrier_id")
+        .agg(F.count("*").alias("rows_in_segment"))
+        .orderBy("barrier_id")
+    )
+
+
+@_q(
+    "q20_txn_reassembly",
+    _O
+    + """SELECT user_id AS lsid, count(*) AS ops, min(ts) AS begin_ts, max(ts) AS commit_ts
+FROM oplog_v WHERE op IN ('i','u','d') GROUP BY user_id
+HAVING count(*) > 1 ORDER BY lsid LIMIT 200""",
+    "Q20 (B3/B4): transaction reassembly — group by session, emit on commit.",
+)
+def q20(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .filter(F.col("op").isin("i", "u", "d"))
+        .groupBy(F.col("user_id").alias("lsid"))
+        .agg(
+            F.count("*").alias("ops"),
+            F.min("ts").alias("begin_ts"),
+            F.max("ts").alias("commit_ts"),
+        )
+        .filter(F.col("ops") > 1)
+        .orderBy("lsid")
+        .limit(200)
+    )
+
+
+@_q(
+    "q21_delay_gate",
+    _O
+    + """SELECT count(*) AS shipped FROM oplog_v
+WHERE ts <= (SELECT max(ts) FROM oplog_v) - INTERVAL 1 HOUR""",
+    "Q21 (B5/B6): target-delay gate / exit-point truncation.",
+)
+def q21(spark, sf_dir):
+    gated = combiner.delay_gate(_oplog(spark, sf_dir), "INTERVAL 1 HOUR")
+    return gated.agg(F.count("*").alias("shipped"))
+
+
+@_q(
+    "q22_min_ack_checkpoint",
+    _O
+    + """SELECT min(ack) AS checkpoint FROM (
+  SELECT user_id % 8 AS worker, max(ts) AS ack FROM oplog_v GROUP BY 1) t""",
+    "Q22 (A1): min-ack checkpoint aggregation across workers.",
+)
+def q22(spark, sf_dir):
+    acks = (
+        _oplog(spark, sf_dir)
+        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).alias("worker"))
+        .agg(F.max("ts").alias("ack"))
+    )
+    return acks.agg(F.min("ack").alias("checkpoint"))
+
+
+@_q(
+    "q23_windowed_tps",
+    _O
+    + """SELECT date_trunc('hour', ts) AS h, count(*) AS tps_numerator
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "Q23 (A2/A4): windowed TPS metric.",
+)
+def q23(spark, sf_dir):
+    return (
+        _oplog(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("tps_numerator"))
+        .orderBy("h")
+    )
+
+
+@_q(
+    "q24_top3_ns_per_op",
+    _O
+    + """SELECT op, ns, cnt FROM (
+  SELECT op, ns, count(*) AS cnt,
+         row_number() OVER (PARTITION BY op ORDER BY count(*) DESC, ns) AS rk
+  FROM oplog_v GROUP BY op, ns) t
+WHERE rk <= 3 ORDER BY op, rk""",
+    "Q24 (A3): top-3 namespaces per op.",
+)
+def q24(spark, sf_dir):
+    counts = _oplog(spark, sf_dir).groupBy("op", "ns").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("op").orderBy(F.col("cnt").desc(), F.col("ns").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("op", "rk")
+        .select("op", "ns", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries — documents / embeddings tables
+# ---------------------------------------------------------------------------
+
+_POLY_TOK = poly_hash_duckdb("tok")
+_POLY_SHINGLE = poly_hash_duckdb("shingle")
+_POLY_TEXT = poly_hash_duckdb("text")
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1""",
+    "Exact dedup: content-hash groupBy; keeper = min doc_id.",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_groups(docs).orderBy("text_hash")
+
+
+_MINHASH_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END)) AS shingle
+  FROM toks),
+hashed AS (SELECT doc_id, {_POLY_SHINGLE} AS h FROM sh),
+sig AS (
+  SELECT doc_id, i, min(((2*i + 1) * h + 7919 * i) % {MOD}) AS m
+  FROM hashed, (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_minhash",
+    _MINHASH_ORACLE,
+    "MinHash+LSH near-dup candidates: 3-shingles, 16 minhashes, 4 bands.",
+)
+def dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_POLY_TOK} AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b),
+sims AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    "SimHash near-dups: 32-bit fingerprint, Hamming <= 3 via 4x8-bit bands.",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_NGRAM_ORACLE = """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END)) AS shingle
+  FROM toks),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common, ca.n_sh AS na, cb.n_sh AS nb
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE common * 5 >= 1 * (ca.n_sh + cb.n_sh - common)
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    "3-shingle Jaccard >= 0.2 pairs via inverted-index join (integer math).",
+)
+def dedup_ngram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_DOT_DD = (
+    "list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return _DOT_DD.format(a=a, b=b)
+
+
+_NEARDUP_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round({_dd_dot('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_dd_dot('a.embedding', 'b.embedding')} * 10 >= 9 * (a.vnorm * b.vnorm)
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_embedding",
+    _NEARDUP_ORACLE,
+    "Embedding near-dup pairs: cosine >= 0.9, exact self-join baseline.",
+)
+def dedup_embedding(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(vecs, 9, 10).orderBy("doc_a", "doc_b")
+
+
+_ANN_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dd_dot('q.embedding', 'c.embedding')} / (q.vnorm * c.vnorm), 6) AS cos_sim
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    "Brute-force cosine top-5 for query vectors vec_id < 10 (exact baseline).",
+)
+def ann_topk(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_topk(vecs, list(range(10)), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+@_q(
+    "text_tokens",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+       length(text) AS n_chars_calc
+FROM documents ORDER BY doc_id""",
+    "Token counting: whitespace + regex word tokens.",
+)
+def text_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textfn.token_count(c).alias("n_tokens"),
+        textfn.word_count(c).alias("n_words"),
+        F.length(c).alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in textfn.STOPWORDS)
+
+_QUALITY_ORACLE = f"""WITH sig AS (
+  SELECT doc_id, length(text) AS n_chars_calc,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_chars_calc, n_tokens, n_words, n_stopwords,
+       CASE WHEN n_tokens < 20 THEN 1
+            WHEN n_stopwords * 20 >= n_tokens THEN 2
+            ELSE 0 END AS quality_class
+FROM sig ORDER BY doc_id"""
+
+
+@_q(
+    "text_quality",
+    _QUALITY_ORACLE,
+    "Quality scoring: length/token/stopword signals, integer quality class.",
+)
+def text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.quality_signals(docs).orderBy("doc_id")
+
+
+_LANGID_ORACLE = f"""WITH sig AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN n_stop >= 2 AND n_stop * 50 >= n_tok THEN 'en' ELSE 'other' END AS lang_pred,
+       lang AS lang_actual
+FROM sig ORDER BY doc_id"""
+
+
+@_q(
+    "text_langid",
+    _LANGID_ORACLE,
+    "Language-ID heuristic: English stopword density.",
+)
+def text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.lang_id(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_fingerprint",
+    f"""SELECT doc_id, {_POLY_TEXT} AS fp_poly, md5(text) AS fp_md5
+FROM documents ORDER BY doc_id""",
+    "Document fingerprinting: rolling polynomial hash + md5.",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.fingerprint(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# export helpers for __spark_entry__
+# ---------------------------------------------------------------------------
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same config
+block is what we would ship for a 1000-executor cluster (AQE on, skew-join
+handling on, shuffle partitions sized to the cluster, broadcast threshold
+left to Catalyst). Nothing here is local-mode-specific except the master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    At 100 TB scale the only values that change are ``master`` (cluster
+    manager) and ``spark.sql.shuffle.partitions`` (≈ 2-3× total cores);
+    AQE re-coalesces small post-shuffle partitions at runtime either way,
+    and splits skewed ones (skew-join on).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The fixture parquet stores TIMESTAMP(NANOS); Spark has no ns type.
+        # Read as long and convert in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,73 @@
+"""Snapshot-plane sources (reference full-sync scan surface).
+
+The reference's full sync enumerates namespaces and runs per-collection
+parallel range scans (S4/S5/S6: collector/docsyncer/doc_reader.go:29-312,
+common/db_opertion.go:311-370). On Spark a parquet/table scan is already
+range-split into tasks by the data source, so the splitVector machinery
+reduces to: read, and optionally a key-range predicate per logical piece
+(``range_scan``).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full-collection scan (S4). Parquet scans arrive pre-split; Catalyst
+    pushes filters/projections into the scan (checked in tests via
+    ``PushedFilters`` in the formatted plan).
+
+    TIMESTAMP(NANOS) columns (Spark has no ns type; session reads them as
+    long via ``nanosAsLong``) are converted to microsecond timestamps —
+    the fixture values are whole microseconds, so this is lossless.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # Runtime-settable; required so this works on ANY caller session (the
+    # driver's verify creates its own), not just ours from get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in pq.read_schema(path):
+        if str(field.type) == "timestamp[ns]":
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Namespace enumeration (S6): register every fixture table as a temp
+    view so the SQL surface (plans/) can reference them by name."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def range_scan(
+    df: DataFrame, key: str, lo=None, hi=None, lo_inclusive: bool = False
+) -> DataFrame:
+    """Range-split piece scan (S5): predicate ``(lo, hi]`` on the split key,
+    mirroring doc_reader.go:208-231's boundary readers. The predicate is a
+    plain column comparison so it pushes down to parquet min/max pruning —
+    at 100 TB each piece prunes to the row groups that can contain its
+    range instead of scanning the table.
+    """
+    if lo is not None:
+        df = df.filter(F.col(key) >= lo if lo_inclusive else F.col(key) > lo)
+    if hi is not None:
+        df = df.filter(F.col(key) <= hi)
+    return df
