@@ -631,18 +631,20 @@ _NEARDUP_ORACLE = f"""WITH v AS (
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round({_dd_dot('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm), 6) AS cos_sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_dd_dot('a.embedding', 'b.embedding')} * 10 >= 9 * (a.vnorm * b.vnorm)
+WHERE {_dd_dot('a.embedding', 'b.embedding')} * 20 >= 9 * (a.vnorm * b.vnorm)
 ORDER BY doc_a, doc_b"""
 
 
 @_q(
     "dedup_embedding",
     _NEARDUP_ORACLE,
-    "Embedding near-dup pairs: cosine >= 0.9, exact self-join baseline.",
+    "Embedding near-dup pairs: cosine >= 0.45, exact all-pairs baseline. "
+    "(Fixture embeddings are near-random — max pairwise cosine ~0.51 — so "
+    "a production-style 0.9 threshold would make the check vacuous.)",
 )
 def dedup_embedding(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs(vecs, 9, 10).orderBy("doc_a", "doc_b")
+    return similarity.neardup_pairs(vecs, 9, 20).orderBy("doc_a", "doc_b")
 
 
 _ANN_ORACLE = f"""WITH v AS (
