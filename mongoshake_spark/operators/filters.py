@@ -87,14 +87,17 @@ def keep_namespace(
 
 def assert_no_migrate(df: DataFrame, col: str = "fromMigrate") -> DataFrame:
     """F5 MigrateFilter: fromMigrate == true must crash the pipeline
-    (oplog_filter.go:89-94; batcher.go:133-137). Distributed form: raise in
-    an expression so any offending row fails the job — no collect, no scan
-    of its own."""
+    (oplog_filter.go:89-94; batcher.go:133-137). Distributed form: the
+    raise lives inside a filter predicate, so it cannot be pruned away
+    (a projected-then-dropped check column would be optimized out) and
+    any offending row fails the job the moment it is scanned."""
+    if col not in df.columns:
+        return df
     check = F.when(
         F.col(col) == True,  # noqa: E712
         F.raise_error(F.lit("fromMigrate set: sharding balancer must be off")),
-    ).otherwise(F.lit(None))
-    return df.withColumn("_migrate_check", check).drop("_migrate_check") if col in df.columns else df
+    ).otherwise(F.lit(True))
+    return df.filter(check)
 
 
 def is_ddl(op_col: str = "op") -> Column:

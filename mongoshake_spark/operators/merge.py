@@ -53,34 +53,39 @@ def merge_upsert(
     op_col: str = "op",
 ) -> DataFrame:
     """One MERGE step: fold a batch of CDC rows into the current target
-    state, returning the new state (key, value, ordinal columns).
+    state, returning the new state ``(key, value, ordinal, op)``.
 
     Semantics match W2 (insert), W3 (update incl. upsert), W4 (delete),
-    W5 (dup-key -> update): last writer by ordinal wins, deletes remove.
+    W5 (dup-key -> update): last writer by ordinal wins. Deletes are kept
+    as TOMBSTONES (op='d' rows) rather than physically removed — resolving
+    strictly by ordinal makes the fold correct under ANY batch arrival
+    order and associative across segments (merge(merge(T,S1),S2) ==
+    merge(T, S1 ∪ S2)); a physically-deleted key would be resurrected by a
+    late-arriving lower-ordinal op. Readers use ``visible`` to drop
+    tombstones; at scale they compact away once the source watermark
+    passes their ordinal.
+
     Idempotent — replaying a batch yields the same state, which is the
     at-least-once safety argument the reference relies on (README.md:57).
     """
-    batch_state = (
-        updates.filter(F.col(op_col).isin("i", "u", "d"))
-        .groupBy(key_col)
-        .agg(
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(key_col).agg(
             F.expr(f"max_by({val_col}, {ord_col})").alias(val_col),
-            F.expr(f"max_by({op_col}, {ord_col})").alias("_op"),
+            F.expr(f"max_by({op_col}, {ord_col})").alias(op_col),
             F.max(ord_col).alias(ord_col),
         )
-    )
-    if target is None or target.isEmpty():
-        return batch_state.filter(F.col("_op") != "d").drop("_op")
-    tgt = target.select(
-        F.col(key_col), F.col(val_col), F.col(ord_col), F.lit("i").alias("_op")
-    )
-    merged = (
-        tgt.unionByName(batch_state)
-        .groupBy(key_col)
-        .agg(
-            F.expr(f"max_by({val_col}, {ord_col})").alias(val_col),
-            F.expr(f"max_by(_op, {ord_col})").alias("_op"),
-            F.max(ord_col).alias(ord_col),
-        )
-    )
-    return merged.filter(F.col("_op") != "d").drop("_op")
+
+    batch_state = fold(updates.filter(F.col(op_col).isin("i", "u", "d")))
+    if target is None:
+        return batch_state
+    cols = [key_col, val_col, op_col, ord_col]
+    return fold(target.select(*cols).unionByName(batch_state.select(*cols)))
+
+
+def visible(
+    state: DataFrame, op_col: str = "op", drop_meta: bool = True
+) -> DataFrame:
+    """The user-facing view of a merge state: tombstones filtered out."""
+    out = state.filter(F.col(op_col) != "d")
+    return out.drop(op_col) if drop_meta else out

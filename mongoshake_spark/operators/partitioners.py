@@ -18,13 +18,25 @@ from pyspark.sql import functions as F
 
 def java_string_hash(col: Column) -> Column:
     """The reference's TableHasher uses Java's String.hashCode
-    (oplog/hasher.go:141-152: ``h = 31*h + ch``). Pure column expression —
-    aggregate over the char codes; stays in codegen."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(col)),
-        F.lit(0).cast("int"),
-        lambda acc, i: acc * F.lit(31) + F.ascii(F.substring(col, i, 1)).cast("int"),
+    (oplog/hasher.go:141-152: ``h = 31*h + ch`` with signed-32-bit
+    wraparound). Pure column expression (codegen, no UDF); the wrap is
+    emulated explicitly in BIGINT because Spark's default ANSI mode makes
+    a genuine int overflow a runtime error: after each step
+    h = pmod(h*31 + c + 2^31, 2^32) - 2^31 keeps h in signed-32 range."""
+    two31 = F.lit(2_147_483_648)
+    two32 = F.lit(4_294_967_296)
+    empty_guard = F.when(
+        col.isNull() | (F.length(col) == 0), F.lit(0).cast("bigint")
     )
+    wrapped = F.aggregate(
+        F.sequence(F.lit(1), F.length(col)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: F.pmod(
+            acc * F.lit(31) + F.ascii(F.substring(col, i, F.lit(1))) + two31, two32
+        )
+        - two31,
+    )
+    return empty_guard.otherwise(wrapped)
 
 
 def worker_by_ns(df: DataFrame, n: int, ns_col: str = "ns", op_col: str = "op") -> DataFrame:

