@@ -1,0 +1,142 @@
+"""Multimodal column plumbing for the training-data pipeline.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+structs. The Spark-side contract — schema, partitioning, Arrow batch shape,
+UDF signatures — is real and tested; the actual media decode is STUBBED
+(``decoder="fake"`` is a deterministic byte-level parser; ``decoder="pil"``
+raises NotImplementedError because image/audio libraries are not available
+in this environment — plug the real decoder into ``_decode_one``).
+
+Design: decode/feature-extract run as ``mapInPandas`` so each Arrow batch
+moves binary payloads to Python exactly once; downstream filters/joins see
+only the small typed metadata and can prune the binary column away (column
+pruning keeps the scan from even reading the bytes when the query only
+touches metadata).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<filename:string,declared_w:int,declared_h:int>"
+)
+
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, channels int, "
+    "n_bytes bigint, checksum bigint"
+)
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test fixture builder: wrap each document's text bytes as a fake
+    media payload with a deterministic 12-byte header
+    (magic 'FMI0', width int32-be, height int32-be)."""
+    payload = F.concat(
+        F.lit(b"FMI0"),
+        # width/height derived from doc_id so decode results are checkable
+        F.expr("CAST(unhex(lpad(hex((doc_id % 64 + 1) * 16), 8, '0')) AS BINARY)"),
+        F.expr("CAST(unhex(lpad(hex((doc_id % 48 + 1) * 16), 8, '0')) AS BINARY)"),
+        F.encode(F.col(text_col), "utf-8"),
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
+            ((F.col("doc_id") % 64 + 1) * 16).cast("int").alias("declared_w"),
+            ((F.col("doc_id") % 48 + 1) * 16).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_one(payload: bytes, decoder: str) -> tuple[int, int, int]:
+    """Stub decode: parse the fake header. A real deployment swaps this for
+    PIL/librosa/pyav — everything around it (batching, schema, pruning)
+    stays identical."""
+    if decoder == "fake":
+        if payload[:4] != b"FMI0" or len(payload) < 12:
+            raise ValueError("bad magic")
+        w = _struct.unpack(">i", payload[4:8])[0]
+        h = _struct.unpack(">i", payload[8:12])[0]
+        return w, h, 3
+    raise NotImplementedError(
+        f"decoder {decoder!r}: media libraries not available in this "
+        "environment — plug a real decoder into _decode_one"
+    )
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode/feature-extract over Arrow batches (mapInPandas): emits typed
+    metadata per payload; the binary column does not survive, so downstream
+    stages never shuffle the heavy bytes."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                w, h, c = _decode_one(bytes(payload), decoder)
+                rows.append(
+                    (
+                        doc_id,
+                        mtype,
+                        w,
+                        h,
+                        c,
+                        len(payload),
+                        sum(payload[:64]) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_bytes",
+                    "checksum",
+                ],
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning is pure column math (no UDF): target dims preserving
+    aspect ratio, capped at ``max_side``. The actual pixel resample would
+    run in the same mapInPandas as decode_media."""
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        max_side / F.greatest("width", "height"),
+    ).otherwise(F.lit(1.0))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def frame_sample_plan(
+    n_frames_col: str = "n_bytes", every_k: int = 10
+) -> F.Column:
+    """Frame-sampling as an expression: indexes 0, k, 2k… bounded by the
+    frame count — `sequence` stays JVM-side; the decoder fetches only the
+    listed frames."""
+    n = (F.col(n_frames_col) / 1000).cast("int")
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_k))).otherwise(
+        F.array().cast("array<int>")
+    )

@@ -751,6 +751,51 @@ def text_fingerprint(spark, sf_dir):
     return textfn.fingerprint(docs).orderBy("doc_id")
 
 
+@_q(
+    "mm_decode_meta",
+    """SELECT doc_id, CAST((doc_id % 64 + 1) * 16 AS INT) AS width,
+       CAST((doc_id % 48 + 1) * 16 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(12 + length(text) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id""",
+    "Multimodal plumbing: binary payload -> mapInPandas decode -> typed "
+    "metadata. The oracle recomputes the deterministic fake-decoder output "
+    "directly, verifying the whole binary/Arrow/UDF path end-to-end.",
+)
+def mm_decode_meta(spark, sf_dir):
+    from mongoshake_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_media(multimodal.attach_fake_media(docs))
+    return decoded.select("doc_id", "width", "height", "channels", "n_bytes").orderBy(
+        "doc_id"
+    )
+
+
+_LSH_DOT = (
+    "list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), "
+    "i -> CAST(embedding[i] AS DOUBLE) * "
+    "(((1103515245 * (p * 64 + (i - 1)) + 12345) % 1000000007) / 1000000007.0 - 0.5)), "
+    "(acc, v) -> acc + v)"
+)
+
+_LSH_ORACLE = f"""SELECT vec_id,
+       CAST(sum(CASE WHEN {_LSH_DOT} > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+FROM embeddings, (SELECT unnest(range(0, 16)) AS p)
+GROUP BY vec_id ORDER BY vec_id"""
+
+
+@_q(
+    "ann_lsh_buckets",
+    _LSH_ORACLE,
+    "ANN scale path: random-hyperplane LSH bucket assignment (16 planes, "
+    "derived pseudo-random components — reproducible across engines).",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_buckets(vecs).select("vec_id", "bucket").orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

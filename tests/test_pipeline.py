@@ -1,0 +1,131 @@
+"""Full-sync, tunnel round-trip, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.operators import multimodal
+from mongoshake_spark.plans.full_sync import full_sync, select_sync_mode, sync_all
+from mongoshake_spark.sources.oplog import chunks_view, oplog_view
+from mongoshake_spark.sources.tables import load_table
+from mongoshake_spark.sources.tunnel import (
+    encode_frames,
+    read_file_tunnel,
+    write_file_tunnel,
+)
+from mongoshake_spark.streaming.replay import write_replay_feed
+
+
+def test_full_sync_copies_all_tables(spark, sf_dir, tmp_path):
+    report = full_sync(spark, sf_dir, str(tmp_path), tables=("region", "nation", "events"))
+    src_counts = {
+        t: load_table(spark, sf_dir, t).count() for t in ("region", "nation", "events")
+    }
+    assert report.tables == src_counts
+
+
+def test_full_sync_orphan_filter(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    chunks = chunks_view(spark, li)
+    report = full_sync(
+        spark, sf_dir, str(tmp_path), tables=("lineitem",), chunks=chunks, shard="shard0"
+    )
+    owned = li.join(
+        chunks.filter(F.col("shard") == "shard0"),
+        (li.l_orderkey >= F.col("min_key")) & (li.l_orderkey < F.col("max_key")),
+        "left_semi",
+    ).count()
+    assert report.tables["lineitem"] == owned < li.count()
+
+
+def test_select_sync_mode():
+    # checkpoint still within retained window -> incr
+    assert select_sync_mode(100, 50, 200) == "incr"
+    # checkpoint older than the oldest retained entry (hole) -> all
+    assert select_sync_mode(40, 50, 200) == "all"
+    # no checkpoint -> all
+    assert select_sync_mode(None, 50, 200) == "all"
+
+
+def test_sync_all_end_state(spark, sf_dir, tmp_path):
+    """Mode 'all': snapshot + catch-up converges to the batch truth."""
+    from mongoshake_spark.operators import merge
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=256)
+    out = sync_all(
+        spark,
+        sf_dir,
+        feed,
+        str(tmp_path / "snap"),
+        str(tmp_path / "stream_target"),
+        str(tmp_path / "ckpt"),
+    )
+    assert out["snapshot_rows"] > 0
+    got = {
+        r["user_id"]: r["value"]
+        for r in merge.visible(
+            spark.read.parquet(str(tmp_path / "stream_target"))
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: r["value"]
+        for r in merge.last_writer_wins(
+            oplog_view(load_table(spark, sf_dir, "events"))
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_tunnel_roundtrip(spark, sf_dir, tmp_path):
+    """S8/S9/S12: encode -> file tunnel -> decode preserves rows and
+    shard routing keeps each ns on one shard (Q9's contract)."""
+    oplog = oplog_view(load_table(spark, sf_dir, "events"))
+    path = str(tmp_path / "tunnel")
+    write_file_tunnel(oplog, path)
+    back = read_file_tunnel(spark, path)
+    assert back.count() == oplog.count()
+    a = {r["id"]: (r["op"], r["ns"], r["value"]) for r in oplog.collect()}
+    b = {r["id"]: (r["op"], r["ns"], r["value"]) for r in back.collect()}
+    assert a == b
+    shards = (
+        encode_frames(oplog)
+        .select("shard", F.get_json_object("value", "$.ns").alias("ns"))
+        .groupBy("ns")
+        .agg(F.countDistinct("shard").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in shards)
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = multimodal.decode_media(media, decoder="fake")
+    joined = decoded.join(media.select("doc_id", "meta"), "doc_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("meta.declared_w"))
+        | (F.col("height") != F.col("meta.declared_h"))
+    ).count()
+    assert bad == 0
+    assert decoded.count() == docs.count()
+
+
+def test_multimodal_unimplemented_decoder(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    media = multimodal.attach_fake_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.decode_media(media, decoder="pil").collect()
+
+
+def test_resize_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = multimodal.decode_media(multimodal.attach_fake_media(docs))
+    plan = multimodal.resize_plan(decoded, max_side=256).collect()
+    for r in plan:
+        assert max(r["target_w"], r["target_h"]) <= 256
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
