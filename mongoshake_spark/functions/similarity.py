@@ -158,19 +158,34 @@ def lsh_buckets(
     runs and engines, no RNG state.
 
     plane[p][d] = ((1103515245 * (p * 64 + d) + 12345) % MOD) / MOD - 0.5
+
+    Vectorized mapInPandas: one numpy ``A @ planesᵀ`` per Arrow batch.
+    (The equivalent 16-fold column expression is correct too but costs
+    seconds of generated-code compilation per session; BLAS summation
+    differs from a sequential fold only ~1e-15 relatively, far from the
+    sign threshold for any realistic vector.)
     """
+    import numpy as np
+    import pandas as pd
+
     dim = len(vecs.select(vec_col).first()[0])
-    planes = [
-        [((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5 for d in range(dim)]
-        for p in range(n_planes)
-    ]
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = F.expr(
-            f"aggregate(zip_with({vec_col}, array({','.join(repr(x) for x in plane)}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        _ = arr
-    return vecs.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    planes = np.array(
+        [
+            [((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5 for d in range(dim)]
+            for p in range(n_planes)
+        ]
+    )
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    def bucket_batches(batches):
+        for pdf in batches:
+            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dots = a @ planes.T
+            buckets = ((dots > 0) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "bucket": buckets}
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        bucket_batches, schema=f"{id_col} bigint, {vec_col} array<float>, bucket bigint"
+    )
