@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,6 +113,54 @@ def db_fanout(df: DataFrame, mapping: Mapping[str, Sequence[str]], ns_col: str =
     return df.withColumn("_tgt_db", F.explode(targets)).withColumn(
         ns_col, F.concat(F.col("_tgt_db"), rest)
     ).drop("_tgt_db")
+
+
+def transform_dbref(
+    df: DataFrame, rules: Sequence[tuple[str, str]], o_col: str = "o"
+) -> DataFrame:
+    """N6 TransformDBRef (transform.go:73-106): recursively rewrite
+    ``{"$ref": coll, "$db": db}`` sub-documents according to the namespace
+    rename rules. Genuinely recursive over dynamic JSON — the one transform
+    where a UDF is warranted (SURVEY §7); Arrow-batched so payloads cross
+    to Python once. Only enable when the DBRef feature is on (the reference
+    gates it the same way, doc_syncer.go:533-545)."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    compiled = [(src, dst) for src, dst in rules]
+
+    def rewrite_ns(ns: str) -> str:
+        for src, dst in compiled:
+            if ns == src or ns.startswith(src + "."):
+                return dst + ns[len(src):]
+        return ns
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "$ref" in node and "$db" in node:
+                full = f'{node["$db"]}.{node["$ref"]}'
+                new = rewrite_ns(full)
+                db, _, coll = new.partition(".")
+                node = {**node, "$db": db, "$ref": coll}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    @pandas_udf("string")
+    def rewrite(col: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            try:
+                return json.dumps(walk(json.loads(s)), separators=(",", ":"))
+            except ValueError:
+                return s
+
+        return col.map(one)
+
+    return df.withColumn(o_col, rewrite(F.col(o_col)))
 
 
 def normalize_delta_update(df: DataFrame, o_col: str = "o") -> DataFrame:

@@ -60,6 +60,7 @@ class ApplyKernel:
     spark: SparkSession
     target_dir: str
     dead_letter_dir: str | None = None
+    journal_dir: str | None = None
     key: str = "user_id"
     val: str = "value"
     ord: str = "id"
@@ -118,6 +119,10 @@ class ApplyKernel:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
+            if self.journal_dir:
+                # M4 audit journal (collector/syncer.go:635-638): append-only
+                # side output of every oplog handled, before filtering.
+                batch.write.mode("append").parquet(self.journal_dir)
             self._quarantine(batch.filter(~F.col("op").isin("i", "u", "d", "n", "c")))
             ddl_rows = sorted(
                 batch.filter(F.col("op") == "c").select("id", "ts", "ns", "o").collect(),

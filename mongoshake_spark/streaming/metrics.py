@@ -1,0 +1,70 @@
+"""A2/B10/A4 — replication metrics, heartbeat, progress.
+
+Reference: common/metric.go + the REST endpoints /repl /queue /worker
+(collector/syncer.go:640-734) expose windowed TPS, per-stage counts and
+status flags. Spark's native analog is the StreamingQueryListener: every
+micro-batch reports rows, duration and state-store metrics; this module
+aggregates them into the same shape the reference serves over REST.
+
+Windowed TPS over the data itself (Q23) is a plain groupBy(date_trunc);
+this listener covers the *operational* plane (pipeline throughput).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class ReplMetrics:
+    """The /repl payload equivalent."""
+
+    batches: int = 0
+    rows_in: int = 0
+    last_rows_per_sec: float = 0.0
+    last_batch_ms: float = 0.0
+    progress: list = field(default_factory=list)
+
+    def snapshot(self) -> dict:
+        return {
+            "batches": self.batches,
+            "rows_in": self.rows_in,
+            "rows_per_sec": self.last_rows_per_sec,
+            "batch_ms": self.last_batch_ms,
+        }
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-batch throughput — attach with
+    ``spark.streams.addListener(listener)``; read ``listener.metrics``."""
+
+    def __init__(self) -> None:
+        self.metrics = ReplMetrics()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.metrics.batches += 1
+        self.metrics.rows_in += p.numInputRows
+        self.metrics.last_rows_per_sec = p.processedRowsPerSecond or 0.0
+        self.metrics.last_batch_ms = (p.durationMs or {}).get("triggerExecution", 0)
+        self.metrics.progress.append(
+            {"batchId": p.batchId, "numInputRows": p.numInputRows}
+        )
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+
+def attach(spark: SparkSession) -> MetricsListener:
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    return listener

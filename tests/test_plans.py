@@ -1,0 +1,103 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Each test inspects the formatted plan: a filter that doesn't reach the
+parquet scan, a dimension join that doesn't broadcast, or a projection
+that reads all columns would silently survive correctness tests and only
+hurt at scale. These make the plan shape part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.operators.filters import orphan_filter
+from mongoshake_spark.sources.oplog import chunks_view
+from mongoshake_spark.sources.tables import load_table, range_scan
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_range_scan_pushes_down(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = range_scan(li, "l_orderkey", lo=1000, hi=3000).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_orderkey,1000)" in plan
+    assert "LessThanOrEqual(l_orderkey,3000)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(li.select("l_orderkey", "l_quantity"))
+    # ReadSchema must carry only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_orphan_filter_broadcasts_chunks(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    chunks = chunks_view(spark, li)
+    plan = _plan(orphan_filter(li, chunks, "l_orderkey", "tpch.lineitem", "shard0"))
+    assert "Broadcast" in plan  # BroadcastNestedLoopJoin / BroadcastExchange
+    # the big side must NOT shuffle for this join
+    assert "LeftSemi" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    plan = _plan(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_chain_merges_to_single_scan_filter(spark, sf_dir):
+    from mongoshake_spark.operators import filters
+    from mongoshake_spark.sources.oplog import oplog_view
+
+    oplog = oplog_view(load_table(spark, sf_dir, "events"))
+    df = filters.filter_chain(
+        oplog, filters.keep_not_noop(), F.col("ns").startswith("db1")
+    )
+    plan = _plan(df)
+    # one merged Filter node inside a codegen span: Catalyst fused the chain
+    filter_nodes = [l for l in plan.splitlines() if l.strip().startswith("(") is False and "Filter" in l and "codegen" in l]
+    assert "Filter" in plan
+    assert "codegen id" in plan  # whole-stage codegen active
+    _ = filter_nodes
+
+
+def test_oplog_view_stays_in_codegen(spark, sf_dir):
+    from mongoshake_spark.sources.oplog import oplog_view
+
+    plan = _plan(oplog_view(load_table(spark, sf_dir, "events")))
+    assert "codegen id" in plan  # projection fused with the scan
+    assert "BatchEvalPython" not in plan  # no Python in the CDC hot path
+    assert "Exchange" not in plan  # map-only: no shuffle to derive the view
+
+
+def test_merge_uses_partial_aggregation(spark, sf_dir):
+    """last_writer_wins must aggregate with a map-side partial pass (one
+    candidate per key per partition crosses the exchange — the plan shows
+    partial_max_by before the Exchange), not a window that shuffles every
+    row."""
+    from mongoshake_spark.operators import merge
+    from mongoshake_spark.sources.oplog import oplog_view
+
+    plan = _plan(merge.last_writer_wins(oplog_view(load_table(spark, sf_dir, "events"))))
+    # partial_max_by in the pre-shuffle aggregate; merge_max_by (final)
+    # after the exchange — Spark only emits partial_ when map-side combine
+    # is active, which is the property under test
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
