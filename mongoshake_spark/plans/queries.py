@@ -796,6 +796,111 @@ def ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(vecs).select("vec_id", "bucket").orderBy("vec_id")
 
 
+@_q(
+    "q25_payload_extract",
+    _O
+    + """SELECT user_id, max(CAST(json_extract_string(o, '$.k') AS INT)) AS max_k,
+       count(*) AS n_payloads
+FROM oplog_v WHERE op IN ('i','u') GROUP BY user_id ORDER BY user_id""",
+    "N2 payload parse: extract a field from the dynamic JSON document "
+    "(from_json/get_json_object <-> DuckDB json_extract_string).",
+)
+def q25_payload(spark, sf_dir):
+    df = _oplog(spark, sf_dir).filter(F.col("op").isin("i", "u"))
+    k = F.get_json_object(F.col("o"), "$.k").cast("int")
+    return (
+        df.groupBy("user_id")
+        .agg(F.max(k).alias("max_k"), F.count("*").alias("n_payloads"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q26_salted_agg",
+    _O
+    + """SELECT ns, count(*) AS cnt, round(CAST(sum(value) AS DOUBLE), 2) AS total
+FROM oplog_v GROUP BY ns ORDER BY ns""",
+    "Skew-resistant two-phase salted aggregation — identical results to the "
+    "oracle's direct GROUP BY (hot-key mitigation for P1's per-ns routing).",
+)
+def q26_salted(spark, sf_dir):
+    from mongoshake_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        _oplog(spark, sf_dir),
+        ["ns"],
+        {
+            "cnt": (F.count("*"), F.sum("cnt")),
+            "_sum": (F.sum("value"), F.sum("_sum")),
+        },
+    )
+    return out.select(
+        "ns", "cnt", F.round(F.col("_sum"), 2).alias("total")
+    ).orderBy("ns")
+
+
+_LSH_TOPK_ORACLE = f"""WITH b AS (
+  SELECT vec_id, embedding,
+         CAST(sum(CASE WHEN {_LSH_DOT} > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings, (SELECT unnest(range(0, 16)) AS p) GROUP BY vec_id, embedding),
+n AS (SELECT vec_id, embedding, bucket,
+             sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm FROM b),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dd_dot('q.embedding', 'c.embedding')} / (q.vnorm * c.vnorm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 3 ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_lsh_topk",
+    _LSH_TOPK_ORACLE,
+    "ANN scale path end-to-end: LSH-bucketed top-3 — candidates restricted "
+    "to the query's bucket (the IVF-style probe), exact cosine within.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    from mongoshake_spark.functions.similarity import dot_expr, with_norm
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    bucketed = with_norm(similarity.lsh_buckets(vecs), "embedding")
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+        F.col("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("qvec", "cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

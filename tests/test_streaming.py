@@ -133,6 +133,81 @@ def test_ddl_barrier_segmentation(spark, tmp_path):
     assert _final_state(spark, str(tmp_path / "t")) == {}
 
 
+BARRIER_SCENARIOS = {
+    # op sequences mirroring collector/batcher_test.go's scenario tables:
+    # DDL at the front, back, consecutive, interleaved, none, all, noop runs
+    "no_ddl": "iiuud",
+    "ddl_front": "ciiu",
+    "ddl_back": "iiuc",
+    "ddl_consecutive": "iccu",
+    "ddl_interleaved": "icicic",
+    "all_ddl": "ccc",
+    "noop_runs": "ninuin",
+    "single_row_ddl": "c",
+    "delete_after_barrier": "icd",
+}
+
+
+@pytest.mark.parametrize("name", list(BARRIER_SCENARIOS))
+def test_strict_barrier_scenarios(spark, tmp_path, name):
+    """batcher_test.go behavioral spec: for every DDL placement, the strict
+    kernel must (a) apply DDLs in global order, (b) interleave segments and
+    barriers exactly as a sequential apply would, (c) reach the same final
+    state as a row-at-a-time reference simulation."""
+    import datetime
+
+    ops = BARRIER_SCENARIOS[name]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), i % 3, op, "db0.c1", float(i), "{}")
+        for i, op in enumerate(ops, start=1)
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "id long, ts timestamp, user_id long, op string, ns string, value double, o string",
+    )
+
+    # sequential reference simulation (the contract)
+    sim_state: dict = {}
+    sim_ddl = []
+    for i, op in enumerate(ops, start=1):
+        uid = i % 3
+        if op == "i" or op == "u":
+            sim_state[uid] = float(i)
+        elif op == "d":
+            sim_state.pop(uid, None)
+            sim_state[uid] = None  # tombstone
+        elif op == "c":
+            sim_ddl.append(i)
+    sim_visible = {k: v for k, v in sim_state.items() if v is not None}
+
+    kernel = ApplyKernel(spark, str(tmp_path / "t"), strict_barriers=True)
+    events = []
+    orig_seg, orig_ddl = kernel._apply_segment, kernel._apply_ddl
+
+    def rec_seg(seg):
+        ids = [r["id"] for r in seg.orderBy("id").collect()]
+        if ids:
+            events.append(("seg", ids))
+        orig_seg(seg)
+
+    def rec_ddl(rows_):
+        events.append(("ddl", [r["id"] for r in rows_]))
+        orig_ddl(rows_)
+
+    kernel._apply_segment, kernel._apply_ddl = rec_seg, rec_ddl
+    kernel.process_batch(batch, 0)
+
+    # (a) DDL ids in order
+    assert [i for kind, ids in events if kind == "ddl" for i in ids] == sim_ddl
+    # (b) every applied id appears in ascending global order across events
+    flat = [i for _, ids in events for i in ids]
+    assert flat == sorted(flat)
+    # (c) final visible state matches the sequential simulation
+    got = {r["user_id"]: r["value"] for r in (kernel.state_view() or batch.limit(0)).collect()}
+    assert got == sim_visible
+
+
 def test_txn_reassembly_in_batch(spark):
     """B3 within-batch fallback: committed txn emits all ops in order,
     uncommitted txn emits nothing, aborted rows are dropped."""
