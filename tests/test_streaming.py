@@ -234,6 +234,39 @@ def test_txn_reassembly_in_batch(spark):
     ]
 
 
+def test_windowed_counts_match_batch(spark, sf_dir, feed, tmp_path):
+    """A2 streaming form: watermarked 1-hour windows over the replayed
+    stream equal the batch date_trunc aggregation (q23's contract), because
+    the feed replays in order so no row is beyond the watermark."""
+    from mongoshake_spark.streaming.replay import read_oplog_stream
+    from mongoshake_spark.streaming.windows import windowed_counts
+
+    stream = read_oplog_stream(spark, feed, max_files_per_trigger=4)
+    out = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    rows = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["window_start"]: r["cnt"] for r in rows}
+    batch = (
+        oplog_view(load_table(spark, sf_dir, "events"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .count()
+        .collect()
+    )
+    exp = {r["h"]: r["count"] for r in batch}
+    # append mode withholds windows the watermark hasn't passed — the final
+    # window(s) stay open; everything emitted must match the batch truth
+    assert len(got) >= len(exp) - 3
+    for k, v in got.items():
+        assert exp[k] == v
+
+
 def test_txn_reassembly_streaming(spark, tmp_path):
     """B3 stateful path: ops of one txn arrive across micro-batches; the
     commit in a later batch emits the whole transaction."""
