@@ -527,6 +527,26 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_groups(docs).orderBy("text_hash")
 
 
+@_q(
+    "dedup_exact_normalized",
+    """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1""",
+    "Exact dedup after canonicalization (lowercase + whitespace collapse) — "
+    "catches trivially-reformatted duplicates that byte-exact hashing misses. "
+    "All groups are emitted so the oracle value-compares every normalized "
+    "hash (regex/lower/md5 parity across engines).",
+)
+def dedup_exact_norm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.groupBy(F.md5(norm).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("text_hash")
+    )
+
+
 _MINHASH_ORACLE = f"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (

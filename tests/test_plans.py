@@ -87,6 +87,35 @@ def test_oplog_view_stays_in_codegen(spark, sf_dir):
     assert "Exchange" not in plan  # map-only: no shuffle to derive the view
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key -> the join
+    executes with NO shuffle on either side (the 100 TB fact-join story)."""
+    from mongoshake_spark.plans.bucketing import colocated_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", "o_custkey", 8)
+    write_bucketed(cust, "b_customer", "c_custkey", 8)
+    # Catalyst rightly broadcasts a dim this small, which bypasses the
+    # bucket layout; disable auto-broadcast to observe the big-big case
+    # the layout exists for (two fact tables at 100 TB).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(
+            spark, "b_orders", "b_customer", "o_custkey", "c_custkey"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side shuffles
+        direct = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert joined.count() == direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_merge_uses_partial_aggregation(spark, sf_dir):
     """last_writer_wins must aggregate with a map-side partial pass (one
     candidate per key per partition crosses the exchange — the plan shows
