@@ -199,6 +199,66 @@ def normalize_delta_update(df: DataFrame, o_col: str = "o") -> DataFrame:
     )
 
 
+def normalize_delta_update_full(df: DataFrame, o_col: str = "o") -> DataFrame:
+    """N7, full form (oplog/oplog.go:281-372 DiffUpdateOplogToNormal):
+    recursive ``$v:2`` normalization including nested ``s<field>`` descent
+    — emits classic dotted-path $set/$unset.
+
+      {"$v":2,"diff":{"i":{a:1},"u":{b:2},"d":{c:false},
+                      "sE":{"i":{x:1},"d":{y:false}}}}
+        -> set {a:1, b:2, "E.x":1}, unset [c, "E.y"]
+
+    Array-resize sections (``l``) become a ``{"$resize": n}`` marker in the
+    set map — the reference rewrites those as an aggregation-pipeline
+    update (BuildUpdateDelteOplog); a Mongo-writing sink would translate
+    the marker back.
+
+    Arrow-batched UDF: the recursion over dynamic JSON is the documented
+    slow-path exception (SURVEY §7); the flat fast path stays in
+    normalize_delta_update (pure column expressions).
+    """
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def walk(diff: dict, prefix: str, set_out: dict, unset_out: list) -> None:
+        for k, v in diff.items():
+            if k in ("i", "u") and isinstance(v, dict):
+                for f, val in v.items():
+                    set_out[prefix + f] = val
+            elif k == "d" and isinstance(v, dict):
+                for f in v:
+                    unset_out.append(prefix + f)
+            elif k == "l":
+                set_out[prefix.rstrip(".") or "$"] = {"$resize": v}
+            elif k.startswith("s") and isinstance(v, dict):
+                walk(v, prefix + k[1:] + ".", set_out, unset_out)
+
+    @pandas_udf("struct<set_json:string,unset_json:string>")
+    def normalize(col: pd.Series) -> pd.DataFrame:
+        sets, unsets = [], []
+        for s in col:
+            try:
+                doc = json.loads(s) if s else {}
+            except ValueError:
+                doc = {}
+            set_out: dict = {}
+            unset_out: list = []
+            if str(doc.get("$v")) == "2" and isinstance(doc.get("diff"), dict):
+                walk(doc["diff"], "", set_out, unset_out)
+            else:
+                set_out = doc.get("$set", {}) or {}
+                unset_out = list((doc.get("$unset", {}) or {}).keys())
+            sets.append(json.dumps(set_out, separators=(",", ":"), sort_keys=True))
+            unsets.append(json.dumps(sorted(unset_out), separators=(",", ":")))
+        return pd.DataFrame({"set_json": sets, "unset_json": unsets})
+
+    out = normalize(F.col(o_col))
+    return df.withColumn("set_json", out.getField("set_json")).withColumn(
+        "unset_json", out.getField("unset_json")
+    )
+
+
 def command_name(o_col: str = "o") -> Column:
     """N8 command-name extraction (oplog/cmd_oplog.go:14-63): the first key
     of the command document."""

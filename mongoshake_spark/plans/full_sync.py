@@ -75,12 +75,26 @@ def full_sync(
 def select_sync_mode(
     checkpoint_ts: int | None, oldest_retained_ts: int, newest_ts: int
 ) -> str:
-    """The reference's decision table: a stored checkpoint newer than the
-    source's oldest retained entry -> resume incrementally; otherwise a
-    full snapshot is unavoidable (the stream has a hole)."""
-    if checkpoint_ts is not None and checkpoint_ts >= oldest_retained_ts:
-        return "incr"
-    return "all"
+    """The reference's decision table (coordinator/utils.go:23-115
+    compareCheckpointAndDbTs + :144-192 selectSyncMode):
+
+    - no stored checkpoint                    -> "all" (snapshot + stream)
+    - checkpoint older than oldest retained   -> "all" (the stream has a
+      hole; resuming would silently lose entries)
+    - checkpoint in the future of the source  -> error (clock skew or a
+      checkpoint from a different source — refuse, as the reference does)
+    - otherwise                               -> "incr" (resume)
+    """
+    if checkpoint_ts is None:
+        return "all"
+    if checkpoint_ts > newest_ts:
+        raise ValueError(
+            f"checkpoint {checkpoint_ts} is newer than the source's newest "
+            f"entry {newest_ts}: wrong source or clock skew — refusing"
+        )
+    if checkpoint_ts < oldest_retained_ts:
+        return "all"
+    return "incr"
 
 
 def sync_all(

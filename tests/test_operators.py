@@ -154,6 +154,33 @@ def test_delta_update_normalization_v2(spark):
     assert out[2]["unset_keys"] == ["z"]
 
 
+@pytest.mark.parametrize(
+    "o,exp_set,exp_unset",
+    [
+        # flat i/u/d sections
+        ('{"$v":2,"diff":{"i":{"a":1},"u":{"b":2},"d":{"c":false}}}',
+         {"a": 1, "b": 2}, ["c"]),
+        # nested s-descent (oplog.go:281-372's recursive case)
+        ('{"$v":2,"diff":{"u":{"b":2},"sE":{"i":{"x":1},"d":{"y":false}}}}',
+         {"b": 2, "E.x": 1}, ["E.y"]),
+        # doubly-nested descent
+        ('{"$v":2,"diff":{"sA":{"sB":{"u":{"deep":9}}}}}',
+         {"A.B.deep": 9}, []),
+        # classic update passes through
+        ('{"$set":{"k":1},"$unset":{"z":true}}', {"k": 1}, ["z"]),
+        # array resize marker
+        ('{"$v":2,"diff":{"sArr":{"l":3}}}', {"Arr": {"$resize": 3}}, []),
+    ],
+)
+def test_delta_update_full_recursive(spark, o, exp_set, exp_unset):
+    import json
+
+    df = spark.createDataFrame([(1, o)], "id long, o string")
+    row = transforms.normalize_delta_update_full(df).collect()[0]
+    assert json.loads(row["set_json"]) == exp_set
+    assert json.loads(row["unset_json"]) == sorted(exp_unset)
+
+
 def test_command_name_extraction(spark):
     df = spark.createDataFrame(
         [(1, '{"createIndexes":"c1","v":"2"}'), (2, '{"dropDatabase":"1"}')],

@@ -39,12 +39,22 @@ def test_full_sync_orphan_filter(spark, sf_dir, tmp_path):
 
 
 def test_select_sync_mode():
+    """coordinator/utils_test.go truth table."""
+    import pytest
+
     # checkpoint still within retained window -> incr
     assert select_sync_mode(100, 50, 200) == "incr"
+    # boundary: checkpoint == oldest retained -> incr (no hole yet)
+    assert select_sync_mode(50, 50, 200) == "incr"
+    # checkpoint == newest -> incr (caught up)
+    assert select_sync_mode(200, 50, 200) == "incr"
     # checkpoint older than the oldest retained entry (hole) -> all
     assert select_sync_mode(40, 50, 200) == "all"
     # no checkpoint -> all
     assert select_sync_mode(None, 50, 200) == "all"
+    # checkpoint beyond the source's newest -> refuse
+    with pytest.raises(ValueError, match="newer than the source"):
+        select_sync_mode(300, 50, 200)
 
 
 def test_sync_all_end_state(spark, sf_dir, tmp_path):
