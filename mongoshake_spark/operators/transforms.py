@@ -105,11 +105,10 @@ def db_fanout(df: DataFrame, mapping: Mapping[str, Sequence[str]], ns_col: str =
     """N5 DBTransform (transform.go:43-71): db-level 1->N fanout via explode."""
     db = F.split(F.col(ns_col), r"\.", 2).getItem(0)
     rest = F.expr(f"substring({ns_col}, length(split({ns_col}, '\\\\.', 2)[0]) + 1)")
-    targets = F.lit(None)
     m = F.create_map(
         *[x for k, vs in mapping.items() for x in (F.lit(k), F.array(*[F.lit(v) for v in vs]))]
     )
-    targets = F.coalesce(m.getItem(db), F.array(db))
+    targets = F.coalesce(F.element_at(m, db), F.array(db))
     return df.withColumn("_tgt_db", F.explode(targets)).withColumn(
         ns_col, F.concat(F.col("_tgt_db"), rest)
     ).drop("_tgt_db")

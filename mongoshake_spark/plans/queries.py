@@ -696,6 +696,25 @@ def ann_topk(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_top50",
+    """SELECT tok, count(*) AS freq FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""",
+    "Vocabulary statistics: corpus-wide token frequencies, top 50 — the "
+    "explode+aggregate shape every tokenizer-training pipeline needs.",
+)
+def text_vocab(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+@_q(
     "text_tokens",
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
