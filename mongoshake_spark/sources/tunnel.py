@@ -49,6 +49,26 @@ def decode_frames(frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEM
     ).select("shard", "parsed.*")
 
 
+def split_corrupt_frames(
+    frames: DataFrame,
+    schema: str | StructType = OPLOG_WIRE_SCHEMA,
+    required: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """S12's reject path made explicit: returns (decoded_good, corrupt).
+    ``from_json`` decodes a malformed frame to an all-NULL struct (not a
+    null struct), so corruption is detected on a ``required`` field every
+    valid frame must carry. Corrupt rows keep their raw ``value`` for the
+    dead-letter table (W7) — without this split they would flow
+    downstream as all-null rows."""
+    parsed = frames.select(
+        "shard", "value", F.from_json(F.col("value"), schema).alias("parsed")
+    )
+    ok = F.col("parsed").isNotNull() & F.col(f"parsed.{required}").isNotNull()
+    good = parsed.filter(ok).select("shard", "parsed.*")
+    corrupt = parsed.filter(~ok).select("shard", "value")
+    return good, corrupt
+
+
 def write_file_tunnel(df: DataFrame, path: str, compression: str = "snappy") -> None:
     """S9 file tunnel: framed rows in parquet with codec compression
     (M1 gzip/snappy/zlib -> parquet codec option; M2 checksum -> parquet

@@ -68,6 +68,13 @@ class ApplyKernel:
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
     _loaded: bool = field(default=False, repr=False)
+    _merges_since_truncate: int = field(default=0, repr=False)
+
+    # Truncate state lineage after this many chained merges: each segment
+    # nests another aggregate into the logical plan, and past a few dozen
+    # levels Janino's generated code exhausts driver heap. localCheckpoint
+    # materializes the small state and resets plan depth.
+    LINEAGE_TRUNCATE_EVERY = 8
 
     # -- target state -------------------------------------------------------
 
@@ -87,8 +94,13 @@ class ApplyKernel:
         on a cluster."""
         self._load_state()
         new_state = merge.merge_upsert(self._state, segment, self.key, self.val, self.ord)
-        staged = new_state.persist()
-        staged.count()
+        self._merges_since_truncate += 1
+        if self._merges_since_truncate >= self.LINEAGE_TRUNCATE_EVERY:
+            staged = new_state.localCheckpoint(eager=True)
+            self._merges_since_truncate = 0
+        else:
+            staged = new_state.persist()
+            staged.count()
         if self._state is not None:
             self._state.unpersist()
         self._state = staged
@@ -96,9 +108,20 @@ class ApplyKernel:
     def _flush(self) -> None:
         """Durability point, once per micro-batch: the committed state the
         next run resumes from (paired with the stream's checkpoint — a
-        replayed batch re-MERGEs idempotently)."""
+        replayed batch re-MERGEs idempotently).
+
+        The flushed files also become the state's new lineage root:
+        ``persist`` caches data but does NOT truncate the logical plan, so
+        without this reset a long run accumulates one nested merge per
+        segment until Catalyst itself exhausts driver heap (observed as a
+        Java heap OOM on a DDL-heavy strict run). Re-reading what we just
+        wrote caps plan depth at one batch's worth of merges.
+        """
         if self._state is not None:
             self._state.write.mode("overwrite").parquet(self.target_dir)
+            self._state.unpersist()
+            self._state = self.spark.read.parquet(self.target_dir).persist()
+            self._state.count()
 
     def state_view(self) -> DataFrame | None:
         """User-facing final state: tombstones filtered (W4 deletes)."""
@@ -139,7 +162,14 @@ class ApplyKernel:
             batch.unpersist()
 
     def _strict_apply(self, crud: DataFrame, ddl_rows: list) -> None:
-        """Faithful interleaving: segment k, DDL k, segment k+1, ..."""
+        """Faithful interleaving: segment k, DDL k, segment k+1, ...
+
+        Segment occupancy is computed in ONE aggregation up front (count
+        per inter-barrier segment), so empty segments — the common case
+        when DDLs cluster — skip their MERGE entirely instead of running
+        a no-op distributed job each (a DDL-heavy batch otherwise costs
+        O(#DDL) jobs).
+        """
 
         def lit_bound(b):
             return F.struct(
@@ -147,18 +177,29 @@ class ApplyKernel:
             )
 
         pos = F.struct(F.col("ts").alias("ts"), F.col("id").alias("id"))
+        bounds = [(r["ts"], r["id"]) for r in ddl_rows]
+        # segment index per row: number of barriers before this row
+        seg_idx = F.lit(0)
+        for b in bounds:
+            seg_idx = seg_idx + F.when(pos > lit_bound(b), 1).otherwise(0)
+        occupancy = {
+            r["seg"]: r["cnt"]
+            for r in crud.groupBy(seg_idx.alias("seg")).agg(F.count("*").alias("cnt")).collect()
+        }
         prev = None
-        for r in ddl_rows:
+        for i, r in enumerate(ddl_rows):
             b = (r["ts"], r["id"])
-            seg = crud.filter(
-                (pos < lit_bound(b))
-                if prev is None
-                else ((pos > lit_bound(prev)) & (pos < lit_bound(b)))
-            )
-            self._apply_segment(seg)
+            if occupancy.get(i, 0) > 0:
+                seg = crud.filter(
+                    (pos < lit_bound(b))
+                    if prev is None
+                    else ((pos > lit_bound(prev)) & (pos < lit_bound(b)))
+                )
+                self._apply_segment(seg)
             self._apply_ddl([r])
             prev = b
-        self._apply_segment(crud.filter(pos > lit_bound(prev)))
+        if occupancy.get(len(bounds), 0) > 0:
+            self._apply_segment(crud.filter(pos > lit_bound(prev)))
 
     def _quarantine(self, unknown: DataFrame) -> None:
         if self.dead_letter_dir and not unknown.isEmpty():

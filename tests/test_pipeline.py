@@ -108,6 +108,23 @@ def test_tunnel_roundtrip(spark, sf_dir, tmp_path):
     assert all(r["n"] == 1 for r in shards)
 
 
+def test_split_corrupt_frames(spark):
+    from mongoshake_spark.sources.tunnel import split_corrupt_frames
+
+    frames = spark.createDataFrame(
+        [
+            (0, '{"id": 1, "op": "i", "ns": "a.b"}'),
+            (1, "NOT JSON {{{"),
+            (0, '{"id": 2, "op": "d", "ns": "a.b"}'),
+        ],
+        "shard int, value string",
+    )
+    good, corrupt = split_corrupt_frames(frames)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    bad = corrupt.collect()
+    assert len(bad) == 1 and bad[0]["value"] == "NOT JSON {{{"
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs)
