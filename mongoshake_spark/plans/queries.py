@@ -940,6 +940,62 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "q27_delta_roundtrip",
+    _O
+    + """SELECT user_id,
+       max(CAST(json_extract_string(o, '$.k') AS INT)) AS k_max,
+       count(*) AS n_updates
+FROM oplog_v WHERE op = 'u' GROUP BY user_id ORDER BY user_id""",
+    "N7 end-to-end: payloads are re-encoded as $v:2 diff documents, pushed "
+    "through normalize_delta_update, and the recovered $set values must "
+    "equal what the oracle reads from the original JSON directly.",
+)
+def q27_delta_roundtrip(spark, sf_dir):
+    df = _oplog(spark, sf_dir).filter(F.col("op") == "u")
+    # encode the real payload as a $v:2 delta-update document ...
+    v2 = F.concat(
+        F.lit('{"$v":2,"diff":{"u":{"k":"'),
+        F.get_json_object(F.col("o"), "$.k"),
+        F.lit('"}}}'),
+    )
+    encoded = df.withColumn("o", v2)
+    # ... and recover it through the normalizer (the operator under test)
+    normalized = transforms.normalize_delta_update(encoded)
+    k = F.element_at(F.col("set_map"), "k").cast("int")
+    return (
+        normalized.groupBy("user_id")
+        .agg(F.max(k).alias("k_max"), F.count("*").alias("n_updates"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q28_tunnel_roundtrip",
+    _O
+    + """SELECT op, count(*) AS cnt, CAST(sum(id) AS BIGINT) AS id_sum,
+       round(CAST(sum(value) AS DOUBLE), 2) AS value_sum
+FROM oplog_v GROUP BY op ORDER BY op""",
+    "S8/S12 end-to-end: rows are encoded to wire frames and decoded back "
+    "(in-plan), then aggregated; the oracle aggregates the original rows — "
+    "any encode/decode corruption breaks the checksums.",
+)
+def q28_tunnel_roundtrip(spark, sf_dir):
+    from mongoshake_spark.sources.tunnel import decode_frames, encode_frames
+
+    oplog = _oplog(spark, sf_dir)
+    decoded = decode_frames(encode_frames(oplog))
+    return (
+        decoded.groupBy("op")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
