@@ -61,6 +61,13 @@ def event_to_oplog(events: DataFrame) -> DataFrame:
         .when(t == "delete", "d")
         .when(t.isin("replace", "update"), "u")
         .when(t.isin("drop", "rename", "dropDatabase"), "c")
+        .when(
+            t == "invalidate",
+            # the reference treats invalidate as fatal (changestram_event.go:
+            # the cursor is dead and must be re-established) — surface it as
+            # a job failure rather than silently emitting a noop
+            F.raise_error(F.lit("change stream invalidated: resubscribe required")),
+        )
         .otherwise("n")
     )
     return events.select(

@@ -140,6 +140,14 @@ def test_event_to_oplog(spark, kw, op, o):
     assert out["o"] == o
 
 
+def test_event_to_oplog_invalidate_is_fatal(spark):
+    """changestram_event.go: invalidate kills the cursor — conversion must
+    fail loudly, not emit a noop."""
+    ev = _event(spark, operationType="invalidate", ns=("db1", "c1"))
+    with pytest.raises(Exception, match="invalidated"):
+        transforms.event_to_oplog(ev).collect()
+
+
 def test_delta_update_normalization_v2(spark):
     """oplog/oplog.go:281-372: $v:2 diff -> canonical set/unset."""
     rows = [
