@@ -10,11 +10,16 @@ DuckDB oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongoshake_spark.plans import oracle_queries, spark_queries
+# importable regardless of the caller's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongoshake_spark.plans import oracle_queries, spark_queries  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
