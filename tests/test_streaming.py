@@ -234,6 +234,36 @@ def test_txn_reassembly_in_batch(spark):
     ]
 
 
+def test_kernel_all_options_combined(spark, sf_dir, feed, tmp_path):
+    """Interaction test: strict barriers + journal + dead-letter + metrics
+    listener all enabled on one run — options must compose."""
+    from mongoshake_spark.streaming import metrics, read_oplog_stream
+
+    listener = metrics.attach(spark)
+    try:
+        kernel = ApplyKernel(
+            spark,
+            str(tmp_path / "t"),
+            dead_letter_dir=str(tmp_path / "dlq"),
+            journal_dir=str(tmp_path / "j"),
+            strict_barriers=True,
+        )
+        q = (
+            read_oplog_stream(spark, feed, max_files_per_trigger=4)
+            .writeStream.foreachBatch(kernel.process_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(400)
+        assert _final_state(spark, str(tmp_path / "t")) == _expected_state(spark, sf_dir)
+        total = spark.read.parquet(feed).count()
+        assert spark.read.parquet(str(tmp_path / "j")).count() == total
+        assert len(kernel.ddl_log) > 0
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, feed, tmp_path):
     """A2 streaming form: watermarked 1-hour windows over the replayed
     stream equal the batch date_trunc aggregation (q23's contract), because
