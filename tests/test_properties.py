@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the engine's algebraic invariants.
+
+These pin the *laws* the design relies on, beyond example tables:
+- merge segment-associativity for arbitrary CDC sequences and splits
+- last-writer-wins equivalence between the batch reconstruction and the
+  incremental fold
+- java_string_hash parity with the Java algorithm for arbitrary ASCII
+- namespace regex compilation: match iff exact-or-db-prefix
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mongoshake_spark.operators import filters
+
+# -- pure-python properties (no Spark needed, so examples can be many) -------
+
+
+def _java_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+ns_part = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=8)
+
+
+@given(st.lists(st.tuples(ns_part, ns_part), min_size=1, max_size=4), ns_part, ns_part)
+def test_ns_regex_matches_iff_exact_or_prefix(patterns, db, coll):
+    """compile_ns_regex(P) matches ns iff ns == p or ns startswith p + '.'
+    for some p in P (oplog_filter.go:107-124's contract)."""
+    pats = [f"{a}.{b}" for a, b in patterns]
+    rx = re.compile(filters.compile_ns_regex(pats))
+    ns = f"{db}.{coll}"
+    expected = any(ns == p or ns.startswith(p + ".") for p in pats)
+    assert bool(rx.match(ns)) == expected
+
+
+# -- python model of the merge fold ------------------------------------------
+
+Op = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.sampled_from("iud"),
+)
+
+
+def _model_fold(rows):
+    """Reference model: last writer by ordinal wins; 'd' tombstones."""
+    best: dict = {}
+    for ordinal, (k, v, op) in enumerate(rows):
+        best[k] = (ordinal, v, op)
+    return {k: v for k, (o, v, op) in best.items() if op != "d"}
+
+
+@given(st.lists(Op, min_size=0, max_size=60), st.lists(st.integers(1, 59), max_size=3))
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_merge_fold_model_associativity(rows, cuts):
+    """Folding the sequence in arbitrary contiguous splits must equal the
+    single-pass fold (the coalesced-kernel equivalence argument)."""
+    bounds = sorted({0, len(rows), *[c for c in cuts if c < len(rows)]})
+    whole = _model_fold(rows)
+    acc: dict = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        for ordinal in range(lo, hi):
+            k, v, op = rows[ordinal]
+            acc[k] = (ordinal, v, op)
+    split = {k: v for k, (o, v, op) in acc.items() if op != "d"}
+    assert whole == split
+
+
+# -- Spark-backed properties (few examples; each runs a job) -----------------
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=0, max_size=24), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_java_hash_parity_property(spark, strings):
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.operators.partitioners import java_string_hash
+
+    df = spark.createDataFrame([(s,) for s in strings], "ns string")
+    got = [r["h"] for r in df.select(java_string_hash(F.col("ns")).alias("h")).collect()]
+    assert got == [_java_hash(s) for s in strings]
+
+
+@given(st.lists(Op, min_size=1, max_size=40), st.integers(1, 39))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_spark_merge_matches_model(spark, rows, cut):
+    """merge_upsert over two arbitrary contiguous batches == python model."""
+    from mongoshake_spark.operators import merge
+
+    data = [(k, v, i, op) for i, (k, v, op) in enumerate(rows)]
+    schema = "user_id long, value double, id long, op string"
+    cut = min(cut, len(data))
+    b1 = spark.createDataFrame(data[:cut] or [(0, 0.0, -1, "n")], schema)
+    b2 = spark.createDataFrame(data[cut:] or [(0, 0.0, -1, "n")], schema)
+    state = merge.merge_upsert(merge.merge_upsert(None, b1), b2)
+    got = {r["user_id"]: r["value"] for r in merge.visible(state).collect()}
+    assert got == _model_fold(rows)
