@@ -51,8 +51,12 @@ def main() -> None:
         def run(item):
             name, q = item
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                q.fn(spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # one broken query must not sink the run
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
 
         t_start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=POOL) as ex:
