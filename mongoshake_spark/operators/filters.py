@@ -70,19 +70,66 @@ def compile_ns_regex(patterns: Sequence[str]) -> str:
 
 
 def keep_namespace(
-    whitelist: Sequence[str] = (), blacklist: Sequence[str] = (), ns_col: str = "ns"
+    whitelist: Sequence[str] = (),
+    blacklist: Sequence[str] = (),
+    ns_col: str | Column = "ns",
 ) -> Column:
-    """F4 NamespaceFilter (oplog_filter.go:98-290): whitelist keeps matching
-    ns (empty = all), blacklist then drops. DDL namespace normalization is a
-    separate projection (transforms.effective_ns) applied before this."""
+    """F4 NamespaceFilter ns rule (oplog_filter.go:98-145 +
+    doc_filter.go:83-105): whitelist keeps matching ns (empty = all),
+    blacklist then drops — with the reference's ``$cmd`` override: if the ns
+    is ``<db>.$cmd`` and <db> is the db of ANY whitelist entry, keep
+    unconditionally (so ``db.col`` whitelists don't drop that db's commands).
+
+    For feeds containing DDL, apply :func:`keep_namespace_ddl` instead —
+    it rewrites commands to their effective namespace first."""
+    ns = F.col(ns_col) if isinstance(ns_col, str) else ns_col
     keep = F.lit(True)
     white = compile_ns_regex(whitelist)
     black = compile_ns_regex(blacklist)
     if white:
-        keep = keep & F.col(ns_col).rlike(white)
+        keep = keep & ns.rlike(white)
     if black:
-        keep = keep & ~F.col(ns_col).rlike(black)
+        keep = keep & ~ns.rlike(black)
+    white_dbs = sorted({p.split(".", 1)[0] for p in whitelist})
+    if white_dbs:
+        keep = (ns.endswith(".$cmd") & F.split(ns, r"\.", 2).getItem(0).isin(white_dbs)) | keep
     return keep
+
+
+def keep_namespace_ddl(
+    whitelist: Sequence[str] = (),
+    blacklist: Sequence[str] = (),
+    op_col: str = "op",
+    ns_col: str = "ns",
+    o_col: str = "o",
+) -> Column:
+    """F4 NamespaceFilter, full DDL-aware form (oplog_filter.go:147-290).
+
+    Commands are filtered on their EFFECTIVE namespace
+    (:func:`mongoshake_spark.operators.transforms.effective_ns`), with the
+    reference's per-command dispositions:
+
+      startIndexBuild / abortIndexBuild -> always drop  (go:175-180)
+      applyOps                          -> always keep  (go:218-219; inner-op
+          filtering is the caller's job via transforms.flatten_apply_ops —
+          the reference ships the same behavior, its sub-op rewrite is
+          commented out)
+      unparseable command object        -> keep          (go:168-172 "not
+          implemented, ignore")
+      everything else                   -> ns rule on effective ns
+    """
+    from mongoshake_spark.operators import transforms
+
+    op = F.col(op_col)
+    cmd = transforms.command_name(o_col)
+    eff = transforms.effective_ns(op_col, ns_col, o_col)
+    ns_keep = keep_namespace(whitelist, blacklist, ns_col=eff)
+    return (
+        F.when((op == "c") & cmd.isin(*transforms.ALWAYS_DROP_COMMANDS), F.lit(False))
+        .when((op == "c") & (cmd == "applyOps"), F.lit(True))
+        .when((op == "c") & cmd.isNull(), F.lit(True))
+        .otherwise(ns_keep)
+    )
 
 
 def assert_no_migrate(df: DataFrame, col: str = "fromMigrate") -> DataFrame:

@@ -267,8 +267,68 @@ def normalize_delta_update_full(df: DataFrame, o_col: str = "o") -> DataFrame:
 
 def command_name(o_col: str = "o") -> Column:
     """N8 command-name extraction (oplog/cmd_oplog.go:14-63): the first key
-    of the command document."""
-    return F.map_keys(F.from_json(F.col(o_col), "map<string,string>")).getItem(0)
+    of the command document. ``F.get`` (not ``getItem``): ANSI mode makes
+    index-0 on an empty map's key array a runtime error, and ``{}`` payloads
+    are legal."""
+    return F.get(F.map_keys(F.from_json(F.col(o_col), "map<string,string>")), F.lit(0))
+
+
+# DDL commands whose command VALUE names the target collection — the effective
+# namespace is db + '.' + value (collector/filter/oplog_filter.go:181-208).
+COLL_TARGET_COMMANDS = (
+    "commitIndexBuild",
+    "create",
+    "createIndexes",
+    "collMod",
+    "drop",
+    "deleteIndex",
+    "deleteIndexes",
+    "dropIndex",
+    "dropIndexes",
+    "convertToCapped",
+    "emptycapped",
+)
+
+# 4.4 index-build phases the reference drops unconditionally
+# (oplog_filter.go:175-180).
+ALWAYS_DROP_COMMANDS = ("startIndexBuild", "abortIndexBuild")
+
+
+def effective_ns(op_col: str = "op", ns_col: str = "ns", o_col: str = "o") -> Column:
+    """Effective namespace for white/black filtering
+    (collector/filter/oplog_filter.go:147-290).
+
+    DDL arrives as ``<db>.$cmd`` with the real target buried in the command
+    object; DML on ``system.indexes`` carries the real target in ``o.ns``.
+    The rewrite, as one CASE projection (no UDF — fused into the scan):
+
+      op != 'c', ns ends 'system.indexes'  -> o.ns           (go:156-161)
+      op == 'c', cmd in COLL_TARGET_COMMANDS -> db + '.' + o[cmd] (go:181-208)
+      op == 'c', cmd == 'renameCollection' -> o[cmd]          (go:209-217,
+                                              the value IS the full source ns)
+      otherwise (DML, dropDatabase, applyOps, unknown cmd) -> ns unchanged
+
+    Divergence note: the reference keeps rows whose command value is not a
+    string ("illegal oplog, ignore"); under ``from_json`` into
+    ``map<string,string>`` every scalar renders as a string, so the null-value
+    guard here covers the same ignore path.
+    """
+    op, ns = F.col(op_col), F.col(ns_col)
+    db = F.split(ns, r"\.", 2).getItem(0)
+    cmap = F.from_json(F.col(o_col), "map<string,string>")
+    cmd = F.get(F.map_keys(cmap), F.lit(0))
+    # ANSI mode: element_at throws on a missing key; try_element_at -> NULL.
+    val = F.try_element_at(cmap, cmd)
+    return (
+        F.when(
+            (op != "c") & ns.endswith("system.indexes"),
+            F.coalesce(F.get_json_object(F.col(o_col), "$.ns"), ns),
+        )
+        .when((op == "c") & cmd.isin(*COLL_TARGET_COMMANDS) & val.isNotNull(),
+              F.concat(db, F.lit("."), val))
+        .when((op == "c") & (cmd == "renameCollection") & val.isNotNull(), val)
+        .otherwise(ns)
+    )
 
 
 def gather_apply_ops(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:

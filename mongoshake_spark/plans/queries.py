@@ -996,6 +996,93 @@ def q28_tunnel_roundtrip(spark, sf_dir):
     )
 
 
+# q29: F4 full DDL-aware namespace filtering. The oracle reconstructs the
+# same deterministic DDL feed and computes keep/effective-ns directly from
+# the construction variables (db/tgt/kind) — an independent derivation that
+# never parses JSON, while the Spark side exercises the real operator
+# (effective_ns + keep_namespace_ddl over the command documents).
+_Q29_WHITE_RE = r"^(db1|db2\.t3)$|^(db1\.|db2\.t3\.).*$"
+_Q29_BLACK_RE = r"^(db1\.t7)$|^(db1\.t7\.).*$"
+_Q29_ORACLE = _O + f"""
+, feed AS (
+  SELECT id, op, ns,
+         concat('db', CAST(user_id % 4 AS VARCHAR)) AS db,
+         concat('t', CAST(id % 12 AS VARCHAR)) AS tgt,
+         CAST(user_id % 8 AS INT) AS kind,
+         CAST(user_id % 16 AS INT) AS u16
+  FROM oplog_v WHERE op IN ('c','i','u','d')
+), eff AS (
+  SELECT id, op,
+    CASE
+      WHEN op = 'c' THEN
+        CASE WHEN kind IN (4, 5, 6) THEN concat(db, '.$cmd')
+             ELSE concat(db, '.', tgt) END
+      WHEN u16 = 3 THEN concat(db, '.', tgt)
+      ELSE ns
+    END AS eff_ns,
+    CASE
+      WHEN op = 'c' AND kind = 5 THEN FALSE   -- startIndexBuild: always drop
+      WHEN op = 'c' AND kind = 6 THEN TRUE    -- applyOps: always keep
+      ELSE NULL                               -- ns rule below
+    END AS forced
+  FROM feed
+)
+SELECT eff_ns, op, count(*) AS cnt FROM eff
+WHERE coalesce(forced,
+        (eff_ns LIKE '%.$cmd' AND split_part(eff_ns, '.', 1) IN ('db1','db2'))
+        OR (regexp_matches(eff_ns, '{_Q29_WHITE_RE}')
+            AND NOT regexp_matches(eff_ns, '{_Q29_BLACK_RE}')))
+GROUP BY eff_ns, op ORDER BY eff_ns, op"""
+
+
+@_q(
+    "q29_ddl_ns_filter",
+    _Q29_ORACLE,
+    "F4 full form (oplog_filter.go:147-290): DDL commands filtered on their "
+    "EFFECTIVE namespace — create/drop/createIndexes/collMod target from the "
+    "command value, renameCollection from the source ns, dropDatabase on the "
+    "raw $cmd ns with the whitelist-db override, startIndexBuild dropped, "
+    "applyOps kept; DML on system.indexes routed by o.ns.",
+)
+def q29_ddl_ns(spark, sf_dir):
+    base = _oplog(spark, sf_dir).filter(F.col("op").isin("c", "i", "u", "d"))
+    db = F.concat(F.lit("db"), (F.col("user_id") % 4).cast("string"))
+    tgt = F.concat(F.lit("t"), (F.col("id") % 12).cast("string"))
+    kind = (F.col("user_id") % 8).cast("int")
+    u16 = (F.col("user_id") % 16).cast("int")
+    is_c = F.col("op") == "c"
+    o = (
+        F.when(is_c & (kind == 0), F.concat(F.lit('{"create":"'), tgt, F.lit('","capped":true}')))
+        .when(is_c & (kind == 1), F.concat(F.lit('{"drop":"'), tgt, F.lit('"}')))
+        .when(is_c & (kind == 2),
+              F.concat(F.lit('{"renameCollection":"'), db, F.lit("."), tgt,
+                       F.lit('","to":"db0.renamed"}')))
+        .when(is_c & (kind == 3),
+              F.concat(F.lit('{"createIndexes":"'), tgt, F.lit('","indexes":"i1"}')))
+        .when(is_c & (kind == 4), F.lit('{"dropDatabase":1}'))
+        .when(is_c & (kind == 5), F.concat(F.lit('{"startIndexBuild":"'), tgt, F.lit('"}')))
+        .when(is_c & (kind == 6), F.lit('{"applyOps":"inner"}'))
+        .when(is_c & (kind == 7), F.concat(F.lit('{"collMod":"'), tgt, F.lit('"}')))
+        .when(u16 == 3, F.concat(F.lit('{"v":"2","ns":"'), db, F.lit("."), tgt, F.lit('"}')))
+        .otherwise(F.col("o"))
+    )
+    ns = (
+        F.when(is_c, F.concat(db, F.lit(".$cmd")))
+        .when(u16 == 3, F.concat(db, F.lit(".system.indexes")))
+        .otherwise(F.col("ns"))
+    )
+    feed = base.select("id", "op", ns.alias("ns"), o.alias("o"))
+    kept = feed.filter(
+        filters.keep_namespace_ddl(whitelist=["db1", "db2.t3"], blacklist=["db1.t7"])
+    )
+    return (
+        kept.withColumn("eff_ns", transforms.effective_ns())
+        .groupBy("eff_ns", "op")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("eff_ns", "op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

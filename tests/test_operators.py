@@ -71,6 +71,86 @@ def test_ns_whitelist_blacklist(spark):
     assert sorted(r["id"] for r in out) == [1, 3]
 
 
+def test_ns_whitelist_cmd_db_override(spark):
+    """filter_test.go:14-29 + doc_filter.go:83-90: whitelist gogo.test1
+    keeps gogo.$cmd (the db of a whitelist entry owns its $cmd)."""
+    rows = [
+        (1, 1, "i", "gogo.$cmd", "{}", None),
+        (2, 2, "i", "other.$cmd", "{}", None),
+        (3, 3, "i", "gogo.test1", "{}", None),
+        (4, 4, "i", "gogo.test9", "{}", None),
+    ]
+    out = filters.filter_chain(
+        _oplog_df(spark, rows),
+        filters.keep_namespace(whitelist=["gogo.test1", "gogo.test2"]),
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_effective_ns_rewrite(spark):
+    """oplog_filter.go:147-290 effective-namespace table: per-command
+    extraction of the real target ns."""
+    rows = [
+        (1, 1, "c", "db1.$cmd", '{"create":"tbl","capped":true}', None),
+        (2, 2, "c", "db1.$cmd", '{"drop":"gone"}', None),
+        (3, 3, "c", "db1.$cmd", '{"renameCollection":"db1.src","to":"db1.dst"}', None),
+        (4, 4, "c", "db1.$cmd", '{"createIndexes":"idxcoll","indexes":"x"}', None),
+        (5, 5, "c", "db1.$cmd", '{"dropDatabase":1}', None),
+        (6, 6, "c", "db1.$cmd", '{"applyOps":"..."}', None),
+        (7, 7, "i", "db2.system.indexes", '{"v":2,"ns":"db2.real"}', None),
+        (8, 8, "i", "db3.plain", '{"a":1}', None),
+        (9, 9, "c", "db1.$cmd", "not-json", None),
+        (10, 10, "c", "db1.$cmd", '{"emptycapped":"cap"}', None),
+    ]
+    out = (
+        _oplog_df(spark, rows)
+        .withColumn("eff", transforms.effective_ns())
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["eff"] for r in out] == [
+        "db1.tbl", "db1.gone", "db1.src", "db1.idxcoll", "db1.$cmd",
+        "db1.$cmd", "db2.real", "db3.plain", "db1.$cmd", "db1.cap",
+    ]
+
+
+def test_keep_namespace_ddl_dispositions(spark):
+    """oplog_filter.go:166-290: DDL filtered on effective ns;
+    startIndexBuild/abortIndexBuild always dropped; applyOps and
+    unparseable commands always kept."""
+    rows = [
+        # whitelist db1: create on db1.tbl -> keep
+        (1, 1, "c", "db1.$cmd", '{"create":"tbl"}', None),
+        # create on db2 -> drop (effective ns db2.tbl not whitelisted)
+        (2, 2, "c", "db2.$cmd", '{"create":"tbl"}', None),
+        # renameCollection whose source is whitelisted -> keep
+        (3, 3, "c", "db9.$cmd", '{"renameCollection":"db1.src","to":"db9.dst"}', None),
+        # startIndexBuild -> always drop, even on whitelisted db
+        (4, 4, "c", "db1.$cmd", '{"startIndexBuild":"tbl"}', None),
+        (5, 5, "c", "db1.$cmd", '{"abortIndexBuild":"tbl"}', None),
+        # applyOps -> always keep
+        (6, 6, "c", "admin.$cmd", '{"applyOps":"..."}', None),
+        # unparseable command object -> keep (go:168-172)
+        (7, 7, "c", "db2.$cmd", "not-json", None),
+        # dropDatabase falls through to the raw ns + $cmd-db override
+        (8, 8, "c", "db1.$cmd", '{"dropDatabase":1}', None),
+        (9, 9, "c", "db2.$cmd", '{"dropDatabase":1}', None),
+        # DML rows: plain ns rule
+        (10, 10, "i", "db1.c1", "{}", None),
+        (11, 11, "i", "db2.c1", "{}", None),
+        # DML on system.indexes routed by o.ns
+        (12, 12, "i", "db2.system.indexes", '{"ns":"db1.real"}', None),
+        (13, 13, "i", "db1.system.indexes", '{"ns":"db2.real"}', None),
+        # blacklist hit on effective ns
+        (14, 14, "c", "db1.$cmd", '{"drop":"c9"}', None),
+    ]
+    out = filters.filter_chain(
+        _oplog_df(spark, rows),
+        filters.keep_namespace_ddl(whitelist=["db1"], blacklist=["db1.c9"]),
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 3, 6, 7, 8, 10, 12]
+
+
 def test_migrate_filter_crashes(spark):
     df = spark.createDataFrame(
         [(1, False), (2, True)], "id long, fromMigrate boolean"
