@@ -93,20 +93,24 @@ def neardup_pairs(
     threshold_den: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tiles: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= num/den (exact all-pairs).
 
-    Block matrix multiply: one side of the self-join is collected once and
-    broadcast (id + float64 matrix — the same pattern as broadcasting a dim
-    table); executors then stream their row blocks through a vectorized
-    ``mapInPandas`` computing ``A @ Bᵀ`` per Arrow batch. No pairwise
-    shuffle ever materializes — the 2M-row inequality join the naive form
-    needs is gone.
+    Distributed block matrix multiply — NO driver materialization and no
+    broadcast of the corpus. Each vector is hashed to one of ``n_tiles``
+    tiles; every unordered tile pair (lo, hi) becomes one ``applyInPandas``
+    group holding exactly those two tiles, and the group computes its
+    A @ Bᵀ block with vectorized numpy. Every id pair lands in exactly one
+    group (the pair of its tiles), so recall is exact and no dedup pass is
+    needed.
 
-    Scale path: this holds while one side fits in executor memory
-    (10M × 64 f32 ≈ 2.5 GB); beyond that, tile the broadcast side into
-    chunks and union the per-chunk results, or pre-bucket with
-    ``lsh_buckets`` when approximate recall is acceptable.
+    Cost model: shuffle = |corpus| × n_tiles rows (each row joins one group
+    per opposing tile); peak task memory = 2 tiles. Size
+    ``n_tiles ≈ N·dim·8B / 1 GiB`` so a tile fits an executor — the O(N²)
+    dot-product work is inherent to the *exact* variant and spreads over
+    T(T+1)/2 independent tasks. For approximate recall at extreme scale,
+    pre-bucket with ``lsh_buckets`` and rescore per bucket instead.
 
     The threshold test mirrors the oracle's integer-scaled form
     (dot*den >= num*na*nb). BLAS summation order differs from the oracle's
@@ -116,34 +120,52 @@ def neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = vecs.sparkSession
-    side = vecs.select(id_col, vec_col).toPandas()
-    b_ids = side[id_col].to_numpy()
-    b_mat = np.array(side[vec_col].tolist(), dtype=np.float64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    replicated = (
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_t", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_tiles)).cast("int"))
+        .withColumn("_u", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))))
+        .select(
+            F.least("_t", "_u").alias("_lo"),
+            F.greatest("_t", "_u").alias("_hi"),
+            "_t",
+            "_id",
+            "_vec",
+        )
+    )
 
-    def block_pairs(batches):
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            dots = a_mat @ mat_b.T
-            keep = (dots * threshold_den >= threshold_num * np.outer(a_norm, norm_b)) & (
-                a_ids[:, None] < ids_b[None, :]
+    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(key[0]), int(key[1])
+        a = pdf[pdf["_t"] == lo]
+        b = pdf[pdf["_t"] == hi] if hi != lo else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_sim": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos_sim": "float64"}
             )
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai],
-                    "doc_b": ids_b[bi],
-                    "cos_sim": np.round(dots[ai, bi] / (a_norm[ai] * norm_b[bi]), 6),
-                }
-            )
+        a_ids = a["_id"].to_numpy()
+        b_ids = b["_id"].to_numpy()
+        a_mat = np.array(a["_vec"].tolist(), dtype=np.float64)
+        b_mat = np.array(b["_vec"].tolist(), dtype=np.float64)
+        a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        dots = a_mat @ b_mat.T
+        keep = (dots * threshold_den >= threshold_num * np.outer(a_norm, b_norm)) & (
+            a_ids[:, None] != b_ids[None, :]
+        )
+        ai, bi = np.nonzero(keep)
+        lo_ids, hi_ids = np.minimum(a_ids[ai], b_ids[bi]), np.maximum(a_ids[ai], b_ids[bi])
+        out = pd.DataFrame(
+            {
+                "doc_a": lo_ids,
+                "doc_b": hi_ids,
+                "cos_sim": np.round(dots[ai, bi] / (a_norm[ai] * b_norm[bi]), 6),
+            }
+        )
+        # same-tile blocks see each (x, y) twice (once as (x,y), once as
+        # (y,x)) — canonicalized above, dedup here; cross-tile blocks don't.
+        return out.drop_duplicates(["doc_a", "doc_b"]) if hi == lo else out
 
-    return vecs.select(id_col, vec_col).mapInPandas(
-        block_pairs, schema="doc_a bigint, doc_b bigint, cos_sim double"
+    return replicated.groupBy("_lo", "_hi").applyInPandas(
+        block, schema="doc_a bigint, doc_b bigint, cos_sim double"
     )
 
 
