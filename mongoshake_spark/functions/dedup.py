@@ -2,11 +2,16 @@
 
 Four families over ``documents`` plus one over ``embeddings``:
 
-- exact          : hash-groupBy (md5 of the text)
-- minhash_pairs  : MinHash + LSH banding (shingle -> 16 minhashes ->
-                   4 bands -> bucket self-join)
-- simhash_pairs  : 32-bit SimHash + 8-bit-band candidate join, Hamming <= 3
-- ngram_pairs    : 3-shingle Jaccard via inverted-index self-join
+- exact           : hash-groupBy (md5 of the text)
+- minhash_pairs   : MinHash + LSH banding (shingle -> 16 minhashes ->
+                    4 bands -> bucket self-join)
+- simhash_pairs   : 32-bit SimHash + 8-bit-band candidate join, Hamming <= 3
+                    (oracle-parity form; band-key space is only 4x256 —
+                    use simhash_pairs64 in production)
+- simhash_pairs64 : 64-bit SimHash (FNV-1a token hashes), 4x16-bit bands
+                    -> >= 2^16 distinct band keys, plus a bucket-size cap
+                    that re-splits hot buckets — the production path
+- ngram_pairs     : 3-shingle Jaccard via inverted-index self-join
 - (embedding near-dup lives in functions/similarity.py)
 
 Scale notes (the reason these shapes were chosen):
@@ -255,8 +260,172 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     )
 
 
+FNV64_OFFSET = 0xCBF29CE484586325
+FNV64_PRIME = 0x100000001B3
+U64 = 1 << 64
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4  # 16 bits each -> band-key space 4 * 2^16
+
+
+def _fnv1a64(s: str) -> int:
+    """FNV-1a 64-bit over codepoints-mod-256 (dialect-portable: DuckDB's
+    ``ascii`` yields the codepoint, and folding to a byte keeps the xor
+    step expressible with plain integer arithmetic on both engines).
+    Returns the UNSIGNED value in [0, 2^64)."""
+    h = FNV64_OFFSET
+    for ch in s:
+        h ^= ord(ch) % 256
+        h = (h * FNV64_PRIME) % U64
+    return h
+
+
+def _to_i64(u: int) -> int:
+    return u - U64 if u >= (1 << 63) else u
+
+
+def simhash_values64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash, the production fingerprint.
+    Same mapInPandas shape as :func:`simhash_values` (one row in, one row
+    out, no shuffle), but FNV-1a 64-bit token hashes so all 64 fingerprint
+    bits carry signal (the 32-bit form's polynomial hash is mod 1e9+7,
+    which dead-zeroes bits 30-31). Emitted as a SIGNED bigint (two's
+    complement) so downstream xor/bit_count stay JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    def sim_batches(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            out_ids, out_sims = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = txt.split(" ") if txt else [""]
+                hv = np.empty(len(toks), dtype=np.uint64)
+                for j, t in enumerate(toks):
+                    h = cache.get(t)
+                    if h is None:
+                        h = _fnv1a64(t)
+                        cache[t] = h
+                    hv[j] = h
+                bits = (
+                    (hv[:, None] >> np.arange(SIMHASH64_BITS, dtype=np.uint64)) & 1
+                ).astype(np.int64) * 2 - 1
+                sums = bits.sum(axis=0)
+                u = int(
+                    sum(1 << b for b in range(SIMHASH64_BITS) if sums[b] > 0)
+                )
+                out_ids.append(doc_id)
+                out_sims.append(_to_i64(u))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sims})
+
+    parallel = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(parallel, "doc_id")
+        .select("doc_id", text_col)
+        .mapInPandas(sim_batches, schema="doc_id bigint, simhash bigint")
+    )
+
+
+def simhash_band_keys(sims: DataFrame) -> DataFrame:
+    """(doc_id, simhash, k, band_val) — 4x16-bit LSH band assignment over a
+    64-bit fingerprint. Exposed separately so tests can feed synthetic
+    fingerprints and assert the band-key space really is >= 2^16 (the
+    scale fix over the 8-bit bands: join-key cardinality 4*65536 instead
+    of 4*256, so bucket sizes shrink ~256x at any corpus size).
+
+    Arithmetic note: ``(simhash >> s) & 65535`` on the SIGNED bigint equals
+    the unsigned band for s in {0,16,32,48} — the arithmetic-shift
+    correction term is a multiple of 2^16 and the mask removes it."""
+    spark = sims.sparkSession
+    bands = spark.range(SIMHASH64_BANDS).withColumnRenamed("id", "k")
+    return sims.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "k",
+        F.expr("(simhash >> (16 * CAST(k AS INT))) & 65535").alias("band_val"),
+    )
+
+
+def simhash_pairs64(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+    sims: DataFrame | None = None,
+) -> DataFrame:
+    """Production near-dup pairs: Hamming <= 3 over the 64-bit fingerprint
+    via 4x16-bit band candidate join (pigeonhole: <= 3 differing bits
+    across 4 bands leaves >= 1 band identical, so without a cap the band
+    join is EXACT — same pair set as brute force at shuffle-join cost).
+
+    ``bucket_cap`` bounds the per-bucket quadratic term the way the
+    reference bounds collision groups (executor/collision_matrix.go:167-222
+    caps candidate segments rather than comparing everything): any
+    (k, band_val) bucket holding more than ``bucket_cap`` docs is re-split
+    by ceil(log2(n/cap)) extra fingerprint bits drawn from the next band.
+    Docs with *identical* fingerprints stay together under any re-split
+    (their pairs are true dups and survive); pairs that differ in the
+    borrowed bits may be missed *in that band only* — bounded recall loss
+    on pathological boilerplate buckets, zero loss everywhere else. Leave
+    ``bucket_cap=None`` for the exact join.
+
+    ``sims`` (testing/reuse hook): a precomputed (doc_id, simhash)
+    DataFrame; skips fingerprint computation."""
+    if sims is None:
+        sims = simhash_values64(docs, text_col)
+    sims = sims.persist()
+    keyed = simhash_band_keys(sims)
+    if bucket_cap is not None:
+        # Hot-bucket census. The over-cap list is tiny by construction
+        # (<= corpus/cap entries), so it broadcasts.
+        over = (
+            keyed.groupBy("k", "band_val")
+            .agg(F.count("*").alias("n_bucket"))
+            .filter(F.col("n_bucket") > bucket_cap)
+            .withColumn(
+                "extra_bits",
+                F.least(
+                    F.ceil(F.log2(F.col("n_bucket") / F.lit(bucket_cap))),
+                    F.lit(16),
+                ).cast("int"),
+            )
+            .select("k", "band_val", "extra_bits")
+        )
+        keyed = keyed.join(F.broadcast(over), ["k", "band_val"], "left").withColumn(
+            "sub",
+            F.when(F.col("extra_bits").isNull(), F.lit(0)).otherwise(
+                F.expr(
+                    "(simhash >> (16 * CAST((k + 1) % 4 AS INT))) "
+                    "& ((1 << extra_bits) - 1)"
+                )
+            ),
+        )
+    else:
+        keyed = keyed.withColumn("sub", F.lit(0))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", num: int = 1, den: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    num: int = 1,
+    den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs with 3-shingle Jaccard >= num/den (default 0.2), computed with
     integer arithmetic only: |A∩B|*den >= num*(|A|+|B|-|A∩B|).
@@ -265,8 +434,26 @@ def ngram_jaccard_pairs(
     ever meet, which equals the brute-force result because disjoint pairs
     have Jaccard 0. This is the scalable shape — cost is sum of squared
     posting-list lengths, not |docs|².
+
+    ``max_df`` bounds those posting lists: shingles appearing in more than
+    ``max_df`` documents are dropped from the shingle universe — both from
+    the inverted index AND the per-doc counts, so the semantics stay
+    well-defined (Jaccard over the restricted universe) and the oracle can
+    state them identically. Boilerplate shingles are exactly the ones that
+    make posting lists quadratic at corpus scale while carrying no dedup
+    signal; a production run should always set this (e.g. 1000).
+
+    The counts joins are plain keyed equi-joins — NO broadcast hints: the
+    counts table is one row per document, i.e. corpus-sized, and must
+    shuffle, never ship to every executor.
     """
-    sh = shingle_rows(docs, text_col).persist()
+    sh = shingle_rows(docs, text_col)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sh = sh.persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -277,8 +464,8 @@ def ngram_jaccard_pairs(
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        common.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(
             F.col("common") * den >= num * (F.col("na") + F.col("nb") - F.col("common"))
         )

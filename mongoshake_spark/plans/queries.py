@@ -604,6 +604,58 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+# FNV-1a 64-bit over codepoints-mod-256 (functions/dedup._fnv1a64's twin).
+# HUGEINT arithmetic emulates uint64 wraparound: the xor step only touches
+# the low byte (c < 256), so it is expressible as integer div/mod + BIGINT
+# xor; the multiply stays within HUGEINT (2^64 * 2^40 < 2^127) then wraps
+# via % 2^64.
+_FNV64_DD = """list_reduce(
+  [CAST(14695981039350211365 AS HUGEINT)] ||
+  list_transform(range(1, length({c}) + 1), i -> CAST(ascii({c}[i:i]) % 256 AS HUGEINT)),
+  (acc, ch) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT)))
+                * 1099511628211) % 18446744073709551616)"""
+
+_SIMHASH64_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_FNV64_DD.format(c='tok')} AS h FROM toks),
+hl AS (
+  SELECT doc_id, CAST(h // 4294967296 AS BIGINT) AS hi, CAST(h % 4294967296 AS BIGINT) AS lo
+  FROM hashed),
+bitsums AS (
+  SELECT doc_id, b,
+         sum((CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) AS s
+  FROM hl, (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+halves AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo_f,
+         sum(CASE WHEN s > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi_f
+  FROM bitsums GROUP BY doc_id),
+sims AS (
+  SELECT doc_id,
+         CAST(CASE WHEN hi_f >= 2147483648
+              THEN CAST(hi_f AS HUGEINT) * 4294967296 + lo_f - 18446744073709551616
+              ELSE CAST(hi_f AS HUGEINT) * 4294967296 + lo_f END AS BIGINT) AS simhash
+  FROM halves)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_simhash64",
+    _SIMHASH64_ORACLE,
+    "Production SimHash: 64-bit FNV-1a fingerprint, Hamming <= 3 via 4x16-bit "
+    "bands (band-key space >= 2^16) with hot-bucket re-split capability.",
+)
+def dedup_simhash64(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # bucket_cap exercises the capped code path; no fixture bucket reaches
+    # 10k docs, so the result stays the exact pigeonhole pair set.
+    return dedup.simhash_pairs64(docs, bucket_cap=10000).orderBy("doc_a", "doc_b")
+
+
 _NGRAM_ORACLE = """WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -612,10 +664,12 @@ sh AS (
          THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          ELSE [] END)) AS shingle
   FROM toks),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, common, ca.n_sh AS na, cb.n_sh AS nb
 FROM common
@@ -628,11 +682,12 @@ ORDER BY doc_a, doc_b"""
 @_q(
     "dedup_ngram_jaccard",
     _NGRAM_ORACLE,
-    "3-shingle Jaccard >= 0.2 pairs via inverted-index join (integer math).",
+    "3-shingle Jaccard >= 0.2 pairs via inverted-index join (integer math), "
+    "max-DF 100 shingle cutoff bounding posting lists.",
 )
 def dedup_ngram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+    return dedup.ngram_jaccard_pairs(docs, max_df=100).orderBy("doc_a", "doc_b")
 
 
 _DOT_DD = (

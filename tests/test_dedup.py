@@ -1,0 +1,109 @@
+"""Dedup-family scale-shape tests: the 64-bit SimHash production path
+(band-key cardinality, hot-bucket re-split, brute-force equivalence) and
+the ngram-Jaccard max-DF cutoff.
+
+These pin the round-2 verdict's scale fixes: the 32-bit SimHash's 4x8-bit
+bands gave <= 1,024 distinct join keys (guaranteed hot buckets at corpus
+scale); the production path must expose >= 2^16 keys and bound any bucket
+that still runs hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions import dedup
+
+
+def test_fnv1a64_reference_values():
+    # pinned so the DuckDB oracle twin (plans/queries._FNV64_DD) can't drift
+    assert dedup._fnv1a64("") == 14695981039350211365
+    assert dedup._fnv1a64("abc") == 4026407469507811147
+
+
+def test_simhash64_band_key_space(spark):
+    """The production band join must have >= 2^16 distinct keys available
+    (vs 4x256 for the 32-bit form): feed 70k synthetic fingerprints whose
+    low band enumerates the full 16-bit range."""
+    sims = spark.range(70_000).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("simhash")
+    )
+    distinct_keys = (
+        dedup.simhash_band_keys(sims).select("k", "band_val").distinct().count()
+    )
+    assert distinct_keys >= 1 << 16
+
+
+def test_simhash64_band_of_negative_fingerprint(spark):
+    """(simhash >> s) & 65535 on the SIGNED bigint must equal the unsigned
+    band — the top band of a fingerprint with bit 63 set is the case the
+    arithmetic-shift correction argument covers."""
+    u = 0xFEDC_BA98_7654_3210
+    signed = u - (1 << 64)
+    sims = spark.createDataFrame([(1, signed)], "doc_id bigint, simhash bigint")
+    rows = {r["k"]: r["band_val"] for r in dedup.simhash_band_keys(sims).collect()}
+    assert rows == {0: 0x3210, 1: 0x7654, 2: 0xBA98, 3: 0xFEDC}
+
+
+def test_simhash64_pairs_match_bruteforce(spark, sf_dir):
+    """Without a cap the band join is exact (pigeonhole): same pair set as
+    the all-pairs xor/bit_count join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sims = dedup.simhash_values64(docs).persist()
+    via_bands = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs64(docs, sims=sims).collect()
+    }
+    x, y = sims.alias("x"), sims.alias("y")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert via_bands == brute
+
+
+def test_simhash64_bucket_cap_resplit(spark):
+    """A hot bucket (many docs sharing one band value) must be re-split by
+    extra fingerprint bits, and identical-fingerprint pairs must survive
+    the re-split (they agree on every bit, hence on any borrowed sub-key).
+
+    Fixture: 20 groups x 30 docs with identical in-group fingerprints of
+    the form g << 16 — ALL 600 share band k=0 (low 16 bits = 0), a
+    600-doc hot bucket under cap 50."""
+    rows = [(g * 30 + i, g << 16) for g in range(20) for i in range(30)]
+    sims = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+    pairs = dedup.simhash_pairs64(
+        spark.range(0), sims=sims, bucket_cap=50
+    ).collect()
+    # expected: every within-group pair at hamming 0; cross-group
+    # fingerprints differ in >3 bits for most g-pairs, and any that don't
+    # would also appear in the uncapped exact set — assert the capped run
+    # finds at least all identical pairs and nothing at hamming > 3
+    ident = {(a, b) for a, b, h in ((r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs) if h == 0}
+    expected_ident = {
+        (g * 30 + i, g * 30 + j)
+        for g in range(20)
+        for i in range(30)
+        for j in range(i + 1, 30)
+    }
+    assert ident == expected_ident
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_ngram_max_df_drops_boilerplate(spark):
+    """A shingle present in every doc must not generate pairs when max_df
+    cuts it; docs that only share boilerplate fall below threshold."""
+    boiler = "the quick brown fox"
+    rows = [(i, f"{boiler} unique{i} token{i} tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with_cut = dedup.ngram_jaccard_pairs(docs, max_df=3).collect()
+    no_cut = dedup.ngram_jaccard_pairs(docs).collect()
+    assert with_cut == []  # only boilerplate shingles were shared
+    assert len(no_cut) > 0

@@ -130,3 +130,38 @@ def test_merge_uses_partial_aggregation(spark, sf_dir):
     # is active, which is the property under test
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_ngram_counts_joins_have_no_broadcast_hint(spark, sf_dir):
+    """The per-doc counts table is corpus-sized (one row per document) —
+    it must never carry a broadcast HINT (round-2 fix: F.broadcast on the
+    counts joins would ship a multi-GB table to every executor at real
+    scale). Catalyst may still auto-broadcast at toy sizes from its own
+    estimates; the contract is the absence of the forced hint."""
+    from mongoshake_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.ngram_jaccard_pairs(docs, max_df=100)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_ddl_barriers_no_single_partition_window(spark, sf_dir):
+    """Batch barrier numbering must not funnel the whole table through one
+    task: every Window in the plan must carry a partition spec (a
+    windowspecdefinition whose first argument is a bare partition column,
+    not an ASC/DESC ordering column — the partition-less form is the
+    'WindowExec: No Partition Defined' hazard)."""
+    import re
+
+    from mongoshake_spark.operators import combiner
+    from mongoshake_spark.sources.oplog import oplog_view
+
+    df = combiner.ddl_barriers(oplog_view(load_table(spark, sf_dir, "events")))
+    plan = _plan(df)
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            f"partition-less window found: windowspecdefinition({first_arg}, ...)"
+        )
+    # and the numbering still exists
+    assert "barrier_id" in df.columns
