@@ -35,9 +35,15 @@ Two barrier modes:
 
 Scale notes: the target state is held as a cached DataFrame between
 micro-batches and persisted to parquet once per batch (crash durability;
-resume re-reads it). On a real cluster the state table is Delta and
-``_apply_segment`` becomes a single ``MERGE INTO`` — no in-memory copy,
-no rewrite; the kernel isolates that swap to one method.
+resume re-reads it). The parquet layout is HASH-BUCKETED on the merge key
+(``_bucket = pmod(hash(key), n_buckets)`` partition column): each flush
+rewrites ONLY the buckets the batch touched, via dynamic partition
+overwrite (the committer stages files and renames on commit), so per-batch
+write I/O scales with batch size, not state size — the reference's apply
+layer is incremental for the same reason (executor/db_writer_bulk.go
+writes only the batch's documents). On a real cluster the state table is
+Delta and ``_apply_segment`` becomes a single ``MERGE INTO``; the kernel
+isolates that swap to one method.
 """
 
 from __future__ import annotations
@@ -65,6 +71,7 @@ class ApplyKernel:
     val: str = "value"
     ord: str = "id"
     strict_barriers: bool = False
+    n_buckets: int = 64
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
     _loaded: bool = field(default=False, repr=False)
@@ -78,14 +85,20 @@ class ApplyKernel:
 
     # -- target state -------------------------------------------------------
 
+    def _bucket_expr(self):
+        return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
+
     def _load_state(self) -> None:
         if self._loaded:
             return
         self._loaded = True
         if os.path.isdir(self.target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.target_dir)
+            f.endswith(".parquet") or f.startswith("_bucket=")
+            for f in os.listdir(self.target_dir)
         ):
-            self._state = self.spark.read.parquet(self.target_dir).persist()
+            self._state = (
+                self.spark.read.parquet(self.target_dir).drop("_bucket").persist()
+            )
             self._state.count()
 
     def _apply_segment(self, segment: DataFrame) -> None:
@@ -105,10 +118,17 @@ class ApplyKernel:
             self._state.unpersist()
         self._state = staged
 
-    def _flush(self) -> None:
+    def _flush(self, touched_buckets: list[int]) -> None:
         """Durability point, once per micro-batch: the committed state the
         next run resumes from (paired with the stream's checkpoint — a
         replayed batch re-MERGEs idempotently).
+
+        Incremental: only the hash buckets containing keys from THIS batch
+        are rewritten (dynamic partition overwrite — untouched ``_bucket=``
+        directories are left in place; the committer stages new files and
+        renames them in, so a crash mid-flush leaves each bucket either old
+        or new, never truncated — and either version re-MERGEs to the same
+        state on replay). A batch with no CRUD rows writes nothing.
 
         The flushed files also become the state's new lineage root:
         ``persist`` caches data but does NOT truncate the logical plan, so
@@ -117,11 +137,21 @@ class ApplyKernel:
         Java heap OOM on a DDL-heavy strict run). Re-reading what we just
         wrote caps plan depth at one batch's worth of merges.
         """
-        if self._state is not None:
-            self._state.write.mode("overwrite").parquet(self.target_dir)
-            self._state.unpersist()
-            self._state = self.spark.read.parquet(self.target_dir).persist()
-            self._state.count()
+        if self._state is None or not touched_buckets:
+            return
+        (
+            self._state.withColumn("_bucket", self._bucket_expr())
+            .filter(F.col("_bucket").isin(touched_buckets))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self.target_dir)
+        )
+        self._state.unpersist()
+        self._state = (
+            self.spark.read.parquet(self.target_dir).drop("_bucket").persist()
+        )
+        self._state.count()
 
     def state_view(self) -> DataFrame | None:
         """User-facing final state: tombstones filtered (W4 deletes)."""
@@ -152,12 +182,17 @@ class ApplyKernel:
                 key=lambda r: (r["ts"], r["id"]),
             )
             crud = batch.filter(F.col("op").isin("i", "u", "d"))
+            touched = [
+                r["_b"]
+                for r in crud.select(self._bucket_expr().alias("_b")).distinct().collect()
+            ]
             if self.strict_barriers and ddl_rows:
                 self._strict_apply(crud, ddl_rows)
             else:
-                self._apply_segment(crud)
+                if touched:
+                    self._apply_segment(crud)
                 self._apply_ddl(ddl_rows)
-            self._flush()
+            self._flush(touched)
         finally:
             batch.unpersist()
 

@@ -25,7 +25,15 @@ def windowed_counts(
     """Streaming windowed counts: groupBy(window(ts), *group_cols).count()
     under a watermark. Append-mode emits each window exactly once, when the
     watermark passes its end — the streaming equivalent of Q23's batch
-    date_trunc aggregation."""
+    date_trunc aggregation.
+
+    Event-time columns must be TIMESTAMP (with local-tz semantics) for
+    ``withWatermark``; fixture-derived feeds carry TIMESTAMP_NTZ, so cast
+    first (session tz is pinned UTC, making the cast a no-op on values)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), *[F.col(c) for c in group_cols])

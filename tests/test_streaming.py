@@ -358,3 +358,66 @@ def test_txn_reassembly_streaming(spark, tmp_path):
     time.sleep(0.1)
     got = sorted((r["lsid"], r["seq"], r["op"]) for r in results)
     assert got == [("s1", 1, "i"), ("s1", 2, "u"), ("s1", 3, "d")]
+
+
+def test_flush_is_incremental_per_bucket(spark, tmp_path):
+    """Per-batch write I/O must scale with batch size, not state size: a
+    small batch touching few hash buckets rewrites ONLY those _bucket=
+    partitions (round-2 fix — the previous flush overwrote the whole state
+    every micro-batch)."""
+    import datetime
+    import os as _os
+
+    def snapshot(root):
+        files = {}
+        for dirpath, _, names in _os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = _os.path.join(dirpath, n)
+                    files[p] = _os.path.getsize(p)
+        return files
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    big = spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=i), i % 5000, "i", "db0.c1", float(i), "{}")
+            for i in range(1, 20001)
+        ],
+        schema,
+    )
+    target = str(tmp_path / "t")
+    kernel = ApplyKernel(spark, target, n_buckets=64)
+    kernel.process_batch(big, 0)
+    before = snapshot(target)
+    n_buckets_on_disk = len(
+        [d for d in _os.listdir(target) if d.startswith("_bucket=")]
+    )
+    assert n_buckets_on_disk == 64  # 5000 keys cover every bucket
+
+    small = spark.createDataFrame(
+        [
+            (20001 + k, t0 + datetime.timedelta(hours=1, seconds=k), k, "u", "db0.c1", -1.0, "{}")
+            for k in range(3)  # 3 keys -> at most 3 buckets
+        ],
+        schema,
+    )
+    kernel.process_batch(small, 1)
+    after = snapshot(target)
+    changed_dirs = {
+        _os.path.relpath(p, target).split(_os.sep)[0]
+        for p in (set(after) - set(before))
+        | {p for p in after if p in before and after[p] != before[p]}
+    }
+    assert len(changed_dirs) <= 3, f"rewrote {len(changed_dirs)} buckets: {changed_dirs}"
+    # untouched bucket files are byte-identical (same paths, same sizes)
+    untouched = {p for p in before if _os.path.relpath(p, target).split(_os.sep)[0] not in changed_dirs}
+    assert untouched <= set(after)
+    assert all(after[p] == before[p] for p in untouched)
+    # and the merge itself is still correct
+    state = {r["user_id"]: r["value"] for r in kernel.state_view().collect()}
+    assert state[0] == -1.0 and state[1] == -1.0 and state[2] == -1.0
+    assert state[3] == 15003.0  # last writer for key 3 in the big batch
