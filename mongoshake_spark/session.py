@@ -34,6 +34,12 @@ def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the engine serves a workload of concurrent
+        # queries (bench.py's client pool; a cluster serves many sessions).
+        # Under FIFO one 32-task Arrow/pandas stage occupies every executor
+        # slot and serializes the workload behind it — measured 2.5x on the
+        # bench workload (16.3s FIFO -> 6.3s FAIR at sf0.1, idle host).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The fixture parquet stores TIMESTAMP(NANOS); Spark has no ns type.
