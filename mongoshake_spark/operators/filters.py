@@ -170,10 +170,100 @@ def filter_chain(df: DataFrame, *keep_predicates: Column) -> DataFrame:
     return df.filter(pred)
 
 
-def orphan_filter(docs: DataFrame, chunks: DataFrame, key_col: str, ns: str, shard: str) -> DataFrame:
+# BSON type-order sentinels and ranks (orphan_filter.go:16-24 mirrors
+# mongo/bson/bsontypes.h; getBsonType maps math.MinInt64/MaxInt64 chunk
+# bounds to MinKey/MaxKey, orphan_filter.go:219-245).
+BSON_MINKEY = -(2**63)
+BSON_MAXKEY = 2**63 - 1
+_RANK_MINKEY, _RANK_NUMBER, _RANK_MAXKEY = 0, 10, 100
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    """Little-endian hex string of the low ``nbytes`` bytes of a long."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftrightunsigned(col, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def mongo_shard_key_hash(col: Column | str, bson_type: str = "number") -> Column:
+    """Mongo's hashed-shard-key hash as a pure column expression
+    (orphan_filter.go:94-135 ComputeHash, itself mirroring
+    mongo/db/hasher.cpp): md5 over [int32-LE seed=0][int32-LE BSON type
+    tag][payload]; result = first 8 digest bytes as a little-endian int64.
+
+    ``bson_type='number'``: tag 10, payload = 8-byte LE of uint64(value).
+    ``bson_type='string'``: tag 15, payload = int32-LE(byte_len+1) +
+    UTF-8 bytes + NUL.
+
+    Stays JVM-side (md5/unhex/conv/shift are all codegen-able): no UDF in
+    the full-sync hot path where this runs per document.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if bson_type == "number":
+        payload = F.concat(F.lit("000000000A000000"), _le_hex(c, 8))
+    elif bson_type == "string":
+        blen = F.octet_length(c)
+        payload = F.concat(
+            F.lit("000000000F000000"),
+            _le_hex(blen + F.lit(1), 4),
+            F.hex(c.cast("binary")),
+            F.lit("00"),
+        )
+    else:
+        raise ValueError(f"unsupported bson_type {bson_type!r}")
+    digest = F.md5(F.unhex(payload))
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        byte = F.conv(F.substring(digest, 2 * i + 1, 2), 16, 10).cast("long")
+        out = out.bitwiseOR(F.shiftleft(byte, 8 * i))
+    return out
+
+
+def _bson_rank(c: Column) -> Column:
+    return (
+        F.when(c == F.lit(BSON_MINKEY), F.lit(_RANK_MINKEY))
+        .when(c == F.lit(BSON_MAXKEY), F.lit(_RANK_MAXKEY))
+        .otherwise(F.lit(_RANK_NUMBER))
+    )
+
+
+def bson_lt(x: Column, y: Column) -> Column:
+    """chunkLt (orphan_filter.go:196-217): different BSON types compare by
+    type rank; MinKey/MaxKey never value-compare; numbers compare as
+    float64 (the reference converts every numeric to float64 first,
+    orphan_filter.go:227-236 — kept faithfully, including the precision
+    loss above 2^53)."""
+    rx, ry = _bson_rank(x), _bson_rank(y)
+    return F.when(rx != ry, rx < ry).otherwise(
+        (rx == _RANK_NUMBER) & (x.cast("double") < y.cast("double"))
+    )
+
+
+def orphan_filter(
+    docs: DataFrame,
+    chunks: DataFrame,
+    key_col: str,
+    ns: str,
+    shard: str,
+    shard_type: str = "ranged",
+    key_bson_type: str | None = None,
+) -> DataFrame:
     """F6 OrphanFilter (collector/filter/orphan_filter.go:26-92): keep only
     documents owned by this shard — shard key within one of the shard's
     chunk ranges [min,max).
+
+    ``shard_type='hashed'`` reproduces HashedShard collections
+    (orphan_filter.go:57-58,73-74): the key is first run through Mongo's
+    md5 key hash (:func:`mongo_shard_key_hash`), then compared against the
+    int64 chunk bounds with BSON type ordering — bounds equal to
+    math.MinInt64/MaxInt64 act as MinKey/MaxKey sentinels
+    (:func:`bson_lt`). Ownership is ``NOT lt(h, min) AND lt(h, max)``:
+    inclusive min (equality falls through the reference's Mins loop to the
+    Maxs check), exclusive max (equality on the last key continues to the
+    next chunk).
 
     Spark-first: the chunk map is metadata-sized, so broadcast it and use a
     range-condition semi join. No shuffle of the fact side at any scale —
@@ -182,5 +272,13 @@ def orphan_filter(docs: DataFrame, chunks: DataFrame, key_col: str, ns: str, sha
     owned = chunks.filter((F.col("ns") == ns) & (F.col("shard") == shard)).select(
         "min_key", "max_key"
     )
-    cond = (docs[key_col] >= F.col("min_key")) & (docs[key_col] < F.col("max_key"))
+    if shard_type == "hashed":
+        if key_bson_type is None:
+            key_bson_type = (
+                "string" if str(docs.schema[key_col].dataType) == "StringType()" else "number"
+            )
+        h = mongo_shard_key_hash(docs[key_col], key_bson_type)
+        cond = ~bson_lt(h, F.col("min_key")) & bson_lt(h, F.col("max_key"))
+    else:
+        cond = (docs[key_col] >= F.col("min_key")) & (docs[key_col] < F.col("max_key"))
     return docs.join(F.broadcast(owned), cond, "left_semi")

@@ -25,8 +25,10 @@ from mongoshake_spark.functions import dedup, similarity, text as textfn
 from mongoshake_spark.functions.texthash import MOD, poly_hash_duckdb
 from mongoshake_spark.operators import combiner, filters, merge, transforms
 from mongoshake_spark.sources.oplog import (
+    HASHED_CHUNKS_SQL_DUCKDB,
     OPLOG_VIEW_SQL_DUCKDB,
     chunks_view,
+    hashed_chunks_view,
     oplog_view,
 )
 from mongoshake_spark.sources.tables import load_table, range_scan
@@ -202,6 +204,79 @@ def q7(spark, sf_dir):
     chunks = chunks_view(spark, li)
     owned = filters.orphan_filter(li, chunks, "l_orderkey", "tpch.lineitem", "shard0")
     return owned.agg(F.count("*").alias("owned"))
+
+
+# Oracle twins of operators/filters.mongo_shard_key_hash (string branch) and
+# bson_lt, for the hashed-shard orphan filter. The md5 input is rebuilt as a
+# VARCHAR: every byte of the string-branch payload is < 0x80 (seed/tag/len
+# bytes, ASCII key), so chr()-concatenation reproduces the exact byte stream
+# DuckDB's md5(VARCHAR) hashes. Constraint: key byte-length <= 126.
+_Q30_MD5 = (
+    "md5(repeat(chr(0), 4) || chr(15) || repeat(chr(0), 3) || "
+    "chr(CAST(strlen(sk) + 1 AS INTEGER)) || repeat(chr(0), 3) || sk || chr(0))"
+)
+
+
+def _q30_byte(i: int) -> str:
+    hexv = lambda j: f"(strpos('0123456789abcdef', substr(d, {j}, 1)) - 1)"  # noqa: E731
+    return f"CAST({hexv(2 * i + 1)} * 16 + {hexv(2 * i + 2)} AS HUGEINT)"
+
+
+_Q30_ACC = " + ".join(f"{_q30_byte(i)} * {1 << (8 * i)}" for i in range(8))
+
+
+def _q30_rank(v: str) -> str:
+    return (
+        f"CASE WHEN {v} = -9223372036854775808 THEN 0 "
+        f"WHEN {v} = 9223372036854775807 THEN 100 ELSE 10 END"
+    )
+
+
+def _q30_lt(x: str, y: str) -> str:
+    return (
+        f"CASE WHEN {_q30_rank(x)} <> {_q30_rank(y)} "
+        f"THEN {_q30_rank(x)} < {_q30_rank(y)} "
+        f"ELSE {_q30_rank(x)} = 10 AND CAST({x} AS DOUBLE) < CAST({y} AS DOUBLE) END"
+    )
+
+
+_Q30_ORACLE = f"""WITH chunks AS ({HASHED_CHUNKS_SQL_DUCKDB}),
+hx AS (
+  SELECT l_returnflag, {_Q30_MD5} AS d
+  FROM (SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS sk FROM lineitem)),
+hv AS (
+  SELECT l_returnflag,
+         CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+              ELSE u END AS BIGINT) AS h
+  FROM (SELECT l_returnflag, {_Q30_ACC} AS u FROM hx))
+SELECT l_returnflag, count(*) AS owned
+FROM hv
+WHERE EXISTS (SELECT 1 FROM chunks c
+              WHERE c.ns = 'tpch.lineitem' AND c.shard = 'shard0'
+                AND NOT ({_q30_lt('h', 'c.min_key')})
+                AND ({_q30_lt('h', 'c.max_key')}))
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+@_q(
+    "q30_orphan_hashed",
+    _Q30_ORACLE,
+    "F6 hashed-shard mode: Mongo md5 key hash (orphan_filter.go:94-135) + "
+    "BSON type-ordered chunk compare with MinKey/MaxKey sentinels (:150-245).",
+)
+def q30(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "sk", F.col("l_orderkey").cast("string")
+    )
+    owned = filters.orphan_filter(
+        li, hashed_chunks_view(spark), "sk", "tpch.lineitem", "shard0",
+        shard_type="hashed",
+    )
+    return (
+        owned.groupBy("l_returnflag")
+        .agg(F.count("*").alias("owned"))
+        .orderBy("l_returnflag")
+    )
 
 
 @_q(

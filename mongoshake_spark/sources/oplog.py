@@ -108,3 +108,37 @@ SELECT 'tpch.lineitem' AS ns,
 FROM (SELECT UNNEST(RANGE(0, 8)) AS g,
              (SELECT CAST(max(l_orderkey) // 8 AS BIGINT) + 1 FROM lineitem) AS w)
 """
+
+
+def hashed_chunks_view(spark: SparkSession) -> DataFrame:
+    """Chunk ranges for a HASHED-shard collection: 8 even slices of the
+    int64 hash space [-2^63, 2^63), alternating between two shards, with
+    the first min and last max as the reference's MinKey/MaxKey sentinel
+    encoding (math.MinInt64 / math.MaxInt64, orphan_filter.go:219-225) so
+    the BSON type-order comparator path is exercised.
+
+    Arithmetic note: bounds are written (g - 4) * 2^61 — the direct form
+    -2^63 + g*2^61 overflows int64 multiplication for g >= 4 under ANSI
+    mode; -2^63 is exactly -4 * 2^61 so the shifted form is equal and
+    in-range at every g.
+    """
+    w = 1 << 61
+    g = F.col("id")
+    return spark.range(8).select(
+        F.lit("tpch.lineitem").alias("ns"),
+        F.concat(F.lit("shard"), (g % 2).cast("string")).alias("shard"),
+        ((g - 4) * F.lit(w)).alias("min_key"),
+        F.when(g == 7, F.lit((1 << 63) - 1))
+        .otherwise((g - 3) * F.lit(w))
+        .alias("max_key"),
+    )
+
+
+HASHED_CHUNKS_SQL_DUCKDB = """
+SELECT 'tpch.lineitem' AS ns,
+       concat('shard', CAST(g % 2 AS VARCHAR)) AS shard,
+       (g - 4) * 2305843009213693952 AS min_key,
+       CASE WHEN g = 7 THEN 9223372036854775807
+            ELSE (g - 3) * 2305843009213693952 END AS max_key
+FROM (SELECT UNNEST(RANGE(0, 8)) AS g)
+"""

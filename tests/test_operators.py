@@ -171,6 +171,83 @@ def test_orphan_filter_ranges(spark):
     assert sorted(r["k"] for r in out) == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]
 
 
+def _ref_mongo_hash(value) -> int:
+    """Python twin of ComputeHash (orphan_filter.go:94-135) via hashlib —
+    the independent reference the Spark column expression must match."""
+    import hashlib
+    import struct
+
+    w = hashlib.md5()
+    w.update(struct.pack("<i", 0))
+    if isinstance(value, str):
+        w.update(struct.pack("<i", 15))
+        b = value.encode() + b"\x00"
+        w.update(struct.pack("<i", len(b)))
+        w.update(b)
+    else:
+        w.update(struct.pack("<i", 10))
+        w.update(struct.pack("<Q", value & ((1 << 64) - 1)))
+    return struct.unpack("<q", w.digest()[:8])[0]
+
+
+def test_mongo_shard_key_hash_number(spark):
+    vals = [0, 1, 1000, 123456789, -5, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", filters.mongo_shard_key_hash("v", "number").alias("h")
+    )
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert got == {v: _ref_mongo_hash(v) for v in vals}
+
+
+def test_mongo_shard_key_hash_string(spark):
+    vals = ["", "abc", "tpch", "1234567", "naïve"]  # incl. multi-byte UTF-8
+    df = spark.createDataFrame([(v,) for v in vals], "v string").select(
+        "v", filters.mongo_shard_key_hash("v", "string").alias("h")
+    )
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert got == {v: _ref_mongo_hash(v) for v in vals}
+
+
+def test_orphan_filter_hashed_matches_reference_simulation(spark):
+    """Hashed-shard ownership must equal a row-by-row simulation of the
+    reference's Filter loop (ComputeHash + chunkLt/chunkGt with sentinel
+    bounds, orphan_filter.go:49-92)."""
+    MIN, MAX = filters.BSON_MINKEY, filters.BSON_MAXKEY
+    chunks_rows = [
+        ("t.c", "shard0", MIN, -(2**61)),          # MinKey-bounded
+        ("t.c", "shard1", -(2**61), 0),
+        ("t.c", "shard0", 0, 2**61),
+        ("t.c", "shard1", 2**61, MAX),             # MaxKey-bounded
+    ]
+    chunks = spark.createDataFrame(
+        chunks_rows, "ns string, shard string, min_key long, max_key long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(200)], "k long")
+
+    def rank(v):
+        return 0 if v == MIN else 100 if v == MAX else 10
+
+    def lt(x, y):
+        if rank(x) != rank(y):
+            return rank(x) < rank(y)
+        return rank(x) == 10 and float(x) < float(y)
+
+    def owned_sim(k):
+        h = _ref_mongo_hash(k)
+        for _, sh, mn, mx in chunks_rows:
+            if sh == "shard0" and not lt(h, mn) and lt(h, mx):
+                return True
+        return False
+
+    out = filters.orphan_filter(
+        docs, chunks, "k", "t.c", "shard0", shard_type="hashed"
+    ).collect()
+    got = sorted(r["k"] for r in out)
+    exp = sorted(k for k in range(200) if owned_sim(k))
+    assert got == exp
+    assert 0 < len(exp) < 200  # both shards actually own something
+
+
 # ---------------------------------------------------------------------------
 # transforms (changestram_event_test.go / oplog_test.go scenarios)
 # ---------------------------------------------------------------------------
