@@ -116,6 +116,12 @@ def neardup_pairs(
     (dot*den >= num*na*nb). BLAS summation order differs from the oracle's
     sequential fold by ~1e-15 relative — far below the round(6) output
     granularity and the threshold measure of the data.
+
+    REQUIRES ``id_col`` values to be UNIQUE across the corpus: row identity
+    is keyed on the id (self-pairs are excluded by id inequality, and
+    same-tile blocks dedup canonicalized id pairs) — under duplicate ids,
+    genuine pairs of distinct rows sharing an id are silently dropped and
+    distinct same-tile pairs collapse.
     """
     import numpy as np
     import pandas as pd

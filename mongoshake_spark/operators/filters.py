@@ -116,18 +116,29 @@ def keep_namespace_ddl(
           commented out)
       unparseable command object        -> keep          (go:168-172 "not
           implemented, ignore")
+      illegal (non-string) command value -> keep         (go:202-206
+          "illegal oplog, ignore": a collection-target command whose value
+          parsed to NULL or to stringified JSON '{...}'/'[...]' — the
+          effective-ns rewrite would produce garbage, so the row is kept
+          before the ns rule sees it. Heuristic caveat: a genuine string
+          value that itself starts with '{' or '[' is indistinguishable
+          after from_json and is likewise kept.)
       everything else                   -> ns rule on effective ns
     """
     from mongoshake_spark.operators import transforms
 
     op = F.col(op_col)
     cmd = transforms.command_name(o_col)
+    val = transforms.command_value(o_col)
     eff = transforms.effective_ns(op_col, ns_col, o_col)
     ns_keep = keep_namespace(whitelist, blacklist, ns_col=eff)
+    value_cmds = transforms.COLL_TARGET_COMMANDS + ("renameCollection",)
+    illegal_value = val.isNull() | val.startswith("{") | val.startswith("[")
     return (
         F.when((op == "c") & cmd.isin(*transforms.ALWAYS_DROP_COMMANDS), F.lit(False))
         .when((op == "c") & (cmd == "applyOps"), F.lit(True))
         .when((op == "c") & cmd.isNull(), F.lit(True))
+        .when((op == "c") & cmd.isin(*value_cmds) & illegal_value, F.lit(True))
         .otherwise(ns_keep)
     )
 

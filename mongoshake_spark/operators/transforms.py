@@ -273,6 +273,17 @@ def command_name(o_col: str = "o") -> Column:
     return F.get(F.map_keys(F.from_json(F.col(o_col), "map<string,string>")), F.lit(0))
 
 
+def command_value(o_col: str = "o") -> Column:
+    """The first command entry's VALUE as a string — scalar values render
+    as themselves under ``from_json`` into ``map<string,string>``; nested
+    objects/arrays stringify to their JSON text ('{...}' / '[...]'), and
+    JSON null becomes NULL. Callers use those two shapes to detect the
+    reference's 'illegal oplog' case (a non-string command value,
+    oplog_filter.go:202-206)."""
+    cmap = F.from_json(F.col(o_col), "map<string,string>")
+    return F.try_element_at(cmap, F.get(F.map_keys(cmap), F.lit(0)))
+
+
 # DDL commands whose command VALUE names the target collection — the effective
 # namespace is db + '.' + value (collector/filter/oplog_filter.go:181-208).
 COLL_TARGET_COMMANDS = (
@@ -308,10 +319,14 @@ def effective_ns(op_col: str = "op", ns_col: str = "ns", o_col: str = "o") -> Co
                                               the value IS the full source ns)
       otherwise (DML, dropDatabase, applyOps, unknown cmd) -> ns unchanged
 
-    Divergence note: the reference keeps rows whose command value is not a
-    string ("illegal oplog, ignore"); under ``from_json`` into
-    ``map<string,string>`` every scalar renders as a string, so the null-value
-    guard here covers the same ignore path.
+    Illegal-value note: the reference KEEPS rows whose command value is not
+    a string ("illegal oplog, ignore", go:202-206). Under ``from_json``
+    into ``map<string,string>`` a nested object/array value stringifies
+    ('{...}' / '[...]') and a JSON null becomes NULL — this projection
+    would then produce a garbage effective ns (or fall through to the raw
+    ``db.$cmd``). The ignore path is therefore enforced one level up:
+    :func:`mongoshake_spark.operators.filters.keep_namespace_ddl` keeps
+    such rows unconditionally before the ns rule ever sees them.
     """
     op, ns = F.col(op_col), F.col(ns_col)
     db = F.split(ns, r"\.", 2).getItem(0)

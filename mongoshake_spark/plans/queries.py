@@ -1213,6 +1213,98 @@ def q29_ddl_ns(spark, sf_dir):
     )
 
 
+_Q31_ORACLE = (
+    _O
+    + """, crud AS (
+  SELECT CAST(user_id AS VARCHAR) AS lsid,
+         CAST(user_id % 3 AS BIGINT) AS txnNumber,
+         id AS seq, op, ns, o
+  FROM oplog_v WHERE op IN ('i','u','d'))
+SELECT lsid, txnNumber, seq, op, ns, o FROM crud
+WHERE CAST(lsid AS BIGINT) % 7 <> 0
+ORDER BY CAST(lsid AS BIGINT), seq"""
+)
+
+
+@_q(
+    "q31_txn_crossbatch",
+    _Q31_ORACLE,
+    "B3 cross-micro-batch transaction reassembly (oplog/txn_buffer.go:99-166): "
+    "partialTxn chunks span >=2 micro-batches; committed sessions emit every "
+    "buffered op at commit time, aborted sessions (user_id % 7 == 0) emit "
+    "nothing. Runs a real applyInPandasWithState stream over a 6-file feed.",
+)
+def q31(spark, sf_dir):
+    """The one declared query that executes the STREAMING plane: builds a
+    transaction feed (one session per user; chunks ordered by seq; last row
+    is the commit — or the abort for every 7th user), splits it into 6
+    seq-ranged files replayed one per micro-batch (every session's chunks
+    cross several batch boundaries), reassembles with the stateful
+    operator, and returns the emitted op sequence."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from mongoshake_spark.streaming.txn import reassemble_transactions
+
+    base = _oplog(spark, sf_dir).filter(F.col("op").isin("i", "u", "d"))
+    txn = base.select(
+        F.col("user_id").cast("string").alias("lsid"),
+        (F.col("user_id") % 3).cast("long").alias("txnNumber"),
+        F.col("id").alias("seq"),
+        "op",
+        "ns",
+        "o",
+    )
+    last = txn.groupBy("lsid", "txnNumber").agg(F.max("seq").alias("_last_seq"))
+    aborted = (F.col("lsid").cast("bigint") % 7) == 0
+    feed = (
+        txn.join(F.broadcast(last), ["lsid", "txnNumber"])
+        .withColumn("commit", (F.col("seq") == F.col("_last_seq")) & ~aborted)
+        .withColumn("abort", (F.col("seq") == F.col("_last_seq")) & aborted)
+        .drop("_last_seq")
+    )
+    tmp = tempfile.mkdtemp(prefix="q31_")
+    feed_dir, ckpt_dir = f"{tmp}/feed", f"{tmp}/ckpt"
+    try:
+        (
+            feed.repartitionByRange(6, "seq")
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .parquet(feed_dir)
+        )
+        # file source admits oldest-mtime-first; stamp range order so the
+        # replay is the oplog order (a commit seen before its chunks would
+        # drop the transaction)
+        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+        t0 = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        rows: list = []
+        q = (
+            reassemble_transactions(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.createDataFrame(
+            [(r["lsid"], r["txnNumber"], r["seq"], r["op"], r["ns"], r["o"]) for r in rows],
+            "lsid string, txnNumber bigint, seq bigint, op string, ns string, o string",
+        )
+        return out.orderBy(F.col("lsid").cast("bigint"), "seq")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

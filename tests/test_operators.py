@@ -143,12 +143,18 @@ def test_keep_namespace_ddl_dispositions(spark):
         (13, 13, "i", "db1.system.indexes", '{"ns":"db2.real"}', None),
         # blacklist hit on effective ns
         (14, 14, "c", "db1.$cmd", '{"drop":"c9"}', None),
+        # illegal (non-string) command values -> keep unconditionally
+        # ("illegal oplog, ignore", go:202-206) — even on a non-whitelisted
+        # db where the garbage effective ns would otherwise drop the row
+        (15, 15, "c", "db2.$cmd", '{"create":{"x":1}}', None),
+        (16, 16, "c", "db2.$cmd", '{"create":null}', None),
+        (17, 17, "c", "db2.$cmd", '{"renameCollection":["a","b"]}', None),
     ]
     out = filters.filter_chain(
         _oplog_df(spark, rows),
         filters.keep_namespace_ddl(whitelist=["db1"], blacklist=["db1.c9"]),
     ).collect()
-    assert sorted(r["id"] for r in out) == [1, 3, 6, 7, 8, 10, 12]
+    assert sorted(r["id"] for r in out) == [1, 3, 6, 7, 8, 10, 12, 15, 16, 17]
 
 
 def test_migrate_filter_crashes(spark):
