@@ -45,6 +45,7 @@ def full_sync(
     chunks=None,
     shard: str | None = None,
     partition_by: dict[str, str] | None = None,
+    index_map: dict[str, list[dict]] | None = None,
 ) -> FullSyncReport:
     """Snapshot-copy every namespace (S4/S6/W11/W13).
 
@@ -65,7 +66,75 @@ def full_sync(
             writer = writer.partitionBy(partition_by[name])
         writer.parquet(os.path.join(target_root, name))
         report[name] = spark.read.parquet(os.path.join(target_root, name)).count()
+    if index_map:
+        # W12: index sync runs after the copy, as the reference does
+        # (coordinator/full.go:202-206 StartIndexSync foreground).
+        emit_index_specs(target_root, build_index_specs(index_map))
     return FullSyncReport(tables=report)
+
+
+# ---------------------------------------------------------------------------
+# W12 index sync — layout-spec emission
+# (collector/docsyncer/doc_syncer.go:206-287 StartIndexSync;
+#  coordinator/utils.go:198-239 fetchIndexes)
+# ---------------------------------------------------------------------------
+
+def build_index_specs(
+    index_map: dict[str, list[dict]],
+    ns_transform=None,
+    background: bool = False,
+) -> dict[str, list[dict]]:
+    """W12: the observable behavior of StartIndexSync as a pure spec
+    transformation. Per source index document:
+
+    - a single-field ``_id`` index is skipped (HaveIdIndexKey,
+      common/common.go:199-218: the key doc has exactly one field named
+      ``_id`` — compound indexes that merely contain _id are kept)
+    - the ``ns``/``v``/``background`` fields are stripped
+      (doc_syncer.go:265-270)
+    - a fresh ``background`` flag is appended (doc_syncer.go:271)
+    - the namespace is routed through the ns transform (N4) when present
+
+    Field order is preserved (index key docs are ordered in BSON; JSON
+    dicts preserve insertion order here). Parquet targets have no
+    secondary indexes, so the spec is the *emission contract*: on a real
+    warehouse these become clustering/ZORDER columns; the tests pin the
+    spec itself.
+    """
+    out: dict[str, list[dict]] = {}
+    for ns, indexes in index_map.items():
+        to_ns = ns_transform(ns) if ns_transform else ns
+        specs = []
+        for idx in indexes:
+            key = idx.get("key")
+            if isinstance(key, dict) and list(key) == ["_id"]:
+                continue
+            new = {k: v for k, v in idx.items() if k not in ("ns", "v", "background")}
+            new["background"] = background
+            specs.append(new)
+        if specs:
+            out[to_ns] = specs
+    return out
+
+
+def emit_index_specs(target_root: str, specs: dict[str, list[dict]]) -> list[str]:
+    """Persist each namespace's index spec as ``_indexes.json`` inside the
+    table directory — the table-properties / layout-spec analog of the
+    reference's createIndexes commands. Returns the written paths."""
+    import json
+
+    written = []
+    for ns, spec in specs.items():
+        table = ns.split(".", 1)[1] if "." in ns else ns
+        d = os.path.join(target_root, table)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "_indexes.json")
+        with open(path, "w") as f:
+            json.dump(
+                [{"createIndexes": table, "indexes": [i]} for i in spec], f, indent=1
+            )
+        written.append(path)
+    return written
 
 
 # ---------------------------------------------------------------------------

@@ -1305,6 +1305,40 @@ def q31(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q(
+    "q32_socket_tunnel",
+    _O
+    + """SELECT CAST(user_id % 8 AS INT) AS partition, count(*) AS cnt,
+       round(CAST(sum(value) AS DOUBLE), 2) AS chk
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "S10 live TCP tunnel round trip (tunnel/tcp_writer.go + "
+    "receiver/replayer.go:54-146): every row streams through a real socket "
+    "(zlib frames, crc32-xor checksums, reject-until-retransmit handshake) "
+    "and back; per-partition count/checksum must equal the source.",
+)
+def q32(spark, sf_dir):
+    """Unlike q28's file tunnel, the transport here is a live embedded TCP
+    server: executors connect per-partition, frames carry the reference's
+    packet/TMessage wire format, and the first send exercises the
+    retransmission handshake (a fresh receiver rejects untagged writes)."""
+    from mongoshake_spark.sources import socket_tunnel as st
+
+    ov = _oplog(spark, sf_dir)
+    server = st.TunnelServer().start()
+    try:
+        st.write_socket_tunnel(
+            ov, "127.0.0.1", server.port, batch_size=1024, compress=st.COMPRESS_ZLIB
+        )
+        got = server.to_dataframe(spark)
+        return (
+            got.groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"))
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("chk"))
+            .orderBy("partition")
+        )
+    finally:
+        server.stop()
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,366 @@
+"""S10 TCP/RPC tunnel — a live socket transport with the reference's frame
+contract, ack bookkeeping and reject-until-retransmit handshake.
+
+Reference wire format (tunnel/tcp_writer.go:17-48 header comment):
+
+  Packet header, big-endian, 12 bytes:
+    magic(2B)=0xCAFE | version(1B)=0x01 | type(1B) | crc32(4B)=0 | length(4B)
+  types (tcp_writer.go:52-58): GetACK=0x01, Write=0x02, ReturnACK=0x03
+
+  PacketWrite payload = TMessage.ToBytes (tunnel/tunnel.go:61-72), big-endian:
+    cksum(4B) | tag(4B) | shard(4B) | compress(4B) | number(4B)
+    | { len(4B) | log bytes } * number
+  cksum = XOR of crc32.IEEE over each raw log (tunnel/tunnel.go:53-59).
+  tag bits (tunnel/tunnel.go:20-24): MsgRetransmission=0x1, MsgProbe=0x10.
+  compress ids (modules/compress.go:18-23): 0=none, 1=gzip, 3=zlib,
+  4=deflate (snappy=2 absent from this env, rejected like the reference's
+  unsupported-compressor path).
+
+  PacketReturnACK payload: the Sync reply as int64 big-endian — negative =
+  a Reply* error code (tunnel/tunnel.go:30-37), else the receiver's acked
+  ordinal. (The reference comment draws ack(4B) but its replies are int64;
+  its own assert at tcp_writer.go:185 checks length != 4.)
+
+Receiver semantics reproduced from receiver/replayer.go:54-146:
+  - on (re)start, Retransmit=true: every Write WITHOUT the retransmission
+    tag is rejected with ReplyRetransmission until the sender resends its
+    unacked window tagged MsgRetransmission
+  - checksum mismatch -> Retransmit=true, ReplyChecksumInvalid
+  - unknown compressor -> Retransmit=true, ReplyCompressorNotSupported
+  - probe (0 logs) -> ack only
+  - ack = ordinal of the last log handled (the reference uses the last ts;
+    frames here carry the oplog id ordinal, same packed-ordering contract)
+
+Sender semantics from tunnel/tcp_writer.go + collector/worker.go:170-252:
+  unacked frames kept (cap 32768 = MaxUnAckListLength, worker.go:18),
+  purged up to each ack reply, resent in order with the retransmission tag
+  when the receiver demands it.
+
+Spark-first integration: the *executors* are the senders —
+``write_socket_tunnel`` runs one client per partition inside
+``foreachPartition``, so N partitions stream concurrently into the
+receiver exactly like the reference's N workers share one tunnel; rows are
+the same JSON frames the file/Kafka tunnels use (sources/tunnel.py), so
+every sink family shares one encode/decode path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import socket
+import struct
+import threading
+import zlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = 0xCAFE
+VERSION = 1
+HEADER = struct.Struct(">HBBII")  # magic, version, type, crc32, length
+
+PACKET_GET_ACK = 0x01
+PACKET_WRITE = 0x02
+PACKET_RETURN_ACK = 0x03
+
+MSG_NORMAL = 0x0
+MSG_RETRANSMISSION = 0x1
+MSG_PROBE = 0x10
+
+REPLY_RETRANSMISSION = -4
+REPLY_CHECKSUM_INVALID = -6
+REPLY_COMPRESSOR_NOT_SUPPORTED = -7
+REPLY_DECOMPRESS_INVALID = -8
+
+NO_COMPRESS, COMPRESS_GZIP, COMPRESS_SNAPPY, COMPRESS_ZLIB, COMPRESS_DEFLATE = 0, 1, 2, 3, 4
+MAX_UNACK = 32768  # collector/worker.go:18 MaxUnAckListLength
+
+
+def crc32_xor(logs: list[bytes]) -> int:
+    v = 0
+    for log in logs:
+        v ^= zlib.crc32(log)
+    return v & 0xFFFFFFFF
+
+
+def _compress_one(data: bytes, cid: int) -> bytes:
+    if cid == NO_COMPRESS:
+        return data
+    if cid == COMPRESS_GZIP:
+        return gzip.compress(data)
+    if cid == COMPRESS_ZLIB:
+        return zlib.compress(data)
+    if cid == COMPRESS_DEFLATE:
+        c = zlib.compressobj(wbits=-15)
+        return c.compress(data) + c.flush()
+    raise ValueError(f"unsupported compressor {cid}")
+
+
+def _decompress_one(data: bytes, cid: int) -> bytes:
+    if cid == NO_COMPRESS:
+        return data
+    if cid == COMPRESS_GZIP:
+        return gzip.decompress(data)
+    if cid == COMPRESS_ZLIB:
+        return zlib.decompress(data)
+    if cid == COMPRESS_DEFLATE:
+        return zlib.decompress(data, wbits=-15)
+    raise ValueError(f"unsupported compressor {cid}")
+
+
+def encode_tmessage(logs: list[bytes], shard: int, tag: int = MSG_NORMAL,
+                    compress: int = NO_COMPRESS) -> bytes:
+    """TMessage.ToBytes (tunnel/tunnel.go:61-72). The checksum is computed
+    over the wire (post-compression) logs, as the reference does
+    (write_controller.go compresses before checksum)."""
+    wire = [_compress_one(log, compress) for log in logs]
+    out = [struct.pack(">IIIII", crc32_xor(wire), tag, shard, compress, len(wire))]
+    for log in wire:
+        out.append(struct.pack(">I", len(log)))
+        out.append(log)
+    return b"".join(out)
+
+
+def decode_tmessage(payload: bytes) -> dict:
+    cksum, tag, shard, compress, number = struct.unpack_from(">IIIII", payload, 0)
+    off, logs = 20, []
+    for _ in range(number):
+        (n,) = struct.unpack_from(">I", payload, off)
+        off += 4
+        logs.append(payload[off : off + n])
+        off += n
+    return {"checksum": cksum, "tag": tag, "shard": shard, "compress": compress, "logs": logs}
+
+
+def encode_packet(ptype: int, payload: bytes = b"") -> bytes:
+    return HEADER.pack(MAGIC, VERSION, ptype, 0, len(payload)) + payload
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def read_packet(sock: socket.socket) -> tuple[int, bytes]:
+    magic, version, ptype, _crc, length = HEADER.unpack(_recv_exact(sock, HEADER.size))
+    if magic != MAGIC or version != VERSION:
+        raise ValueError(f"bad packet header magic={magic:#x} version={version}")
+    return ptype, _recv_exact(sock, length) if length else b""
+
+
+@dataclass
+class TunnelServer:
+    """The receiver/replayer (receiver/replayer.go:54-146) as an embedded
+    threaded TCP server. Frames are collected as (shard, json) rows,
+    exposed to Spark via :meth:`to_dataframe`."""
+
+    host: str = "127.0.0.1"
+    port: int = 0  # 0 = ephemeral
+    corrupt_first_n: int = 0  # test hook: flip a byte in the first n writes
+    received: list = field(default_factory=list)
+    ack: int = 0
+    retransmit: bool = True  # "this always happen on receiver restart"
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    _srv: socket.socket | None = field(default=None, repr=False)
+    _threads: list = field(default_factory=list, repr=False)
+    _stopping: bool = field(default=False, repr=False)
+
+    def start(self) -> "TunnelServer":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(64)
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def _accept_loop(self) -> None:
+        while not self._stopping:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve(self, conn: socket.socket) -> None:
+        with conn:
+            while True:
+                try:
+                    ptype, payload = read_packet(conn)
+                except (ConnectionError, ValueError, OSError):
+                    return
+                if ptype == PACKET_GET_ACK:
+                    reply = self.ack
+                elif ptype == PACKET_WRITE:
+                    reply = self._sync(payload)
+                else:
+                    return
+                conn.sendall(
+                    encode_packet(PACKET_RETURN_ACK, struct.pack(">q", reply))
+                )
+
+    def _sync(self, payload: bytes) -> int:
+        """replayer.go Sync(): retransmit gate -> checksum -> decompress ->
+        consume -> ack."""
+        with self._lock:
+            if self.corrupt_first_n > 0:
+                self.corrupt_first_n -= 1
+                payload = payload[:-1] + bytes([payload[-1] ^ 0xFF])
+            msg = decode_tmessage(payload)
+            if self.retransmit:
+                if not msg["tag"] & MSG_RETRANSMISSION:
+                    return REPLY_RETRANSMISSION
+                self.retransmit = False
+            if msg["checksum"] != 0 and crc32_xor(msg["logs"]) != msg["checksum"]:
+                self.retransmit = True
+                return REPLY_CHECKSUM_INVALID
+            try:
+                logs = [_decompress_one(log, msg["compress"]) for log in msg["logs"]]
+            except ValueError:
+                self.retransmit = True
+                return REPLY_COMPRESSOR_NOT_SUPPORTED
+            except (zlib.error, gzip.BadGzipFile):
+                self.retransmit = True
+                return REPLY_DECOMPRESS_INVALID
+            if not logs:  # probe request
+                return self.ack
+            import json as _json
+
+            for log in logs:
+                self.received.append((msg["shard"], log.decode("utf-8")))
+            last = _json.loads(logs[-1])
+            self.ack = max(self.ack, int(last.get("id", 0)))
+            return self.ack
+
+    def to_dataframe(self, spark: SparkSession, schema: str | None = None) -> DataFrame:
+        """Received frames as typed rows — the downstream of S12."""
+        import pandas as pd
+
+        from mongoshake_spark.sources.tunnel import OPLOG_WIRE_SCHEMA, decode_frames
+
+        pdf = pd.DataFrame(self.received, columns=["shard", "value"])
+        frames = spark.createDataFrame(pdf, "shard int, value string") if len(pdf) else (
+            spark.createDataFrame([], "shard int, value string")
+        )
+        return decode_frames(frames, schema or OPLOG_WIRE_SCHEMA)
+
+    def stop(self) -> None:
+        self._stopping = True
+        if self._srv is not None:
+            self._srv.close()
+
+
+class TunnelClient:
+    """tcp_writer/rpc_writer sender: synchronous ack'd sends with an unack
+    window and retransmission (collector/worker.go:170-252)."""
+
+    def __init__(self, host: str, port: int, compress: int = NO_COMPRESS):
+        self.host, self.port, self.compress = host, port, compress
+        self.sock = socket.create_connection((host, port), timeout=60)
+        self.unacked: list[tuple[int, int, list[bytes]]] = []  # (ordinal, shard, logs)
+
+    def _roundtrip(self, packet: bytes) -> int:
+        self.sock.sendall(packet)
+        ptype, payload = read_packet(self.sock)
+        assert ptype == PACKET_RETURN_ACK
+        return struct.unpack(">q", payload)[0]
+
+    def _purge(self, ack: int) -> None:
+        self.unacked = [u for u in self.unacked if u[0] > ack]
+
+    def send(self, logs: list[bytes], shard: int, ordinal: int) -> int:
+        """Send one batch; on a rejection reply, resend the whole unack
+        window with the retransmission tag (worker.go ReplyRetransmission
+        path), newest batch included. Returns the receiver ack."""
+        if len(self.unacked) >= MAX_UNACK:
+            raise RuntimeError("unack window full")  # worker.go stalls here
+        self.unacked.append((ordinal, shard, logs))
+        reply = self._roundtrip(
+            encode_packet(
+                PACKET_WRITE, encode_tmessage(logs, shard, MSG_NORMAL, self.compress)
+            )
+        )
+        retries = 0
+        while reply < 0:
+            retries += 1
+            if retries > 5:
+                raise RuntimeError(f"tunnel send kept failing: reply={reply}")
+            for ord_, sh, lg in self.unacked:  # ordinal order = send order
+                reply = self._roundtrip(
+                    encode_packet(
+                        PACKET_WRITE,
+                        encode_tmessage(lg, sh, MSG_RETRANSMISSION, self.compress),
+                    )
+                )
+                if reply < 0:
+                    break
+        self._purge(reply)
+        return reply
+
+    def get_ack(self) -> int:
+        return self._roundtrip(encode_packet(PACKET_GET_ACK))
+
+    def probe(self) -> int:
+        """B10 heartbeat: empty message solicits an ack (worker.go:227-233)."""
+        return self._roundtrip(
+            encode_packet(PACKET_WRITE, encode_tmessage([], 0, MSG_PROBE, NO_COMPRESS))
+        )
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def write_socket_tunnel(
+    df: DataFrame,
+    host: str,
+    port: int,
+    batch_size: int = 1024,
+    compress: int = NO_COMPRESS,
+    n_shards: int = 8,
+) -> None:
+    """Stream a DataFrame through the live socket tunnel: one client per
+    partition (the executors are the senders — N partitions stream
+    concurrently, like the reference's N workers), frames JSON-encoded via
+    the shared tunnel codec, batched ``batch_size`` per TMessage (B1's
+    batching knob)."""
+    from mongoshake_spark.sources.tunnel import encode_frames
+
+    frames = encode_frames(df, n_shards=n_shards)
+
+    def send_partition(rows) -> None:
+        client = None
+        try:
+            batch: dict[int, list[bytes]] = {}
+            n = 0
+            for row in rows:
+                if client is None:
+                    client = TunnelClient(host, port, compress)
+                batch.setdefault(row["shard"], []).append(row["value"].encode())
+                n += 1
+                if n >= batch_size:
+                    for sh, logs in batch.items():
+                        client.send(logs, sh, _max_id(logs))
+                    batch, n = {}, 0
+            if client is not None:
+                for sh, logs in batch.items():
+                    client.send(logs, sh, _max_id(logs))
+        finally:
+            if client is not None:
+                client.close()
+
+    frames.foreachPartition(send_partition)
+
+
+def _max_id(logs: list[bytes]) -> int:
+    import json as _json
+
+    return max(int(_json.loads(log).get("id", 0)) for log in logs)

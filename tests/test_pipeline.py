@@ -156,3 +156,55 @@ def test_resize_plan(spark, sf_dir):
         assert max(r["target_w"], r["target_h"]) <= 256
         if max(r["width"], r["height"]) <= 256:
             assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+
+
+def test_index_sync_spec_emission(spark, sf_dir, tmp_path):
+    """W12 (doc_syncer.go:206-287): the emitted layout spec must strip
+    ns/v/background, skip single-field _id indexes, keep compound indexes
+    containing _id, append the fresh background flag, and route the ns
+    transform."""
+    import json
+
+    from mongoshake_spark.plans.full_sync import (
+        build_index_specs,
+        emit_index_specs,
+        full_sync,
+    )
+
+    fixture = {
+        "tpch.orders": [
+            {"v": 2, "key": {"_id": 1}, "name": "_id_", "ns": "tpch.orders"},
+            {"v": 2, "key": {"o_custkey": 1}, "name": "cust_1",
+             "ns": "tpch.orders", "background": True},
+            {"v": 2, "key": {"o_orderdate": -1, "_id": 1}, "name": "date_id",
+             "ns": "tpch.orders", "unique": True},
+        ],
+        "tpch.nation": [
+            {"v": 2, "key": {"_id": 1}, "name": "_id_", "ns": "tpch.nation"},
+        ],
+    }
+    specs = build_index_specs(
+        fixture, ns_transform=lambda ns: ns.replace("tpch.", "tgt."), background=False
+    )
+    assert specs == {
+        "tgt.orders": [
+            {"key": {"o_custkey": 1}, "name": "cust_1", "background": False},
+            {"key": {"o_orderdate": -1, "_id": 1}, "name": "date_id",
+             "unique": True, "background": False},
+        ]
+    }  # nation had only the _id index -> no emission at all
+
+    # end-to-end through full_sync: spec lands next to the table data
+    full_sync(
+        spark, sf_dir, str(tmp_path), tables=("orders",),
+        index_map={"tpch.orders": fixture["tpch.orders"]},
+    )
+    with open(tmp_path / "orders" / "_indexes.json") as f:
+        emitted = json.load(f)
+    assert [c["createIndexes"] for c in emitted] == ["orders", "orders"]
+    assert emitted[0]["indexes"][0]["name"] == "cust_1"
+    assert "ns" not in emitted[0]["indexes"][0]
+    assert "v" not in emitted[0]["indexes"][0]
+    # field order of the key doc is preserved (BSON ordering contract)
+    assert list(emitted[1]["indexes"][0]["key"]) == ["o_orderdate", "_id"]
+    _ = emit_index_specs  # imported for API surface

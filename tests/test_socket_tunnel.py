@@ -1,0 +1,134 @@
+"""S10 socket tunnel: wire codec, replayer handshake scenarios
+(receiver/replayer.go:54-146), and the Spark end-to-end round trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mongoshake_spark.sources import socket_tunnel as st
+
+
+@pytest.fixture()
+def server():
+    s = st.TunnelServer().start()
+    yield s
+    s.stop()
+
+
+def _logs(ids):
+    return [json.dumps({"id": i, "v": f"payload{i}"}).encode() for i in ids]
+
+
+def test_tmessage_codec_roundtrip():
+    for cid in (st.NO_COMPRESS, st.COMPRESS_GZIP, st.COMPRESS_ZLIB, st.COMPRESS_DEFLATE):
+        raw = _logs([1, 2, 3])
+        msg = st.decode_tmessage(st.encode_tmessage(raw, shard=5, tag=st.MSG_NORMAL, compress=cid))
+        assert msg["shard"] == 5 and msg["compress"] == cid
+        assert [st._decompress_one(log, cid) for log in msg["logs"]] == raw
+        assert msg["checksum"] == st.crc32_xor(msg["logs"])  # checksum over wire bytes
+
+
+def test_fresh_receiver_rejects_until_retransmission(server):
+    """replayer.go:55-62: a restarted receiver rejects every write without
+    the retransmission tag; the tagged resend is accepted and acked."""
+    import socket as pysock
+    import struct
+
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, st.encode_tmessage(_logs([1, 2]), 0)))
+        ptype, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == st.REPLY_RETRANSMISSION
+        assert server.received == []  # rejected frames are not consumed
+        sock.sendall(
+            st.encode_packet(
+                st.PACKET_WRITE,
+                st.encode_tmessage(_logs([1, 2]), 0, tag=st.MSG_RETRANSMISSION),
+            )
+        )
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == 2  # ack = last id
+        assert len(server.received) == 2
+    finally:
+        sock.close()
+
+
+def test_client_auto_retransmits_and_purges(server):
+    client = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        ack = client.send(_logs([1, 2, 3]), shard=0, ordinal=3)
+        assert ack == 3 and client.unacked == []  # purged up to ack
+        ack = client.send(_logs([4]), shard=1, ordinal=4)
+        assert ack == 4
+        assert client.get_ack() == 4
+        assert [json.loads(v)["id"] for _, v in server.received] == [1, 2, 3, 4]
+    finally:
+        client.close()
+
+
+def test_checksum_corruption_triggers_retransmit(server):
+    """replayer.go:66-75: a checksum mismatch returns ReplyChecksumInvalid
+    and re-arms the retransmit gate; the sender's tagged resend recovers
+    with no duplicate consumption."""
+    server.retransmit = False  # past the restart handshake
+    server.corrupt_first_n = 1
+    client = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        ack = client.send(_logs([7, 8]), shard=2, ordinal=8)
+        assert ack == 8
+        assert [json.loads(v)["id"] for _, v in server.received] == [7, 8]
+    finally:
+        client.close()
+
+
+def test_probe_acks_without_consuming(server):
+    server.retransmit = False
+    client = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        client.send(_logs([5]), shard=0, ordinal=5)
+        assert client.probe() == 5
+        assert len(server.received) == 1
+    finally:
+        client.close()
+
+
+def test_unsupported_compressor_rejected(server):
+    """replayer.go:79-85: unknown compressor id -> error reply + re-arm."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    raw = st.encode_tmessage(_logs([1]), 0)
+    # patch the compress field (bytes 12:16 of the TMessage) to snappy=2,
+    # which this env cannot decompress — and is rejected like the
+    # reference's GetCompressorById failure
+    bad = raw[:12] + struct.pack(">I", st.COMPRESS_SNAPPY) + raw[16:]
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, bad))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == st.REPLY_COMPRESSOR_NOT_SUPPORTED
+        assert server.retransmit is True
+    finally:
+        sock.close()
+
+
+def test_spark_end_to_end_roundtrip(spark, sf_dir, server):
+    """Executors stream every partition through the live socket (zlib);
+    the decoded receiver-side DataFrame equals the source."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.sources.oplog import oplog_view
+    from mongoshake_spark.sources.tables import load_table
+
+    ov = oplog_view(load_table(spark, sf_dir, "events"))
+    st.write_socket_tunnel(
+        ov, "127.0.0.1", server.port, batch_size=256, compress=st.COMPRESS_ZLIB
+    )
+    got = server.to_dataframe(spark)
+    assert got.count() == ov.count()
+    a = ov.agg(F.count("*"), F.round(F.sum("value"), 2), F.min("id"), F.max("id")).collect()
+    b = got.agg(F.count("*"), F.round(F.sum("value"), 2), F.min("id"), F.max("id")).collect()
+    assert a == b
