@@ -72,6 +72,10 @@ class ApplyKernel:
     ord: str = "id"
     strict_barriers: bool = False
     n_buckets: int = 64
+    # W6: optional catalog-backed DDL executor (streaming/ddl.SparkCatalogDDL).
+    # None keeps the record-only behavior (no catalog to mutate in oracle
+    # fixtures); with an executor, each barrier statement really runs.
+    ddl_executor: object | None = None
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
     _loaded: bool = field(default=False, repr=False)
@@ -161,11 +165,15 @@ class ApplyKernel:
     # -- DDL ---------------------------------------------------------------
 
     def _apply_ddl(self, rows) -> None:
-        """B2/W6: the barrier statement itself. DDL is recorded rather than
-        executed (no catalog to mutate in the fixture); ordering relative
-        to surrounding segments is the contract the tests pin."""
+        """B2/W6: the barrier statement itself. Always journaled in order
+        (the contract the tests pin); when a ``ddl_executor`` is attached
+        the command also executes against the session catalog
+        (streaming/ddl.SparkCatalogDDL — create/drop/rename/dropDatabase/
+        index-spec properties)."""
         for r in rows:
             self.ddl_log.append((r["id"], r["ns"], r["o"]))
+            if self.ddl_executor is not None:
+                self.ddl_executor.execute(r["ns"], r["o"])
 
     # -- the foreachBatch callback ------------------------------------------
 
