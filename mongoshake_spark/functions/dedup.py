@@ -420,6 +420,65 @@ def simhash_pairs64(
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Final step of corpus dedup: connected components over the near-dup
+    pair graph -> (doc_id, cluster_id), cluster_id = min doc_id reachable.
+    The keep-one-per-cluster policy is then ``cluster_id == doc_id``.
+
+    Algorithm: iterative min-label propagation — each round, every node
+    takes the minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Near-dup graphs are unions of small cliques
+    (diameter 1-2 almost everywhere), so 2-3 rounds close a corpus; the
+    round cap guards pathological chains (for planetary-scale graphs with
+    long chains, swap the body for the large-star/small-star variant —
+    same driver-loop skeleton, O(log n) rounds).
+
+    Scale shape per round: one shuffle join (edges x labels, both keyed on
+    the node id) + one aggregate; labels are localCheckpoint'ed so the
+    plan does not deepen with iterations. Singleton documents (no pairs)
+    keep their own id as cluster_id.
+    """
+    if pairs is None:
+        pairs = minhash_pairs(docs, text_col)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = docs.select("doc_id").withColumn("cluster_id", F.col("doc_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

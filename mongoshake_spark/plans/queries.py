@@ -622,7 +622,7 @@ def dedup_exact_norm(spark, sf_dir):
     )
 
 
-_MINHASH_ORACLE = f"""WITH toks AS (
+_MINHASH_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -636,7 +636,9 @@ sig AS (
   FROM hashed, (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i),
 bands AS (
   SELECT doc_id, i // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
-  FROM sig GROUP BY doc_id, i // 4)
+  FROM sig GROUP BY doc_id, i // 4)"""
+
+_MINHASH_ORACLE = f"""WITH {_MINHASH_CTES}
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
@@ -651,6 +653,34 @@ ORDER BY doc_a, doc_b"""
 def dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_CLUSTERS_ORACLE = f"""WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(comp) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+
+@_q(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    "Connected components over the MinHash near-dup graph: every document "
+    "labeled with its cluster (min reachable doc_id); keep-one policy = "
+    "cluster_id == doc_id. Oracle = recursive-CTE transitive closure.",
+)
+def dedup_clusters_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(docs).orderBy("doc_id")
 
 
 _SIMHASH_ORACLE = f"""WITH toks AS (

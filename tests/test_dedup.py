@@ -107,3 +107,32 @@ def test_ngram_max_df_drops_boilerplate(spark):
     no_cut = dedup.ngram_jaccard_pairs(docs).collect()
     assert with_cut == []  # only boilerplate shingles were shared
     assert len(no_cut) > 0
+
+
+def test_duplicate_clusters_chain_and_singleton(spark):
+    """Components: a chain (1-2, 2-3), an isolated pair (10-11), and a
+    singleton (99) — labels = min reachable id; chain needs >1 round."""
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter) must still converge to a
+    single component within the round cap."""
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
