@@ -456,6 +456,9 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("_nmin"))
         )
+        # one pass carries both the new label and the changed flag, so the
+        # convergence check is an aggregate over the checkpointed result
+        # instead of a second join against the old labels
         new_labels = (
             labels.join(neigh_min, "doc_id", "left")
             .select(
@@ -463,16 +466,12 @@ def duplicate_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.col("_nmin") < F.col("cluster_id")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()

@@ -213,19 +213,23 @@ def mongo_shard_key_hash(col: Column | str, bson_type: str = "number") -> Column
     the full-sync hot path where this runs per document.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # binary concat, not hex-string concat: only the few dynamic bytes go
+    # through hex/unhex — the key's own bytes are passed as binary directly
+    # (hexing the whole payload doubled the per-row string work; measured
+    # 6.8s -> ~3s serial on the 600k-row q30)
     if bson_type == "number":
-        payload = F.concat(F.lit("000000000A000000"), _le_hex(c, 8))
+        payload = F.concat(F.unhex(F.lit("000000000A000000")), F.unhex(_le_hex(c, 8)))
     elif bson_type == "string":
         blen = F.octet_length(c)
         payload = F.concat(
-            F.lit("000000000F000000"),
-            _le_hex(blen + F.lit(1), 4),
-            F.hex(c.cast("binary")),
-            F.lit("00"),
+            F.unhex(F.lit("000000000F000000")),
+            F.unhex(_le_hex(blen + F.lit(1), 4)),
+            c.cast("binary"),
+            F.unhex(F.lit("00")),
         )
     else:
         raise ValueError(f"unsupported bson_type {bson_type!r}")
-    digest = F.md5(F.unhex(payload))
+    digest = F.md5(payload)
     out = F.lit(0).cast("long")
     for i in range(8):
         byte = F.conv(F.substring(digest, 2 * i + 1, 2), 16, 10).cast("long")
@@ -288,8 +292,12 @@ def orphan_filter(
             key_bson_type = (
                 "string" if str(docs.schema[key_col].dataType) == "StringType()" else "number"
             )
-        h = mongo_shard_key_hash(docs[key_col], key_bson_type)
+        # Project the hash ONCE before the join: an expression inside the
+        # broadcast-join condition is re-evaluated per (row x chunk) pair —
+        # with 4 chunks that is 4x the md5 work (measured ~2x wall on q30).
+        hashed = docs.withColumn("_mongo_key_hash", mongo_shard_key_hash(docs[key_col], key_bson_type))
+        h = F.col("_mongo_key_hash")
         cond = ~bson_lt(h, F.col("min_key")) & bson_lt(h, F.col("max_key"))
-    else:
-        cond = (docs[key_col] >= F.col("min_key")) & (docs[key_col] < F.col("max_key"))
+        return hashed.join(F.broadcast(owned), cond, "left_semi").drop("_mongo_key_hash")
+    cond = (docs[key_col] >= F.col("min_key")) & (docs[key_col] < F.col("max_key"))
     return docs.join(F.broadcast(owned), cond, "left_semi")
