@@ -33,22 +33,39 @@ Two barrier modes:
   merge(T, S1 ∪ S2) — and the DDL log sequence is the same. This removes
   an O(#DDL) per-batch cost (observed 121s -> ~8s on a DDL-heavy feed).
 
-Scale notes: the target state is held as a cached DataFrame between
-micro-batches and persisted to parquet once per batch (crash durability;
-resume re-reads it). The parquet layout is HASH-BUCKETED on the merge key
-(``_bucket = pmod(hash(key), n_buckets)`` partition column): each flush
-rewrites ONLY the buckets the batch touched, via dynamic partition
-overwrite (the committer stages files and renames on commit), so per-batch
-write I/O scales with batch size, not state size — the reference's apply
-layer is incremental for the same reason (executor/db_writer_bulk.go
-writes only the batch's documents). On a real cluster the state table is
-Delta and ``_apply_segment`` becomes a single ``MERGE INTO``; the kernel
-isolates that swap to one method.
+Scale notes: the target state lives ON DISK between micro-batches, in a
+parquet layout HASH-BUCKETED on the merge key (``_bucket = pmod(hash(key),
+n_buckets)`` partition column). Each micro-batch:
+
+1. computes the set of buckets its keys hash into,
+2. reads ONLY those ``_bucket=`` partitions back (partition pruning — the
+   literal ``IN`` on the partition column reaches the file index, so
+   untouched buckets are never opened),
+3. MERGEs the batch into that slice,
+4. ``localCheckpoint``s the merged slice (O(slice) — this is also what
+   lets Spark overwrite the same files the slice was read from), and
+5. rewrites ONLY the touched buckets via dynamic partition overwrite (the
+   committer stages files and renames on commit, so a crash mid-flush
+   leaves each bucket either old or new, never truncated — and either
+   version re-MERGEs to the same state on replay).
+
+Per-batch I/O — read AND write — therefore scales with the batch's key
+spread, not the state size; the reference's apply layer is incremental for
+the same reason (executor/db_writer_bulk.go writes only the batch's
+documents). ``n_buckets`` is persisted in a ``_layout.json`` marker inside
+the state dir; on open, a legacy flat ``*.parquet`` layout or a bucket-
+count mismatch triggers a ONE-TIME re-bucketing rewrite (staged into a
+sibling dir and swapped in, so the old state survives a crash mid-
+migration). On a real cluster the state table is Delta and
+``_apply_segment`` becomes a single ``MERGE INTO``; the kernel isolates
+that swap to one method.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,8 +95,14 @@ class ApplyKernel:
     ddl_executor: object | None = None
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
-    _loaded: bool = field(default=False, repr=False)
+    _layout_checked: bool = field(default=False, repr=False)
     _merges_since_truncate: int = field(default=0, repr=False)
+    # Instrumentation, refreshed per batch: how many state parquet files the
+    # partition-pruned slice read covered, and how many rows it held. The
+    # scale contract (per-batch input ∝ batch, not state) is asserted on
+    # these in tests/test_streaming.py.
+    last_state_files_read: int = field(default=0, repr=False)
+    last_state_rows_read: int = field(default=0, repr=False)
 
     # Truncate state lineage after this many chained merges: each segment
     # nests another aggregate into the logical plan, and past a few dozen
@@ -92,24 +115,112 @@ class ApplyKernel:
     def _bucket_expr(self):
         return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
 
-    def _load_state(self) -> None:
-        if self._loaded:
+    def _marker_path(self) -> str:
+        # leading underscore: invisible to Spark's file index, like _SUCCESS
+        return os.path.join(self.target_dir, "_layout.json")
+
+    def _write_marker(self) -> None:
+        with open(self._marker_path(), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+
+    def _bucket_dirs(self) -> list[str]:
+        if not os.path.isdir(self.target_dir):
+            return []
+        return [f for f in os.listdir(self.target_dir) if f.startswith("_bucket=")]
+
+    def _ensure_layout(self) -> None:
+        """Open-time layout guard (once per kernel): a legacy flat
+        ``*.parquet`` layout, or a bucketed layout whose ``_layout.json``
+        n_buckets disagrees with this kernel's, is re-bucketed ONCE into
+        the configured layout. Without this, the first dynamic-partition
+        flush into a flat dir would leave the flat files beside the new
+        ``_bucket=`` dirs (conflicting structures / double-counted rows),
+        and resuming with a different n_buckets would scatter keys across
+        two generations of buckets — silent duplicates.
+
+        The rewrite stages into a sibling dir and swaps via rename, so a
+        crash mid-migration leaves the original state intact.
+        """
+        if self._layout_checked:
             return
-        self._loaded = True
-        if os.path.isdir(self.target_dir) and any(
-            f.endswith(".parquet") or f.startswith("_bucket=")
-            for f in os.listdir(self.target_dir)
-        ):
-            self._state = (
-                self.spark.read.parquet(self.target_dir).drop("_bucket").persist()
+        self._layout_checked = True
+        if not os.path.isdir(self.target_dir):
+            return
+        entries = os.listdir(self.target_dir)
+        flat = [f for f in entries if f.endswith(".parquet")]
+        bucketed = [f for f in entries if f.startswith("_bucket=")]
+        marker = None
+        if os.path.isfile(self._marker_path()):
+            with open(self._marker_path()) as f:
+                marker = json.load(f).get("n_buckets")
+        if not flat and (not bucketed or marker == self.n_buckets):
+            return
+        parts = []
+        if flat:
+            parts.append(
+                self.spark.read.parquet(
+                    *[os.path.join(self.target_dir, f) for f in flat]
+                )
             )
-            self._state.count()
+        if bucketed:
+            parts.append(
+                self.spark.read.option("basePath", self.target_dir)
+                .parquet(*[os.path.join(self.target_dir, b) for b in bucketed])
+                .drop("_bucket")
+            )
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        staged = full.localCheckpoint(eager=True)
+        tmp = self.target_dir.rstrip("/") + ".__rebucket__"
+        old = self.target_dir.rstrip("/") + ".__old__"
+        for leftover in (tmp, old):  # debris from a crashed prior migration
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        (
+            staged.withColumn("_bucket", self._bucket_expr())
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        os.rename(self.target_dir, old)
+        os.rename(tmp, self.target_dir)
+        shutil.rmtree(old)
+        self._write_marker()
+
+    def _begin_batch(self, touched_buckets: list[int]) -> None:
+        """Load the slice of state this batch can touch: ONLY the
+        ``_bucket=`` partitions its keys hash into. The ``isin`` on the
+        partition column is pruned at the file index, so state I/O per
+        batch is O(touched buckets), not O(state)."""
+        self._ensure_layout()
+        self.last_state_files_read = 0
+        self.last_state_rows_read = 0
+        if not self._bucket_dirs():
+            self._state = None
+            return
+        sliced = (
+            self.spark.read.parquet(self.target_dir)
+            .filter(F.col("_bucket").isin(touched_buckets))
+            .drop("_bucket")
+            .persist()
+        )
+        self.last_state_rows_read = sliced.count()
+        self.last_state_files_read = sum(
+            sum(
+                1
+                for f in os.listdir(os.path.join(self.target_dir, d))
+                if f.endswith(".parquet")
+            )
+            for d in self._bucket_dirs()
+            if int(d.split("=", 1)[1]) in touched_buckets
+        )
+        self._state = sliced
 
     def _apply_segment(self, segment: DataFrame) -> None:
-        """One MERGE into the in-memory state (tombstones retained — see
-        operators/merge.merge_upsert). Swap point for Delta ``MERGE INTO``
-        on a cluster."""
-        self._load_state()
+        """One MERGE into the in-batch state slice (tombstones retained —
+        see operators/merge.merge_upsert). Swap point for Delta ``MERGE
+        INTO`` on a cluster."""
         new_state = merge.merge_upsert(self._state, segment, self.key, self.val, self.ord)
         self._merges_since_truncate += 1
         if self._merges_since_truncate >= self.LINEAGE_TRUNCATE_EVERY:
@@ -127,40 +238,43 @@ class ApplyKernel:
         next run resumes from (paired with the stream's checkpoint — a
         replayed batch re-MERGEs idempotently).
 
-        Incremental: only the hash buckets containing keys from THIS batch
-        are rewritten (dynamic partition overwrite — untouched ``_bucket=``
-        directories are left in place; the committer stages new files and
-        renames them in, so a crash mid-flush leaves each bucket either old
-        or new, never truncated — and either version re-MERGEs to the same
-        state on replay). A batch with no CRUD rows writes nothing.
-
-        The flushed files also become the state's new lineage root:
-        ``persist`` caches data but does NOT truncate the logical plan, so
-        without this reset a long run accumulates one nested merge per
-        segment until Catalyst itself exhausts driver heap (observed as a
-        Java heap OOM on a DDL-heavy strict run). Re-reading what we just
-        wrote caps plan depth at one batch's worth of merges.
+        Incremental on BOTH sides: ``_begin_batch`` read only the touched
+        buckets, and this rewrites only those buckets (dynamic partition
+        overwrite — untouched ``_bucket=`` directories are never opened).
+        A batch with no CRUD rows writes nothing. The ``localCheckpoint``
+        severs the slice's dependency on the very files the overwrite
+        replaces (and is O(slice), the lineage reset the old full re-read
+        used to pay O(state) for).
         """
         if self._state is None or not touched_buckets:
+            if self._state is not None:
+                self._state.unpersist()
+            self._state = None
             return
+        staged = self._state.localCheckpoint(eager=True)
+        self._state.unpersist()
+        self._state = None
         (
-            self._state.withColumn("_bucket", self._bucket_expr())
-            .filter(F.col("_bucket").isin(touched_buckets))
+            staged.withColumn("_bucket", self._bucket_expr())
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
             .parquet(self.target_dir)
         )
-        self._state.unpersist()
-        self._state = (
-            self.spark.read.parquet(self.target_dir).drop("_bucket").persist()
-        )
-        self._state.count()
+        if not os.path.isfile(self._marker_path()):
+            self._write_marker()
 
     def state_view(self) -> DataFrame | None:
-        """User-facing final state: tombstones filtered (W4 deletes)."""
-        self._load_state()
-        return None if self._state is None else merge.visible(self._state)
+        """User-facing final state: tombstones filtered (W4 deletes).
+        Reads the durable bucketed layout — between batches the disk is
+        the single source of truth (no cached full-state copy to keep in
+        sync)."""
+        self._ensure_layout()
+        if not self._bucket_dirs():
+            return None
+        return merge.visible(
+            self.spark.read.parquet(self.target_dir).drop("_bucket")
+        )
 
     # -- DDL ---------------------------------------------------------------
 
@@ -194,6 +308,8 @@ class ApplyKernel:
                 r["_b"]
                 for r in crud.select(self._bucket_expr().alias("_b")).distinct().collect()
             ]
+            if touched:
+                self._begin_batch(touched)
             if self.strict_barriers and ddl_rows:
                 self._strict_apply(crud, ddl_rows)
             else:

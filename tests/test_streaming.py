@@ -421,3 +421,118 @@ def test_flush_is_incremental_per_bucket(spark, tmp_path):
     state = {r["user_id"]: r["value"] for r in kernel.state_view().collect()}
     assert state[0] == -1.0 and state[1] == -1.0 and state[2] == -1.0
     assert state[3] == 15003.0  # last writer for key 3 in the big batch
+
+    # READ side scales with the batch too (round-4 fix): the small batch's
+    # state slice covered at most its 3 buckets' files and a sliver of the
+    # 5000-key state — not a full-state reload.
+    total_files = sum(
+        1
+        for dirpath, _, names in _os.walk(target)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    assert kernel.last_state_files_read <= 2 * 3
+    assert kernel.last_state_files_read < total_files / 4
+    assert kernel.last_state_rows_read < 5000 / 4
+
+
+def test_state_slice_read_is_partition_pruned(spark, tmp_path):
+    """Plan gate for the kernel's per-batch state read: the bucket ``IN``
+    filter must reach the file index as a PartitionFilter (pruned scan),
+    not a post-scan Filter over every bucket."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    big = spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=i), i, "i", "db0.c1", float(i), "{}")
+            for i in range(1, 2001)
+        ],
+        "id long, ts timestamp, user_id long, op string, ns string, value double, o string",
+    )
+    target = str(tmp_path / "t")
+    kernel = ApplyKernel(spark, target, n_buckets=16)
+    kernel.process_batch(big, 0)
+    sliced = (
+        spark.read.parquet(target)
+        .filter(F.col("_bucket").isin([0, 1]))
+        .drop("_bucket")
+    )
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_flat_layout_migrates_to_bucketed_once(spark, tmp_path):
+    """ADVICE round-3: a legacy flat ``*.parquet`` state dir must be
+    re-bucketed before the first dynamic flush — otherwise the flat files
+    survive beside the new ``_bucket=`` dirs and rows double-count."""
+    import datetime
+    import os as _os
+
+    target = str(tmp_path / "t")
+    legacy = spark.createDataFrame(
+        [(k, float(k), "i", k) for k in range(1, 51)],
+        "user_id long, value double, op string, id long",
+    )
+    legacy.write.parquet(target)  # flat layout, no _bucket
+    assert any(f.endswith(".parquet") for f in _os.listdir(target))
+
+    t0 = datetime.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [(100, t0, 7, "u", "db0.c1", -7.0, "{}")],
+        "id long, ts timestamp, user_id long, op string, ns string, value double, o string",
+    )
+    kernel = ApplyKernel(spark, target, n_buckets=8)
+    kernel.process_batch(batch, 0)
+
+    # fully bucketed now: no flat files, marker pinned
+    assert not any(f.endswith(".parquet") for f in _os.listdir(target))
+    assert _os.path.isfile(_os.path.join(target, "_layout.json"))
+    state = kernel.state_view()
+    # no double-counted keys, update applied, legacy rows intact
+    assert state.groupBy("user_id").count().filter("count > 1").count() == 0
+    vals = {r["user_id"]: r["value"] for r in state.collect()}
+    assert vals[7] == -7.0 and vals[8] == 8.0 and len(vals) == 50
+
+
+def test_bucket_count_change_rebuckets(spark, tmp_path):
+    """Resuming with a different n_buckets must re-bucket the layout once
+    (marker validation) — not scatter keys across two generations of
+    buckets as silent duplicates."""
+    import datetime
+    import os as _os
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(i, t0, i % 100, "i", "db0.c1", float(i), "{}") for i in range(1, 201)],
+        schema,
+    )
+    ApplyKernel(spark, target, n_buckets=4).process_batch(seed, 0)
+    assert len([d for d in _os.listdir(target) if d.startswith("_bucket=")]) <= 4
+
+    update = spark.createDataFrame(
+        [(1000, t0 + datetime.timedelta(hours=1), 5, "u", "db0.c1", -5.0, "{}")],
+        schema,
+    )
+    kernel2 = ApplyKernel(spark, target, n_buckets=16)
+    kernel2.process_batch(update, 1)
+    import json as _json
+
+    with open(_os.path.join(target, "_layout.json")) as f:
+        assert _json.load(f)["n_buckets"] == 16
+    buckets = [
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(target)
+        if d.startswith("_bucket=")
+    ]
+    assert buckets and max(buckets) < 16 and len(buckets) > 4
+    state = kernel2.state_view()
+    assert state.groupBy("user_id").count().filter("count > 1").count() == 0
+    vals = {r["user_id"]: r["value"] for r in state.collect()}
+    assert vals[5] == -5.0 and len(vals) == 100
