@@ -62,8 +62,8 @@ def merge_upsert(
     order and associative across segments (merge(merge(T,S1),S2) ==
     merge(T, S1 ∪ S2)); a physically-deleted key would be resurrected by a
     late-arriving lower-ordinal op. Readers use ``visible`` to drop
-    tombstones; at scale they compact away once the source watermark
-    passes their ordinal.
+    tombstones; ``compact`` physically removes them once the source
+    watermark passes their ordinal (the apply kernel does this at flush).
 
     Idempotent — replaying a batch yields the same state, which is the
     at-least-once safety argument the reference relies on (README.md:57).
@@ -81,6 +81,28 @@ def merge_upsert(
         return batch_state
     cols = [key_col, val_col, op_col, ord_col]
     return fold(target.select(*cols).unionByName(batch_state.select(*cols)))
+
+
+def compact(
+    state: DataFrame,
+    low_watermark: int,
+    op_col: str = "op",
+    ord_col: str = "id",
+) -> DataFrame:
+    """Drop tombstones the source watermark has passed.
+
+    A tombstone at ordinal ``t`` exists to out-rank a late/replayed op at
+    ordinal ``< t`` that would otherwise resurrect the key. Once the source
+    guarantees no op at ordinal ``<= low_watermark`` will ever be delivered
+    again (under Structured Streaming: everything up to the last COMMITTED
+    batch — replay re-delivers only the uncommitted batch, whose ordinals
+    are all above it), a tombstone at ``t <= low_watermark`` can never be
+    consulted again and is dead weight. Without this, 100 TB of churn grows
+    state monotonically with every key ever deleted.
+    """
+    return state.filter(
+        ~((F.col(op_col) == "d") & (F.col(ord_col) <= F.lit(low_watermark)))
+    )
 
 
 def visible(

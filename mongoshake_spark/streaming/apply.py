@@ -96,6 +96,14 @@ class ApplyKernel:
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
     _layout_checked: bool = field(default=False, repr=False)
+    # Low watermark for tombstone compaction: max ordinal across batches
+    # whose flush has committed. Replay (at-least-once) re-delivers only
+    # the uncommitted batch, whose ordinals are all above this, so op='d'
+    # rows at ordinal <= watermark can never be consulted again and are
+    # dropped at the next flush that touches their bucket (lazy, per-
+    # bucket). Persisted in _layout.json; lost-marker fallback is None =
+    # compact nothing, which is merely conservative.
+    _watermark: int | None = field(default=None, repr=False)
     _merges_since_truncate: int = field(default=0, repr=False)
     # Instrumentation, refreshed per batch: how many state parquet files the
     # partition-pruned slice read covered, and how many rows it held. The
@@ -121,7 +129,9 @@ class ApplyKernel:
 
     def _write_marker(self) -> None:
         with open(self._marker_path(), "w") as f:
-            json.dump({"n_buckets": self.n_buckets}, f)
+            json.dump(
+                {"n_buckets": self.n_buckets, "watermark": self._watermark}, f
+            )
 
     def _bucket_dirs(self) -> list[str]:
         if not os.path.isdir(self.target_dir):
@@ -152,7 +162,10 @@ class ApplyKernel:
         marker = None
         if os.path.isfile(self._marker_path()):
             with open(self._marker_path()) as f:
-                marker = json.load(f).get("n_buckets")
+                doc = json.load(f)
+            marker = doc.get("n_buckets")
+            if self._watermark is None:
+                self._watermark = doc.get("watermark")
         if not flat and (not bucketed or marker == self.n_buckets):
             return
         parts = []
@@ -251,7 +264,13 @@ class ApplyKernel:
                 self._state.unpersist()
             self._state = None
             return
-        staged = self._state.localCheckpoint(eager=True)
+        out = self._state
+        if self._watermark is not None:
+            # lazy tombstone compaction: this flush rewrites the touched
+            # buckets anyway, so dead tombstones in them are dropped for
+            # free (see operators/merge.compact for the safety argument)
+            out = merge.compact(out, self._watermark, ord_col=self.ord)
+        staged = out.localCheckpoint(eager=True)
         self._state.unpersist()
         self._state = None
         (
@@ -304,10 +323,15 @@ class ApplyKernel:
                 key=lambda r: (r["ts"], r["id"]),
             )
             crud = batch.filter(F.col("op").isin("i", "u", "d"))
-            touched = [
-                r["_b"]
-                for r in crud.select(self._bucket_expr().alias("_b")).distinct().collect()
-            ]
+            # one job yields both the touched-bucket set and the batch's
+            # max ordinal (the next watermark candidate)
+            per_bucket = (
+                crud.groupBy(self._bucket_expr().alias("_b"))
+                .agg(F.max(self.ord).alias("_m"))
+                .collect()
+            )
+            touched = [r["_b"] for r in per_bucket]
+            batch_max = max((r["_m"] for r in per_bucket), default=None)
             if touched:
                 self._begin_batch(touched)
             if self.strict_barriers and ddl_rows:
@@ -317,6 +341,12 @@ class ApplyKernel:
                     self._apply_segment(crud)
                 self._apply_ddl(ddl_rows)
             self._flush(touched)
+            if batch_max is not None:
+                # advance AFTER the flush commits: a replay of this batch
+                # re-merges under the old (smaller) watermark, so its own
+                # tombstones are never compacted prematurely
+                self._watermark = max(self._watermark or 0, batch_max)
+                self._write_marker()
         finally:
             batch.unpersist()
 

@@ -496,6 +496,62 @@ def test_flat_layout_migrates_to_bucketed_once(spark, tmp_path):
     assert vals[7] == -7.0 and vals[8] == 8.0 and len(vals) == 50
 
 
+def test_tombstone_compaction_under_watermark(spark, tmp_path):
+    """W4 at scale: op='d' tombstones are physically dropped once the
+    committed-batch watermark passes their ordinal — state must not grow
+    monotonically with every key ever deleted — while replaying the
+    delete batch (at-least-once) still converges to the same state."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0 + datetime.timedelta(seconds=i), k, op, "db0.c1", float(i), "{}")
+                for i, k, op in rows
+            ],
+            schema,
+        )
+
+    target = str(tmp_path / "t")
+    # n_buckets=1 so every batch touches the tombstone's bucket (lazy
+    # compaction runs whenever the bucket is rewritten)
+    kernel = ApplyKernel(spark, target, n_buckets=1)
+    kernel.process_batch(mk([(i, i, "i") for i in range(1, 11)]), 0)
+    b1 = mk([(11, 3, "d")])
+    kernel.process_batch(b1, 1)
+
+    def raw_ops(ops="d"):
+        return (
+            spark.read.parquet(target).filter(F.col("op").isin(list(ops))).count()
+        )
+
+    # tombstone present: batch 1's watermark (10) hasn't passed ordinal 11
+    assert raw_ops("d") == 1
+    n_rows_before = spark.read.parquet(target).count()
+
+    kernel.process_batch(mk([(12, 20, "i")]), 2)
+    # watermark is now 11 >= tombstone ordinal -> physically compacted
+    assert raw_ops("d") == 0
+    assert spark.read.parquet(target).count() == n_rows_before  # -1 tomb +1 insert
+    assert 3 not in {r["user_id"] for r in kernel.state_view().collect()}
+
+    # replay safety: re-delivering the delete batch after compaction
+    # re-merges idempotently (fresh kernel = post-crash restart)
+    kernel2 = ApplyKernel(spark, target, n_buckets=1)
+    kernel2.process_batch(b1, 1)
+    vis = {r["user_id"]: r["value"] for r in kernel2.state_view().collect()}
+    assert set(vis) == {1, 2, 4, 5, 6, 7, 8, 9, 10, 20}
+    # and the replayed tombstone was compacted straight away (ord 11 <=
+    # persisted watermark 12 from the marker)
+    assert raw_ops("d") == 0
+
+
 def test_bucket_count_change_rebuckets(spark, tmp_path):
     """Resuming with a different n_buckets must re-bucket the layout once
     (marker validation) — not scatter keys across two generations of
