@@ -170,9 +170,11 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
-    The band table is persisted — both sides of the self-join reuse it
-    instead of recomputing the shingle+hash pipeline twice."""
-    bands = minhash_bands(docs, text_col).persist()
+    The band table is locally checkpointed — both sides of the self-join
+    reuse the materialized rows instead of recomputing the shingle+hash
+    pipeline twice, and the blocks are released when the result goes out
+    of scope (no persist left pinned in a long-lived session)."""
+    bands = minhash_bands(docs, text_col).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -237,7 +239,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     least one band identical, so the band join finds every qualifying pair
     — same result set as a brute-force cross join, at shuffle-join cost)."""
     spark = docs.sparkSession
-    sims = simhash_values(docs, text_col).persist()
+    sims = simhash_values(docs, text_col).localCheckpoint(eager=True)
     bands = spark.range(SIMHASH_BITS // 8).withColumnRenamed("id", "k")
     keyed = sims.crossJoin(F.broadcast(bands)).select(
         "doc_id", "simhash", "k", F.expr("(simhash >> (8 * CAST(k AS INT))) & 255").alias("band_val")
@@ -371,8 +373,11 @@ def simhash_pairs64(
     ``sims`` (testing/reuse hook): a precomputed (doc_id, simhash)
     DataFrame; skips fingerprint computation."""
     if sims is None:
-        sims = simhash_values64(docs, text_col)
-    sims = sims.persist()
+        # checkpoint, not persist: both join sides and the census reuse the
+        # materialized fingerprints, and the blocks free on GC instead of
+        # accumulating across calls. A caller-supplied ``sims`` is used
+        # as-is — the caller owns its caching.
+        sims = simhash_values64(docs, text_col).localCheckpoint(eager=True)
     keyed = simhash_band_keys(sims)
     if bucket_cap is not None:
         # Hot-bucket census. The over-cap list is tiny by construction
@@ -425,31 +430,42 @@ def duplicate_clusters(
     pairs: DataFrame | None = None,
     text_col: str = "text",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Final step of corpus dedup: connected components over the near-dup
     pair graph -> (doc_id, cluster_id), cluster_id = min doc_id reachable.
     The keep-one-per-cluster policy is then ``cluster_id == doc_id``.
 
-    Algorithm: iterative min-label propagation — each round, every node
-    takes the minimum label among itself and its neighbors; converges in
-    O(graph diameter) rounds. Near-dup graphs are unions of small cliques
-    (diameter 1-2 almost everywhere), so 2-3 rounds close a corpus; the
-    round cap guards pathological chains (for planetary-scale graphs with
-    long chains, swap the body for the large-star/small-star variant —
-    same driver-loop skeleton, O(log n) rounds).
+    Two algorithms, both one-shuffle-per-round with localCheckpoint'ed
+    intermediates (the plan never deepens with iterations):
 
-    Scale shape per round: one shuffle join (edges x labels, both keyed on
-    the node id) + one aggregate; labels are localCheckpoint'ed so the
-    plan does not deepen with iterations. Singleton documents (no pairs)
-    keep their own id as cluster_id.
+    - ``"propagation"`` (default): min-label propagation — each round every
+      node takes the minimum label among itself and its neighbors;
+      converges in O(graph diameter) rounds. Near-dup graphs are unions of
+      small cliques (diameter 1-2 almost everywhere), so 2-3 rounds close
+      a corpus. If the cap is hit before convergence the function RAISES
+      — partial labels are silent wrong answers, never returned.
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond"): each round
+      rewires every node's larger (resp. smaller) neighbors to its
+      neighborhood minimum, collapsing any component into a star in
+      O(log n) rounds regardless of diameter — the scale path for
+      chain-shaped graphs that out-run the propagation cap.
+
+    Singleton documents (no pairs) keep their own id as cluster_id.
     """
     if pairs is None:
         pairs = minhash_pairs(docs, text_col)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _star_components(docs, edges, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     labels = docs.select("doc_id").withColumn("cluster_id", F.col("doc_id"))
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -474,8 +490,85 @@ def duplicate_clusters(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds ({changed} labels still moving) — "
+            f"the pair graph has a component with diameter > max_iter; "
+            f"rerun with algorithm='star' (O(log n) rounds) or a larger cap"
+        )
     return labels
+
+
+def _star_components(docs: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round, for every node u with neighborhood Γ(u) and
+    m = min(Γ(u) ∪ {u}):
+
+    - large-star rewires each v ∈ Γ(u) with v > u to m,
+    - small-star rewires each v ∈ Γ(u) with v <= u, plus u itself, to m.
+
+    Each is one groupBy + one join on the symmetric edge list; the edge
+    set is re-symmetrized and localCheckpoint'ed between rounds. The pair
+    (large ∘ small) strictly contracts component height, reaching the
+    star fixpoint in O(log n) rounds — the documented remedy for graphs
+    whose diameter exceeds the propagation cap.
+    """
+    for _ in range(max_iter):
+        new_edges = edges
+        for large in (True, False):
+            mins = (
+                new_edges.groupBy("src")
+                .agg(F.min("dst").alias("_mn"))
+                .select("src", F.least(F.col("src"), F.col("_mn")).alias("_m"))
+            )
+            joined = new_edges.join(mins, "src")
+            if large:
+                out = joined.filter(F.col("dst") > F.col("src")).select(
+                    F.col("dst").alias("a"), F.col("_m").alias("b")
+                )
+            else:
+                out = (
+                    joined.filter(F.col("dst") <= F.col("src"))
+                    .select(F.col("dst").alias("a"), F.col("_m").alias("b"))
+                    .unionByName(
+                        mins.select(F.col("src").alias("a"), F.col("_m").alias("b"))
+                    )
+                )
+            undirected = out.filter(F.col("a") != F.col("b"))
+            new_edges = (
+                undirected.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    undirected.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        # fixpoint when the small-star round changed nothing (star shape:
+        # every non-min node points only at its component min)
+        delta = new_edges.exceptAll(edges).limit(1).count() + edges.exceptAll(
+            new_edges
+        ).limit(1).count()
+        edges = new_edges
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters(algorithm='star') did not reach the star "
+            f"fixpoint within max_iter={max_iter} rounds"
+        )
+    root = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return (
+        docs.select("doc_id")
+        .join(root, docs["doc_id"] == root["src"], "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("_mn"), F.col("doc_id"))
+            ).alias("cluster_id"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -511,7 +604,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(
             df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
         )
-    sh = sh.persist()
+    sh = sh.localCheckpoint(eager=True)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

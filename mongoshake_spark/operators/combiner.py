@@ -48,16 +48,18 @@ def ddl_barriers(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
        partition-less window anywhere in the plan, which
        tests/test_plans.py gates), and the offsets broadcast-join back.
 
-    The ranged exchange is persisted so both passes observe the same
-    partition ids (range boundaries come from sampling and are not
-    otherwise guaranteed identical across re-evaluations).
+    The ranged exchange is locally checkpointed so both passes observe the
+    same partition ids (range boundaries come from sampling and are not
+    otherwise guaranteed identical across re-evaluations) — and, unlike a
+    bare ``persist``, the blocks free when the result goes out of scope
+    instead of accumulating across calls in a long-lived session.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     flag = F.when(F.col("op") == "c", 1).otherwise(0)
     ranged = (
         df.repartitionByRange(n, "ts", "id")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wl = (
         Window.partitionBy("_pid")

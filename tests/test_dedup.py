@@ -136,3 +136,45 @@ def test_duplicate_clusters_long_chain_converges(spark):
         for r in dedup.duplicate_clusters(docs, pairs=pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_raises_instead_of_partial_labels(spark):
+    """Round-4 guard: a component whose diameter exceeds the round cap must
+    error loudly — unconverged labels are silent wrong answers."""
+    import pytest
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge.*algorithm='star'"):
+        dedup.duplicate_clusters(docs, pairs=pairs, max_iter=4)
+
+
+def test_duplicate_clusters_star_closes_long_chains(spark):
+    """large-star/small-star contraction: the same chain that out-runs the
+    propagation cap converges in O(log n) rounds, and the two algorithms
+    agree on a mixed graph (chain + pair + singleton)."""
+    n = 30
+    docs = spark.createDataFrame(
+        [(i,) for i in list(range(n)) + [50, 51, 99]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(51, 50)], "doc_a long, doc_b long"
+    )
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            docs, pairs=pairs, max_iter=10, algorithm="star"
+        ).collect()
+    }
+    expected = {i: 0 for i in range(n)} | {50: 50, 51: 50, 99: 99}
+    assert star == expected
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            docs, pairs=pairs, max_iter=40, algorithm="propagation"
+        ).collect()
+    }
+    assert prop == star
