@@ -28,8 +28,18 @@ Receiver semantics reproduced from receiver/replayer.go:54-146:
   - checksum mismatch -> Retransmit=true, ReplyChecksumInvalid
   - unknown compressor -> Retransmit=true, ReplyCompressorNotSupported
   - probe (0 logs) -> ack only
-  - ack = ordinal of the last log handled (the reference uses the last ts;
-    frames here carry the oplog id ordinal, same packed-ordering contract)
+  - ack = MAX ordinal consumed on the connection (the reference replayer
+    acks the last ts of an in-order feed; frames here carry the oplog id
+    ordinal, and acking the batch max keeps the invariant the sender's
+    purge relies on — server ack >= client ordinal for any consumed batch
+    — even when a batch's logs are not id-ordered). Ack state is tracked
+    PER CONNECTION (one connection = one sender = one unack window), so a
+    fast peer connection can never advance the ack past frames this
+    sender has not delivered; the global ``ack`` used by GetACK/probe is
+    the max across connections.
+  - retransmitted frames whose ordinal the connection already acked are
+    dropped instead of consumed twice (the reference gets this for free
+    from its idempotent apply; this receiver appends, so it dedupes)
 
 Sender semantics from tunnel/tcp_writer.go + collector/worker.go:170-252:
   unacked frames kept (cap 32768 = MaxUnAckListLength, worker.go:18),
@@ -192,6 +202,10 @@ class TunnelServer:
             self._threads.append(t)
 
     def _serve(self, conn: socket.socket) -> None:
+        # per-connection consumed watermark (see module doc); starts BELOW
+        # any valid ordinal so a retransmitted first batch containing a
+        # legitimate ordinal-0 log is not deduped away
+        conn_ack = [-1]
         with conn:
             while True:
                 try:
@@ -201,16 +215,16 @@ class TunnelServer:
                 if ptype == PACKET_GET_ACK:
                     reply = self.ack
                 elif ptype == PACKET_WRITE:
-                    reply = self._sync(payload)
+                    reply = self._sync(payload, conn_ack)
                 else:
                     return
                 conn.sendall(
                     encode_packet(PACKET_RETURN_ACK, struct.pack(">q", reply))
                 )
 
-    def _sync(self, payload: bytes) -> int:
+    def _sync(self, payload: bytes, conn_ack: list) -> int:
         """replayer.go Sync(): retransmit gate -> checksum -> decompress ->
-        consume -> ack."""
+        dedupe -> consume -> ack (the batch's max ordinal, per connection)."""
         with self._lock:
             if self.corrupt_first_n > 0:
                 self.corrupt_first_n -= 1
@@ -235,11 +249,19 @@ class TunnelServer:
                 return self.ack
             import json as _json
 
+            prev_ack = conn_ack[0]  # dedupe against the PRE-batch watermark
             for log in logs:
+                ordinal = int(_json.loads(log).get("id", 0))
+                # a retransmitted frame may replay logs this connection
+                # already consumed (rejection AFTER a consumed batch) —
+                # dropping them here is what keeps the receiver append-only
+                # AND exactly-once
+                if msg["tag"] & MSG_RETRANSMISSION and ordinal <= prev_ack:
+                    continue
                 self.received.append((msg["shard"], log.decode("utf-8")))
-            last = _json.loads(logs[-1])
-            self.ack = max(self.ack, int(last.get("id", 0)))
-            return self.ack
+                conn_ack[0] = max(conn_ack[0], ordinal)
+            self.ack = max(self.ack, conn_ack[0])
+            return conn_ack[0]
 
     def to_dataframe(self, spark: SparkSession, schema: str | None = None) -> DataFrame:
         """Received frames as typed rows — the downstream of S12."""

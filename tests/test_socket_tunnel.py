@@ -115,6 +115,74 @@ def test_unsupported_compressor_rejected(server):
         sock.close()
 
 
+def test_unordered_batch_acks_max_and_purges(server):
+    """ADVICE round-3: a batch whose logs are not id-ordered must be acked
+    at its MAX ordinal, so the sender's purge clears it — otherwise the
+    consumed batch lingers in the unack window and a later rejection
+    replays it into duplicate rows."""
+    server.retransmit = False
+    server.corrupt_first_n = 0
+    client = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        ack = client.send(_logs([3, 1, 2]), shard=0, ordinal=3)
+        assert ack == 3 and client.unacked == []  # max-of-batch, purged
+        # now force a rejection on the NEXT batch: the retransmit loop must
+        # resend only that batch — the unordered one is gone from the window
+        server.corrupt_first_n = 1
+        ack = client.send(_logs([4]), shard=0, ordinal=4)
+        assert ack == 4
+        assert sorted(json.loads(v)["id"] for _, v in server.received) == [1, 2, 3, 4]
+    finally:
+        client.close()
+
+
+def test_retransmitted_consumed_frames_dedupe(server):
+    """Belt-and-braces for the same failure mode: if an already-consumed
+    batch IS retransmitted, the receiver drops the consumed ordinals
+    instead of appending them twice (the reference relies on idempotent
+    apply; this receiver appends, so it dedupes)."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, st.encode_tmessage(_logs([1, 2]), 0)))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == 2
+        # replay the same (unordered, for good measure) frame tagged as a
+        # retransmission, plus one genuinely new log
+        sock.sendall(
+            st.encode_packet(
+                st.PACKET_WRITE,
+                st.encode_tmessage(_logs([2, 1, 3]), 0, tag=st.MSG_RETRANSMISSION),
+            )
+        )
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == 3
+        assert sorted(json.loads(v)["id"] for _, v in server.received) == [1, 2, 3]
+    finally:
+        sock.close()
+
+
+def test_per_connection_ack_isolation(server):
+    """A fast peer connection must not advance another sender's ack: each
+    connection tracks its own consumed watermark (the sender's unack
+    window is per-connection), while GetACK reports the global max."""
+    server.retransmit = False
+    c1 = st.TunnelClient("127.0.0.1", server.port)
+    c2 = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        assert c2.send(_logs([1000]), shard=1, ordinal=1000) == 1000
+        # c1's first consumed batch acks at ITS ordinal, not c2's 1000
+        assert c1.send(_logs([5]), shard=0, ordinal=5) == 5
+        assert c1.unacked == []
+        assert c1.get_ack() == 1000  # global max, for B10 heartbeats
+    finally:
+        c1.close()
+        c2.close()
+
+
 def test_spark_end_to_end_roundtrip(spark, sf_dir, server):
     """Executors stream every partition through the live socket (zlib);
     the decoded receiver-side DataFrame equals the source."""
