@@ -1,0 +1,169 @@
+"""Live connector bindings — the production forms of S2 (MongoDB change
+stream source) and S8/S12 (Kafka tunnel sink/source).
+
+This sandbox has neither the Spark-Mongo connector nor the
+spark-sql-kafka package, so these bindings are availability-gated: each
+probes the session's DataSource registry first and raises a clear error
+naming the missing package when it is absent. On a cluster with the
+packages deployed (``--packages org.mongodb.spark:mongo-spark-connector
+/ org.apache.spark:spark-sql-kafka-0-10``) the same calls construct the
+real streams; everything downstream of the binding — normalization
+(operators/transforms.event_to_oplog), frame codec (sources/tunnel),
+apply kernel — is the already-tested common path.
+
+Reference parity:
+- S2 live tail: collector/reader/event_reader.go:109-174 opens a
+  ``watch()`` cursor with resume token, batches events, and feeds the
+  event->oplog converter. Here the connector's micro-batch stream IS the
+  cursor+batcher (checkpointLocation carries the resume token), and
+  ``event_to_oplog`` is the converter.
+- S8 Kafka sink: tunnel/kafka_writer.go:37-242 writes shard-keyed JSON
+  frames with ack tracking; the Kafka producer's idempotent acks replace
+  the hand-rolled unack list, and P7's shard key becomes the record key
+  so per-partition ordering survives (kafka_sink_options).
+- S12 Kafka source: receiver reads the same frames back;
+  ``split_corrupt_frames`` is the CRC-reject path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongoshake_spark.sources.tunnel import (
+    OPLOG_WIRE_SCHEMA,
+    encode_frames,
+    kafka_sink_options,
+    split_corrupt_frames,
+)
+
+#: change-stream event fields event_to_oplog consumes, as emitted by the
+#: Spark-Mongo connector with change.stream.publish.full.document.only=false
+CHANGE_EVENT_SCHEMA = (
+    "clusterTime timestamp, operationType string, "
+    "ns struct<db:string,coll:string>, to struct<db:string,coll:string>, "
+    "fullDocument string, documentKey string, "
+    "updateDescription struct<updatedFields:string,removedFields:array<string>>, "
+    "lsid string, txnNumber bigint"
+)
+
+
+def source_available(spark: SparkSession, fmt: str) -> bool:
+    """True when a DataSource implementation for ``fmt`` is on the session
+    classpath. A missing source fails lookup with DATA_SOURCE_NOT_FOUND;
+    any other failure (missing options, no path) proves the class loaded."""
+    try:
+        spark.read.format(fmt).load()
+    except Exception as e:  # noqa: BLE001 — classify, don't swallow
+        msg = str(e)
+        return not (
+            "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+        )
+    return True
+
+
+def _require(spark: SparkSession, fmt: str, package: str) -> None:
+    if not source_available(spark, fmt):
+        raise RuntimeError(
+            f"data source '{fmt}' is not on this session's classpath; "
+            f"deploy with --packages {package} to use the live binding"
+        )
+
+
+def read_change_stream(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    start_at_operation_time: str | None = None,
+) -> DataFrame:
+    """S2 production form: the live ``watch()`` tail as a structured
+    stream, normalized to oplog rows (event_reader.go:109-174).
+
+    The connector handles the resume token through the stream checkpoint
+    (restart with the same checkpointLocation = resume the cursor, the
+    reference's fetchStage/resume logic); ``start_at_operation_time``
+    maps its startAtOperationTime knob.
+    """
+    _require(spark, "mongodb", "org.mongodb.spark:mongo-spark-connector_2.13")
+    reader = (
+        spark.readStream.format("mongodb")
+        .option("spark.mongodb.connection.uri", uri)
+        .option("spark.mongodb.database", database)
+        .option("spark.mongodb.collection", collection)
+        # full events, not just the post-image: the converter needs
+        # operationType / documentKey / updateDescription
+        .option("spark.mongodb.change.stream.publish.full.document.only", "false")
+    )
+    if start_at_operation_time is not None:
+        reader = reader.option(
+            "spark.mongodb.change.stream.startup.mode.timestamp.start.at.operation.time",
+            start_at_operation_time,
+        )
+    from mongoshake_spark.operators.transforms import event_to_oplog
+
+    raw = reader.load()
+    # project the connector's columns into the normalized event shape; any
+    # the connector did not supply (e.g. txn fields outside transactions)
+    # arrive as NULL, which event_to_oplog tolerates
+    events = raw.select(
+        "clusterTime", "operationType", "ns", "to", "fullDocument",
+        "documentKey", "updateDescription", "lsid", "txnNumber",
+    )
+    return event_to_oplog(events)
+
+
+def write_kafka_tunnel(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str | None = None,
+    n_shards: int = 8,
+):
+    """S8 production form: shard-keyed JSON frames into Kafka
+    (kafka_writer.go:37-242). Works for both batch and streaming inputs;
+    a streaming input returns the started StreamingQuery.
+
+    Delivery semantics: enable.idempotence + the stream checkpoint give
+    at-least-once into Kafka with no producer reordering — the downstream
+    apply is idempotent (operators/merge), the same end-to-end argument
+    the reference makes for its ack window.
+    """
+    _require(df.sparkSession, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
+    frames = encode_frames(df, n_shards=n_shards).select(
+        F.col("shard").cast("string").alias("key"), "value"
+    )
+    opts = kafka_sink_options(brokers, topic, n_partitions=n_shards)
+    if df.isStreaming:
+        writer = frames.writeStream.format("kafka").options(**opts)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    frames.write.format("kafka").options(**opts).save()
+    return None
+
+
+def read_kafka_tunnel(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    schema: str = OPLOG_WIRE_SCHEMA,
+    starting_offsets: str = "earliest",
+) -> tuple[DataFrame, DataFrame]:
+    """S12 production form: the receiver side of the Kafka tunnel as a
+    structured stream. Returns (decoded_good, corrupt) — the corrupt leg
+    is the replayer's CRC-reject path and belongs in the dead-letter
+    table (W7)."""
+    _require(spark, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    frames = raw.select(
+        F.col("key").cast("string").cast("int").alias("shard"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return split_corrupt_frames(frames, schema)
