@@ -176,7 +176,11 @@ def neardup_pairs(
 
 
 def lsh_buckets(
-    vecs: DataFrame, n_planes: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+    vecs: DataFrame,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH signature (the ANN scale path): sign pattern of
     ``n_planes`` pseudo-random hyperplanes -> one integer bucket. Vectors in
@@ -196,7 +200,10 @@ def lsh_buckets(
     import numpy as np
     import pandas as pd
 
-    dim = len(vecs.select(vec_col).first()[0])
+    if dim is None:
+        # fallback probe — one driver row-fetch (an extra Spark job); pass
+        # ``dim`` explicitly on hot paths to skip it
+        dim = len(vecs.select(vec_col).first()[0])
     planes = np.array(
         [
             [((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5 for d in range(dim)]

@@ -992,7 +992,13 @@ GROUP BY vec_id ORDER BY vec_id"""
 )
 def ann_lsh_buckets(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_buckets(vecs).select("vec_id", "bucket").orderBy("vec_id")
+    # dim pinned to the fixture schema (the oracle bakes p*64 into the
+    # plane formula) — skips the driver-side probe job
+    return (
+        similarity.lsh_buckets(vecs, dim=64)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id")
+    )
 
 
 @_q(
@@ -1065,7 +1071,7 @@ def ann_lsh_topk(spark, sf_dir):
     from mongoshake_spark.functions.similarity import dot_expr, with_norm
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    bucketed = with_norm(similarity.lsh_buckets(vecs), "embedding")
+    bucketed = with_norm(similarity.lsh_buckets(vecs, dim=64), "embedding")
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -1128,6 +1134,39 @@ def q27_delta_roundtrip(spark, sf_dir):
         .agg(F.max(k).alias("k_max"), F.count("*").alias("n_updates"))
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q33_delta_nested",
+    _O
+    + """SELECT id, user_id,
+       '{"arr":{"$resize":3},"k":"' || json_extract_string(o, '$.k') ||
+       '","meta.deep.lvl":"' || CAST(user_id % 5 AS VARCHAR) ||
+       '","meta.tag":"' || CAST(id % 7 AS VARCHAR) || '"}' AS set_json,
+       '["meta.junk","old"]' AS unset_json
+FROM oplog_v WHERE op = 'u' ORDER BY id""",
+    "N7 full nested form (oplog/oplog.go:281-372 recursion): payloads are "
+    "re-encoded as $v:2 diffs with s-field descent two levels deep, a "
+    "top-level delete, a nested delete, and an array-resize l section; "
+    "normalize_delta_update_full must emit the canonical dotted-path "
+    "$set/$unset the oracle reconstructs from the original JSON.",
+)
+def q33_delta_nested(spark, sf_dir):
+    df = _oplog(spark, sf_dir).filter(F.col("op") == "u")
+    k = F.get_json_object(F.col("o"), "$.k")
+    tag = F.pmod(F.col("id"), F.lit(7)).cast("string")
+    lvl = F.pmod(F.col("user_id"), F.lit(5)).cast("string")
+    v2 = F.concat(
+        F.lit('{"$v":2,"diff":{"u":{"k":"'),
+        k,
+        F.lit('"},"d":{"old":false},"sarr":{"l":3},"smeta":{"i":{"tag":"'),
+        tag,
+        F.lit('"},"d":{"junk":false},"sdeep":{"u":{"lvl":"'),
+        lvl,
+        F.lit('"}}}}}'),
+    )
+    out = transforms.normalize_delta_update_full(df.withColumn("o", v2))
+    return out.select("id", "user_id", "set_json", "unset_json").orderBy("id")
 
 
 @_q(
@@ -1323,7 +1362,7 @@ def q31(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(feed_dir)
         )
-        rows: list = []
+        out_dir = f"{tmp}/out"
         # 8 state-store partitions instead of the session's 32: per-batch
         # cost of a stateful stream scales with store instances, and this
         # bounded drain runs 6 micro-batches over a small session-key space
@@ -1333,7 +1372,8 @@ def q31(spark, sf_dir):
             q = (
                 reassemble_transactions(stream)
                 .writeStream.outputMode("append")
-                .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+                .format("parquet")
+                .option("path", out_dir)
                 .option("checkpointLocation", ckpt_dir)
                 .trigger(availableNow=True)
                 .start()
@@ -1341,9 +1381,17 @@ def q31(spark, sf_dir):
             q.awaitTermination(600)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        out = spark.createDataFrame(
-            [(r["lsid"], r["txnNumber"], r["seq"], r["op"], r["ns"], r["o"]) for r in rows],
-            "lsid string, txnNumber bigint, seq bigint, op string, ns string, o string",
+        # emitted rows flow executor->sink->scan, never through the driver;
+        # the eager localCheckpoint detaches the result from the temp dir
+        # (deleted below) while keeping the rows in distributed blocks
+        out_schema = (
+            "lsid string, txnNumber bigint, seq bigint, op string, "
+            "ns string, o string"
+        )
+        out = (
+            spark.read.schema(out_schema)
+            .parquet(out_dir)
+            .localCheckpoint(eager=True)
         )
         return out.orderBy(F.col("lsid").cast("bigint"), "seq")
     finally:

@@ -158,12 +158,22 @@ class SparkCatalogDDL:
                 f"ALTER TABLE {self._tbl(sdb, scoll)} RENAME TO {self._tbl(tdb, tcoll)}"
             )
         else:
-            # Spark cannot rename across databases: CTAS + DROP, preserving
-            # data and (re)setting the moved identity
+            # Spark cannot rename across databases: CTAS + DROP. CTAS copies
+            # data but NOT table properties, so the mongoshake.* specs
+            # (index layout, collmod journal) are carried across explicitly
+            # — dropping them would lose the W12 index state on a cross-db
+            # move.
+            carried = {
+                prop: self._get_prop(sdb, scoll, prop)
+                for prop in (INDEX_PROP, COLLMOD_PROP)
+            }
             self.spark.sql(
                 f"CREATE TABLE {self._tbl(tdb, tcoll)} USING PARQUET AS "
                 f"SELECT * FROM {self._tbl(sdb, scoll)}"
             )
+            for prop, value in carried.items():
+                if value:
+                    self._set_prop(tdb, tcoll, prop, value)
             self.spark.sql(f"DROP TABLE {self._tbl(sdb, scoll)}")
         return "renameCollection"
 
@@ -200,8 +210,12 @@ class SparkCatalogDDL:
         if not isinstance(coll, str) or not self._table_exists(db, coll):
             return "dropIndexes-missing"
         target = o.get("index")  # name or '*' per Mongo's dropIndexes
+        if target is None:
+            # MongoDB errors on dropIndexes without an index argument — a
+            # malformed oplog must not silently wipe every recorded spec
+            return "ignored-illegal"
         existing = self._get_prop(db, coll, INDEX_PROP)
-        kept = [] if target in (None, "*") else [
+        kept = [] if target == "*" else [
             s for s in existing if s.get("name") != target
         ]
         self._set_prop(db, coll, INDEX_PROP, kept)

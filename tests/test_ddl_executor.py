@@ -77,6 +77,34 @@ def test_create_indexes_lands_in_tblproperties(spark, ddl):
     assert {s["name"] for s in specs} == {"type_1"}
 
 
+def test_drop_indexes_without_index_arg_is_illegal(spark, ddl):
+    """ADVICE round-3: MongoDB errors on dropIndexes without an index
+    argument — a malformed oplog must not be treated as '*' and silently
+    wipe every recorded spec."""
+    ddl.execute(
+        "w6a.$cmd",
+        '{"createIndexes":"t3","v":2,"key":{"a":1},"name":"a_1"}',
+    )
+    assert ddl.execute("w6a.$cmd", '{"dropIndexes":"t3"}') == "ignored-illegal"
+    assert {s["name"] for s in ddl._get_prop("w6a", "t3", INDEX_PROP)} == {"a_1"}
+    # the explicit wildcard still clears everything
+    assert ddl.execute("w6a.$cmd", '{"dropIndexes":"t3","index":"*"}') == "dropIndexes"
+    assert ddl._get_prop("w6a", "t3", INDEX_PROP) == []
+
+
+def test_cross_db_rename_preserves_index_properties(spark, ddl):
+    """ADVICE round-3: the CTAS+DROP cross-db rename must carry the
+    mongoshake.* TBLPROPERTIES — losing the W12 index spec on a move is
+    state loss."""
+    ddl.execute("w6a.$cmd", '{"create":"mv"}')
+    ddl.execute(
+        "w6a.$cmd",
+        '{"createIndexes":"mv","v":2,"key":{"b":1},"name":"b_1"}',
+    )
+    ddl.execute("admin.$cmd", '{"renameCollection":"w6a.mv","to":"w6ren.mv2"}')
+    assert {s["name"] for s in ddl._get_prop("w6ren", "mv2", INDEX_PROP)} == {"b_1"}
+
+
 def test_illegal_and_unknown_commands_recorded(spark, ddl):
     assert ddl.execute("w6a.$cmd", '{"create":{"x":1}}') == "ignored-illegal"
     assert ddl.execute("w6a.$cmd", "not-json") == "unparseable"
