@@ -1,0 +1,81 @@
+"""Training-data pipeline: sequence packing and deterministic stratified
+sampling — the batch-shaping steps between a deduped corpus and a
+training run.
+
+Both are pure DataFrame compositions (no UDFs, no driver loops):
+
+- ``pack_sequences``: concat-and-chop packing. Documents are laid out in
+  ``id_col`` order as one virtual token stream; training sequences are
+  consecutive ``budget``-token windows of that stream. Each document gets
+  the sequence id and intra-sequence offset where it STARTS (a document
+  longer than the remaining room straddles the boundary and is chopped by
+  the consumer — the standard pretraining layout, which keeps every
+  sequence exactly full). The document->position map is a global prefix
+  sum over token counts (operators/prefix.running_total: one range
+  exchange, no single-partition window), so the operator scales to a
+  corpus that no single task could order.
+
+- ``sample_strata``: per-stratum downsampling with a PORTABLE
+  multiplicative hash — ``u(id) = ((id * 2654435761) mod 2^32) / 2^32``
+  (Knuth's multiplier) — so the keep decision is reproducible across
+  engines and runs, needs no RNG state, and any oracle can recompute it
+  with integer arithmetic. This is the "data mixing" step: rates express
+  the target corpus composition per language/source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.text import token_count
+from mongoshake_spark.operators.prefix import running_total
+
+KNUTH_MULT = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
+HASH_MOD = 2**32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, seq_id, offset): where each document starts in the
+    chopped ``budget``-token training-sequence stream (see module doc)."""
+    with_counts = docs.select(
+        id_col, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    summed = running_total(
+        with_counts, [id_col], F.col("n_tokens"), "_cum", num_partitions
+    )
+    start = F.col("_cum") - F.col("n_tokens")  # exclusive prefix = start pos
+    return summed.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("bigint").alias("seq_id"),
+        (start % F.lit(budget)).cast("bigint").alias("offset"),
+    )
+
+
+def sample_strata(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff u(id) < rate(stratum); u is the portable
+    multiplicative hash above. Deterministic, engine-reproducible, and a
+    stratum's kept set is a SUBSET of any higher rate's kept set (the
+    keep threshold moves, the hash does not) — re-mixing with new rates
+    never resamples from scratch."""
+    u = (
+        F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH_MULT), F.lit(HASH_MOD))
+        / F.lit(float(HASH_MOD))
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)

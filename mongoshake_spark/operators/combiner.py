@@ -35,49 +35,16 @@ def ddl_barriers(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     increments at each DDL so the apply kernel can execute segments
     sequentially (segment k, then DDL k, then segment k+1 ...).
 
-    Two-pass distributed prefix sum — the global running count over
-    (ts, id) order WITHOUT a single-partition window (which would funnel
-    the whole table through one task at scale):
-
-    1. ``repartitionByRange(n, ts, id)`` makes partition boundaries respect
-       the global order (partition p's keys all precede partition p+1's);
-       a window partitioned by ``spark_partition_id()`` then computes the
-       LOCAL inclusive running DDL count per partition in parallel.
-    2. Per-partition DDL totals (n rows — metadata-sized) get their
-       exclusive prefix sum via a tiny triangular self-join (no
-       partition-less window anywhere in the plan, which
-       tests/test_plans.py gates), and the offsets broadcast-join back.
-
-    The ranged exchange is locally checkpointed so both passes observe the
-    same partition ids (range boundaries come from sampling and are not
-    otherwise guaranteed identical across re-evaluations) — and, unlike a
-    bare ``persist``, the blocks free when the result goes out of scope
-    instead of accumulating across calls in a long-lived session.
+    The global running DDL count over (ts, id) order is a two-pass
+    distributed prefix sum (operators/prefix.running_total) — no
+    single-partition window anywhere in the plan, which
+    tests/test_plans.py gates.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from mongoshake_spark.operators.prefix import running_total
+
     flag = F.when(F.col("op") == "c", 1).otherwise(0)
-    ranged = (
-        df.repartitionByRange(n, "ts", "id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    wl = (
-        Window.partitionBy("_pid")
-        .orderBy("ts", "id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("_local", F.sum(flag).over(wl))
-    tot = ranged.groupBy("_pid").agg(F.sum(flag).alias("_t"))
-    a, b = tot.alias("a"), tot.alias("b")
-    offsets = (
-        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_off"))
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("barrier_id", (F.col("_local") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_local", "_off")
+    return running_total(
+        df, ["ts", "id"], flag, "barrier_id", num_partitions
     )
 
 

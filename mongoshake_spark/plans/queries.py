@@ -1137,6 +1137,57 @@ def q27_delta_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "pack_sequences",
+    """WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(start / 2048.0) AS BIGINT) AS seq_id,
+       CAST(start % 2048 AS BIGINT) AS "offset"
+FROM c ORDER BY doc_id""",
+    "Training-sequence packing (concat-and-chop): documents laid out in "
+    "doc_id order as one token stream, chopped into 2048-token sequences; "
+    "each doc's (seq_id, offset) via a two-pass distributed prefix sum — "
+    "the oracle's single-partition window is exactly the plan shape the "
+    "operator exists to avoid (plan-gated in tests/test_plans.py).",
+)
+def pack_sequences_q(spark, sf_dir):
+    from mongoshake_spark.functions.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048).orderBy("doc_id")
+
+
+@_q(
+    "sample_stratified",
+    """SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) / 4294967296.0 <
+      CASE lang WHEN 'en' THEN 0.35 WHEN 'zh' THEN 0.6 ELSE 0.9 END
+GROUP BY lang ORDER BY lang""",
+    "Deterministic stratified sampling (data mixing): per-language keep "
+    "rates via a portable Knuth multiplicative hash of doc_id — "
+    "reproducible across engines/runs, no RNG state, and lower rates keep "
+    "subsets of higher rates (re-mixing never resamples from scratch).",
+)
+def sample_stratified_q(spark, sf_dir):
+    from mongoshake_spark.functions.packing import sample_strata
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_strata(docs, {"en": 0.35, "zh": 0.6}, default_rate=0.9)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+@_q(
     "q33_delta_nested",
     _O
     + """SELECT id, user_id,

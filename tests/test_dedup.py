@@ -178,3 +178,36 @@ def test_duplicate_clusters_star_closes_long_chains(spark):
         ).collect()
     }
     assert prop == star
+
+
+def test_pack_sequences_chops_at_budget(spark):
+    """Concat-and-chop semantics: positions follow the running token
+    stream; a doc straddling the budget boundary starts in the earlier
+    sequence at its true offset."""
+    from mongoshake_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "j")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["offset"])
+        for r in pack_sequences(docs, budget=4).collect()
+    }
+    # stream: doc1 [0,3) seq0; doc2 [3,7) starts seq0@3, straddles into
+    # seq1; doc3 [7,9) seq1@3, straddles; doc4 [9,10) seq2@1
+    assert got == {1: (3, 0, 0), 2: (4, 0, 3), 3: (2, 1, 3), 4: (1, 2, 1)}
+
+
+def test_sample_strata_subset_property(spark):
+    """Lower keep-rates must select SUBSETS of higher rates (the hash is
+    fixed, only the threshold moves) — re-mixing never resamples."""
+    from mongoshake_spark.functions.packing import sample_strata
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en") for i in range(500)], "doc_id bigint, text string, lang string"
+    )
+    low = {r["doc_id"] for r in sample_strata(docs, {"en": 0.2}).collect()}
+    high = {r["doc_id"] for r in sample_strata(docs, {"en": 0.6}).collect()}
+    assert low <= high
+    assert 0.1 < len(low) / 500 < 0.3 and 0.5 < len(high) / 500 < 0.7

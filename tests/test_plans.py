@@ -165,3 +165,20 @@ def test_ddl_barriers_no_single_partition_window(spark, sf_dir):
         )
     # and the numbering still exists
     assert "barrier_id" in df.columns
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """Sequence packing is a global prefix sum — the naive plan is ONE
+    task ordering the whole corpus; the two-pass form must leave no
+    partition-less window in the plan (same contract as ddl_barriers)."""
+    import re
+
+    from mongoshake_spark.functions.packing import pack_sequences
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
+    plan = _plan(df)
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            f"partition-less window found: windowspecdefinition({first_arg}, ...)"
+        )
+    assert {"seq_id", "offset"} <= set(df.columns)
