@@ -1188,6 +1188,101 @@ def sample_stratified_q(spark, sf_dir):
 
 
 @_q(
+    "q36_applyops_roundtrip",
+    _O
+    + """SELECT op, count(*) AS cnt, count(DISTINCT user_id) AS nu,
+       CAST(sum(length(o)) AS BIGINT) AS o_len_sum
+FROM oplog_v WHERE op IN ('i', 'u', 'd') GROUP BY op ORDER BY op""",
+    "N9 GatherApplyOps -> B4 flattening roundtrip (oplog/oplog.go:231-272, "
+    "txn_buffer.go:318-361): CRUD rows wrapped per-user into applyOps "
+    "command documents, then exploded back; the multiset of (op, payload) "
+    "per user must survive byte-for-byte (count, user spread, payload "
+    "length checksum).",
+)
+def q36_applyops(spark, sf_dir):
+    base = _oplog(spark, sf_dir).filter(F.col("op").isin("i", "u", "d"))
+    wrapped = transforms.gather_apply_ops(
+        base.select("user_id", "op", "ns", "o"), ["user_id"]
+    )
+    flat = transforms.flatten_apply_ops(wrapped)
+    return (
+        flat.groupBy("op")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("nu"),
+            F.sum(F.length("o")).alias("o_len_sum"),
+        )
+        .orderBy("op")
+    )
+
+
+@_q(
+    "q35_db_fanout",
+    _O
+    + """, f AS (
+  SELECT id, split_part(ns, '.', 1) AS db,
+         substr(ns, length(split_part(ns, '.', 1)) + 1) AS rest
+  FROM oplog_v
+), e AS (
+  SELECT id,
+         unnest(CASE WHEN db = 'db0' THEN ['db0_a', 'db0_b']
+                     WHEN db = 'db2' THEN ['db2x']
+                     ELSE [db] END) || rest AS ns
+  FROM f
+)
+SELECT ns, count(*) AS cnt, CAST(sum(id) AS BIGINT) AS id_sum
+FROM e GROUP BY ns ORDER BY ns""",
+    "N5 DBTransform fanout (transform.go:43-71): db-level 1->N routing — "
+    "db0 rows duplicate into db0_a and db0_b, db2 renames to db2x, the "
+    "rest pass through; per-target-ns count and id checksum.",
+)
+def q35_db_fanout(spark, sf_dir):
+    fanned = transforms.db_fanout(
+        _oplog(spark, sf_dir), {"db0": ["db0_a", "db0_b"], "db2": ["db2x"]}
+    )
+    return (
+        fanned.groupBy("ns")
+        .agg(F.count("*").alias("cnt"), F.sum("id").alias("id_sum"))
+        .orderBy("ns")
+    )
+
+
+@_q(
+    "q34_dbref_rewrite",
+    _O
+    + """SELECT id, user_id,
+       '{"a":' || json_extract_string(o, '$.k') ||
+       ',"ref":{"$ref":"c' || CAST(id % 3 AS VARCHAR) ||
+       '","$db":"' || CASE WHEN user_id % 2 = 1 THEN 'tgt1' ELSE 'db0' END ||
+       '","$id":' || CAST(id AS VARCHAR) ||
+       '},"refs":[{"$ref":"t","$db":"tgt1"}]}' AS o
+FROM oplog_v WHERE op = 'u' ORDER BY id""",
+    "N6 TransformDBRef (transform.go:73-106): payloads re-encoded with "
+    "DBRef sub-documents at top level AND inside an array; the recursive "
+    "rewrite must rename only refs whose db matches the rule (db1->tgt1), "
+    "byte-for-byte against the oracle's reconstruction.",
+)
+def q34_dbref(spark, sf_dir):
+    base = _oplog(spark, sf_dir).filter(F.col("op") == "u")
+    k = F.get_json_object(F.col("o"), "$.k")
+    coll = F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+    db = F.concat(F.lit("db"), (F.col("user_id") % 2).cast("string"))
+    o = F.concat(
+        F.lit('{"a":'),
+        k,
+        F.lit(',"ref":{"$ref":"'),
+        coll,
+        F.lit('","$db":"'),
+        db,
+        F.lit('","$id":'),
+        F.col("id").cast("string"),
+        F.lit('},"refs":[{"$ref":"t","$db":"db1"}]}'),
+    )
+    out = transforms.transform_dbref(base.withColumn("o", o), [("db1", "tgt1")])
+    return out.select("id", "user_id", "o").orderBy("id")
+
+
+@_q(
     "q33_delta_nested",
     _O
     + """SELECT id, user_id,
