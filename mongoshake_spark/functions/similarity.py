@@ -175,6 +175,138 @@ def neardup_pairs(
     )
 
 
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its nearest centroid by
+    cosine (tiebreak: lower centroid id). ``centroids`` is small (the IVF
+    list count) and broadcast; the argmax is a hash aggregate over a
+    (cos, -cid) struct — map-side partial combine, no window, so the
+    corpus never shuffles more than one (id, cell) pair per vector."""
+    scored = vecs.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
+        id_col,
+        vec_col,
+        "cid",
+        F.expr(cosine_expr(vec_col, "cvec")).alias("cs"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(F.col(id_col), (-F.col("m.ncid")).alias("cell"))
+    )
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_ids,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_mod: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: centroids are a deterministic sample of
+    the corpus (``id % centroid_mod == 0`` — the "random sample" init of a
+    trained IVF index, reproducible across engines without RNG state), the
+    corpus is partitioned into cells by nearest centroid, and each query
+    probes only its ``n_probe`` nearest cells.
+
+    Scale shape: centroids and the probe map are tiny and broadcast; the
+    only corpus-sized operations are one broadcast-join cell assignment
+    (aggregate, not window) and one broadcast semi-join restricting the
+    scan to probed cells — candidate scoring touches |probed cells| of the
+    corpus instead of all of it. The final top-k window partitions by
+    query_id (small side)."""
+    unit = with_norm(vecs, vec_col)
+    centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    # inline cell assignment carrying the vector+norm through the aggregate
+    # (one map-side-combined shuffle; avoids a corpus self-join with
+    # ivf_assign's (id, cell) output)
+    assigned = (
+        unit.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "vnorm",
+            "cid",
+            (F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias(
+                "cs"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.any_value(vec_col).alias(vec_col),
+            F.any_value("vnorm").alias("vnorm"),
+        )
+        .select(
+            F.col(id_col), vec_col, "vnorm", (-F.col("m.ncid")).alias("cell")
+        )
+    )
+    queries = unit.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    # probe map: per query, the n_probe nearest centroids (query set is
+    # small — a driver-free window over |queries| x |centroids| rows)
+    probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "cid",
+        F.expr(dot_expr("qvec", "cvec")).alias("dot"),
+        (F.col("qnorm") * F.col("cnorm")).alias("nn"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.col("nn")).desc(), F.col("cid").asc()
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # candidates: corpus rows whose cell is probed by some query
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            "cell",
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("qvec", "cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_buckets(
     vecs: DataFrame,
     n_planes: int = 16,

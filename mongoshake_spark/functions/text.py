@@ -80,6 +80,108 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Repetition signals (Gopher-style repetition filters) ---------------
+#
+# Training-corpus quality filters flag documents dominated by repeated
+# n-grams. Two standard signals, both exact integers so the DuckDB oracle
+# matches bit-for-bit:
+#   top_bigram_n     : occurrences of the document's most frequent bigram
+#   dup_trigram_n    : number of trigram instances whose trigram occurs
+#                      more than once within the document
+# The fraction forms (top_bigram_n*2/n_tokens etc.) are left to the caller
+# so no float crosses the oracle boundary.
+
+
+def _ngram_col(toks: Column, n: int) -> Column:
+    """Token n-grams as an array column — pure higher-order expressions,
+    whole-stage codegen, empty array when the doc is shorter than n."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics over token bigrams/trigrams.
+
+    Scale shape: explode -> groupBy(doc_id, gram) -> count runs with
+    map-side partial aggregation; the per-document argmax is a second
+    hash aggregate (max of a (count, gram) struct — NO window, so no
+    single-partition hazard and partial combine applies). Shuffles carry
+    (doc_id, gram) pairs only, never the document text.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        _ngram_col(F.col("toks"), 2).alias("bigrams"),
+        _ngram_col(F.col("toks"), 3).alias("trigrams"),
+    )
+    bi = (
+        base.select("doc_id", F.explode("bigrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.gram").alias("top_bigram"),
+            F.col("m.cnt").alias("top_bigram_n"),
+        )
+    )
+    tri = (
+        base.select("doc_id", F.explode("trigrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "dup_trigram_n"
+            )
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.coalesce("dup_trigram_n", F.lit(0)).alias("dup_trigram_n"),
+        )
+    )
+
+
+# --- PII scrubbing -------------------------------------------------------
+#
+# Regexes restricted to the Java-regex / RE2 common subset (no lookaround,
+# no backrefs) so Spark and the DuckDB oracle agree literally.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and phone-shaped numbers, reporting match
+    counts and a fingerprint of the scrubbed text. Pure column expressions
+    (regexp_count / regexp_replace are JVM-side; replace-all semantics on
+    both engines)."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("fp_scrubbed"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: rolling polynomial hash (oracle-portable) plus
     md5 (both engines agree on md5 of the raw text). For pure-Spark use at

@@ -1579,6 +1579,185 @@ def q32(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline quality filters (round 4): repetition, PII, composed
+# keep-set, IVF ANN
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n_tokens FROM base),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM sized),
+bgc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram),
+bgtop AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+    FROM bgc) WHERE rn = 1),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM sized WHERE len(t) >= 3),
+tgc AS (SELECT doc_id, gram, count(*) AS cnt FROM tg GROUP BY doc_id, gram),
+tgdup AS (
+  SELECT doc_id, CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_trigram_n
+  FROM tgc GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(b.top_bigram, '') AS top_bigram,
+       coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+       coalesce(d.dup_trigram_n, 0) AS dup_trigram_n
+FROM sized s LEFT JOIN bgtop b ON s.doc_id = b.doc_id
+LEFT JOIN tgdup d ON s.doc_id = d.doc_id
+ORDER BY s.doc_id"""
+
+
+@_q(
+    "text_repetition",
+    _REPETITION_ORACLE,
+    "Repetition quality filters (Gopher-style): per-document most-frequent "
+    "bigram count + duplicated-trigram instance count. Explode -> "
+    "map-side-combined counts -> struct-max argmax (no corpus-wide window).",
+)
+def text_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.repetition_signals(docs).orderBy("doc_id")
+
+
+# PII scrubbing over a constructed corpus variant: the fixture text is
+# synthetic lowercase tokens with no contact strings, so both engines
+# append deterministic email/phone-shaped suffixes derived from doc_id —
+# the q29 construction-variable oracle pattern — making redaction counts
+# and the scrubbed fingerprint non-vacuous.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+)
+
+_PII_ORACLE = rf"""WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+             '\b[0-9]{{3}}-[0-9]{{4}}\b', '<PHONE>', 'g')) AS fp_scrubbed
+FROM aug ORDER BY doc_id"""
+
+
+@_q(
+    "text_pii_scrub",
+    _PII_ORACLE,
+    "PII redaction: email + phone regex scrub with match counts and a "
+    "fingerprint of the scrubbed text (regexes in the Java/RE2 common subset).",
+)
+def text_pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return textfn.scrub_pii(aug).orderBy("doc_id")
+
+
+_KEEPSET_ORACLE = f"""WITH sig AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS n_stopwords
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM sig
+  WHERE n_tokens >= 20 AND n_stopwords * 20 >= n_tokens
+    AND n_stopwords >= 2 AND n_stopwords * 50 >= n_tokens),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+  FROM kept GROUP BY md5(text))
+SELECT doc_id, n_tokens FROM dedup ORDER BY doc_id"""
+
+
+@_q(
+    "quality_keepset",
+    _KEEPSET_ORACLE,
+    "Composed corpus-curation pipeline: quality-class filter + language-ID "
+    "gate + exact dedup (keep lowest doc_id) in one pass — the keep-set a "
+    "training-data pipeline actually materializes. Signals are computed "
+    "once per document; the only shuffle carries (md5, doc_id, n_tokens).",
+)
+def quality_keepset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    sig = docs.select(
+        "doc_id",
+        "text",
+        textfn.token_count(c).alias("n_tokens"),
+        textfn.stopword_count(c).alias("n_stopwords"),
+    )
+    kept = sig.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stopwords") * 20 >= F.col("n_tokens"))
+        & (F.col("n_stopwords") >= 2)
+        & (F.col("n_stopwords") * 50 >= F.col("n_tokens"))
+    )
+    return (
+        kept.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("n_tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_IVF_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cvec, vnorm AS cnorm FROM v WHERE vec_id % 29 = 0),
+assign AS (
+  SELECT vec_id, embedding, vnorm, cid AS cell FROM (
+    SELECT v.vec_id, v.embedding, v.vnorm, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_dd_dot('v.embedding', 'c.cvec')} / (v.vnorm * c.cnorm) DESC, c.cid) AS rn
+    FROM v CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, vnorm AS qnorm FROM v WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_dd_dot('q.qvec', 'c.cvec')} / (q.qnorm * c.cnorm) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_dd_dot('q.qvec', 'a.embedding')} / (q.qnorm * a.vnorm), 6) AS cos_sim
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_ivf_topk",
+    _IVF_ORACLE,
+    "IVF-flat ANN: deterministic sampled centroids, nearest-centroid cell "
+    "assignment (broadcast join + struct-max aggregate), n_probe=2 cell "
+    "probe per query — candidate scoring touches only probed cells. The "
+    "oracle replays the identical index construction, so recall loss vs "
+    "brute force is part of the pinned contract.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        vecs, list(range(10)), k=5, n_probe=2, centroid_mod=29
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,114 @@
+"""Unit tests for the round-4 corpus-curation operators: repetition
+signals, PII scrubbing, the composed keep-set, and IVF ANN."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions import similarity
+from mongoshake_spark.functions import text as textfn
+from mongoshake_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_signals_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            # bigrams: 'a b' x3, 'b a' x2, 'b c' x1 -> top 'a b' 3
+            # trigrams: 'a b a' x2, 'b a b' x2, 'a b c' x1 -> dup instances 4
+            (1, "a b a b a b c"),
+            (2, "x"),  # too short for any n-gram
+            (3, "p q r"),  # all unique
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textfn.repetition_signals(docs).collect()
+    }
+    assert got[1]["top_bigram"] == "a b"
+    assert got[1]["top_bigram_n"] == 3
+    assert got[1]["dup_trigram_n"] == 4
+    assert got[1]["n_tokens"] == 7
+    assert got[2]["top_bigram"] == "" and got[2]["top_bigram_n"] == 0
+    assert got[2]["dup_trigram_n"] == 0
+    assert got[3]["top_bigram_n"] == 1 and got[3]["dup_trigram_n"] == 0
+
+
+def test_repetition_top_bigram_tiebreak_is_lexicographic_max(spark):
+    # two bigrams tie at 2 ('a b' and 'c d'); struct-max picks the
+    # lexicographically greatest gram — pinned so the oracle (row_number
+    # ORDER BY cnt DESC, gram DESC) stays in lockstep
+    docs = _docs(spark, [(1, "a b x c d y a b z c d")])
+    row = textfn.repetition_signals(docs).collect()[0]
+    assert row["top_bigram"] == "c d"
+    assert row["top_bigram_n"] == 2
+
+
+def test_scrub_pii_counts_and_fingerprint(spark):
+    text = "mail bob.smith@corp.io and x@y.net or dial 555-0199 now"
+    expect = "mail <EMAIL> and <EMAIL> or dial <PHONE> now"
+    docs = _docs(spark, [(7, text)])
+    row = textfn.scrub_pii(docs).collect()[0]
+    assert row["n_emails"] == 2
+    assert row["n_phones"] == 1
+    assert row["fp_scrubbed"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    text = "no contact info here at all"
+    docs = _docs(spark, [(1, text)])
+    row = textfn.scrub_pii(docs).collect()[0]
+    assert row["n_emails"] == 0 and row["n_phones"] == 0
+    assert row["fp_scrubbed"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_ivf_assign_covers_corpus(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = vecs.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assign = similarity.ivf_assign(vecs, cents)
+    n = vecs.count()
+    assert assign.count() == n  # every vector assigned exactly once
+    cells = {r["cell"] for r in assign.select("cell").distinct().collect()}
+    cids = {r["cid"] for r in cents.collect()}
+    assert cells <= cids
+
+
+def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(5))
+    ivf = similarity.ivf_topk(vecs, qids, k=5, n_probe=2).collect()
+    brute = similarity.brute_topk(vecs, qids, k=5).collect()
+    assert ivf, "ivf returned nothing"
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["query_id"]
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # approximate index: demand SOME overlap with the exact answer, not
+    # perfect recall (n_probe=2 of ~n/29 cells)
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(bset & iset) > 0
+
+
+def test_quality_keepset_is_filtered_and_unique(spark, sf_dir):
+    from mongoshake_spark.plans import QUERIES
+
+    kept = QUERIES["quality_keepset"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = kept.join(docs, "doc_id").select("doc_id", "text", "n_tokens")
+    rows = joined.collect()
+    assert rows
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))  # exact-dedup held
+    for r in rows:
+        assert r["n_tokens"] >= 20
