@@ -71,7 +71,20 @@ def main() -> None:
     # All totals are reported so a regression in either mode is
     # attributable (round-2 lesson: the pooled-only number could not
     # distinguish host noise from a code regression).
-    pooled = [run_workload(POOL) for _ in range(2)]
+    def drain_session() -> None:
+        # Free Python-side references so the ContextCleaner can drop
+        # accumulated localCheckpoint RDD blocks / broadcast vars between
+        # passes — otherwise the serial pass measures a session polluted
+        # by ~112 prior query executions, not steady-state query cost.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+
+    pooled = []
+    for _ in range(2):
+        pooled.append(run_workload(POOL))
+        drain_session()
     serial_total, serial_timings = run_workload(1)
     total, timings = min(pooled, key=lambda x: x[0])
     print(

@@ -622,3 +622,61 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b", "common", "na", "nb")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level duplication (the Lee et al. 2021 "Deduplicating
+    Training Data" shape, re-expressed relationally): find every ``w``-token
+    window that occurs more than once ANYWHERE in the corpus, and report per
+    document how much of it is covered by such duplicated spans.
+
+    Output: (doc_id, n_dup_positions, dup_token_cov) for documents with at
+    least one duplicated window — ``n_dup_positions`` is the number of
+    window start positions whose window is corpus-duplicated and
+    ``dup_token_cov`` the token count of the UNION of those [p, p+w) spans
+    (overlaps merged), all exact integers.
+
+    Scale shape: the corpus explodes to (doc_id, pos, md5(window)) rows —
+    never the text itself; duplicated keys are found with one
+    map-side-combined count on the 128-bit hash (high-cardinality key, so
+    the shuffle parallelizes arbitrarily; a suffix array is the
+    single-machine tool for this job, the hash-join is the cluster one).
+    The interval union is a per-document running-max window — partitioned
+    by doc_id, so no global ordering funnel.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(id_col, F.posexplode(grams).alias("p", "gram")).select(
+        id_col, "p", F.md5("gram").alias("h")
+    )
+    dup_keys = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup_pos = sh.join(dup_keys.select("h"), "h").select(id_col, "p")
+    from pyspark.sql import Window
+
+    prev_end = F.max(F.col("p") + w).over(
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = (F.col("p") + w) - F.greatest(
+        F.coalesce(prev_end, F.col("p")), F.col("p")
+    )
+    return (
+        dup_pos.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_dup_positions"),
+            F.sum("contrib").cast("bigint").alias("dup_token_cov"),
+        )
+    )

@@ -79,3 +79,36 @@ def sample_strata(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
     return docs.filter(u < rate)
+
+
+def epoch_mix(
+    docs: DataFrame,
+    weights_pct: dict[str, int],
+    stratum_col: str = "lang",
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-weighted corpus mixing (upsampling): materialize each document
+    ``weight`` times, where weight is a per-stratum epoch count in integer
+    PERCENT (240 = 2.4 epochs). Whole epochs replicate every document; the
+    fractional epoch keeps the deterministic ``u(id) < frac`` subset (same
+    Knuth hash as ``sample_strata``, so the fractional subset is stable
+    across remixes and nests across rates).
+
+    Adds ``_copy`` (1-based epoch index) and drops rows with zero copies.
+    All-integer keep arithmetic: ``u*100 < (pct % 100) * 2^32`` — exact on
+    any engine, no float thresholds. Explode-by-sequence is map-only (no
+    shuffle); output size = sum of weights, which is the point.
+    """
+    pct = F.lit(int(default_pct))
+    for stratum, p in sorted(weights_pct.items()):
+        pct = F.when(F.col(stratum_col) == stratum, F.lit(int(p))).otherwise(pct)
+    u = F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH_MULT), F.lit(HASH_MOD))
+    extra = (u * 100 < (pct % 100) * F.lit(HASH_MOD)).cast("int")
+    n_copies = (pct / 100).cast("int") + extra
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("_copy", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

@@ -1712,6 +1712,78 @@ def quality_keepset(spark, sf_dir):
     )
 
 
+_DUPSPAN_ORACLE = """WITH sized AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p
+  FROM sized WHERE len(t) >= 8),
+sh AS (SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS h FROM pos),
+dupk AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+dup_pos AS (SELECT doc_id, p FROM sh JOIN dupk USING (h)),
+cov AS (
+  SELECT doc_id, p,
+         max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup_pos)
+SELECT doc_id, count(*) AS n_dup_positions,
+       CAST(sum(p + 8 - greatest(coalesce(prev_end, p), p)) AS BIGINT) AS dup_token_cov
+FROM cov GROUP BY doc_id ORDER BY doc_id"""
+
+
+@_q(
+    "dedup_spans",
+    _DUPSPAN_ORACLE,
+    "Exact substring-level duplication (Lee et al. 2021 shape): every "
+    "8-token window occurring more than once corpus-wide, reported as "
+    "per-document duplicated-span coverage (interval union, exact "
+    "integers). Shuffles only (doc_id, pos, md5) rows on a "
+    "high-cardinality hash key; the interval union windows per doc_id.",
+)
+def dedup_spans_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark positions are 0-based, the oracle's 1-based — irrelevant to the
+    # outputs, which are position-origin-free counts.
+    return dedup.duplicate_spans(docs, w=8).orderBy("doc_id")
+
+
+_EPOCH_MIX_ORACLE = """WITH w AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         CASE lang WHEN 'en' THEN 240 WHEN 'zh' THEN 150 ELSE 100 END AS pct,
+         (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) AS u
+  FROM documents),
+c AS (
+  SELECT lang, n_tokens,
+         pct // 100 + CASE WHEN u * 100 < (pct % 100) * 4294967296 THEN 1 ELSE 0 END AS n_copies
+  FROM w)
+SELECT lang, CAST(sum(n_copies) AS BIGINT) AS copies,
+       CAST(sum(n_copies * n_tokens) AS BIGINT) AS tok_sum
+FROM c WHERE n_copies >= 1 GROUP BY lang ORDER BY lang"""
+
+
+@_q(
+    "epoch_mix",
+    _EPOCH_MIX_ORACLE,
+    "Epoch-weighted corpus mixing: en x2.4, zh x1.5, rest x1.0 — whole "
+    "epochs replicate every doc, the fractional epoch keeps a "
+    "deterministic hash subset (integer-exact keep rule). The Spark side "
+    "MATERIALIZES the mixed corpus (explode-by-sequence, map-only) and "
+    "aggregates it; the oracle recomputes the arithmetic equivalent.",
+)
+def epoch_mix_q(spark, sf_dir):
+    from mongoshake_spark.functions.packing import epoch_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = epoch_mix(docs, {"en": 240, "zh": 150}, default_pct=100)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").alias("copies"),
+            F.sum(textfn.token_count(F.col("text"))).alias("tok_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 _IVF_ORACLE = f"""WITH v AS (
   SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
   FROM embeddings),

@@ -182,3 +182,24 @@ def test_pack_sequences_no_single_partition_window(spark, sf_dir):
             f"partition-less window found: windowspecdefinition({first_arg}, ...)"
         )
     assert {"seq_id", "offset"} <= set(df.columns)
+
+
+def test_ivf_topk_broadcasts_small_sides(spark, sf_dir):
+    """IVF ANN: centroids, the probe map and the query set are the small
+    sides and must broadcast; the corpus-sized cell assignment must be an
+    aggregate (map-side partial combine), not a corpus-wide window. The
+    only windows allowed are partitioned by query_id (the tiny side)."""
+    import re
+
+    from mongoshake_spark.functions.similarity import ivf_topk
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(vecs, list(range(10)), k=5, n_probe=2)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    # corpus-wide argmax is a partial-aggregated hash aggregate
+    assert "partial_max" in plan or "HashAggregate" in plan
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "query_id" in first_arg, (
+            f"window partitioned on unexpected column: {first_arg}"
+        )

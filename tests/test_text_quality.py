@@ -112,3 +112,61 @@ def test_quality_keepset_is_filtered_and_unique(spark, sf_dir):
     assert len(texts) == len(set(texts))  # exact-dedup held
     for r in rows:
         assert r["n_tokens"] >= 20
+
+
+def test_duplicate_spans_interval_union(spark):
+    from mongoshake_spark.functions.dedup import duplicate_spans
+
+    # w=4: docs 1 and 2 share the window 'a b c d'; doc 1 contains it at
+    # p=0 and p=4, and its middle windows ('b c d a', 'c d a b', 'd a b c')
+    # occur only once corpus-wide
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d a b c d"),
+            (2, "x y a b c d z w"),
+            (3, "q r s t u v"),  # no duplicated window
+        ],
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, w=4).collect()}
+    assert 3 not in got
+    # doc2: only 'a b c d' at p=2 duplicated -> cov 4, positions 1
+    assert got[2]["n_dup_positions"] == 1 and got[2]["dup_token_cov"] == 4
+    # doc1: 'a b c d' at p=0 and p=4; middle windows 'b c d a','c d a b',
+    # 'd a b c' each appear TWICE within doc1? (p=1..3 only once) -> dup
+    # positions are 0 and 4, spans [0,4) u [4,8) = 8 tokens
+    assert got[1]["n_dup_positions"] == 2 and got[1]["dup_token_cov"] == 8
+
+
+def test_duplicate_spans_overlap_merges(spark):
+    from mongoshake_spark.functions.dedup import duplicate_spans
+
+    # 'a b c a b c a b' (w=3): the six windows are abc/bca/cab/abc/bca/cab
+    # — every window duplicated, and their union covers the whole 8-token
+    # doc despite heavy overlap
+    docs = _docs(spark, [(1, "a b c a b c a b")])
+    row = duplicate_spans(docs, w=3).collect()[0]
+    assert row["n_dup_positions"] == 6
+    assert row["dup_token_cov"] == 8
+
+
+def test_epoch_mix_copy_counts(spark):
+    from mongoshake_spark.functions.packing import epoch_mix, KNUTH_MULT, HASH_MOD
+
+    rows = [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    mixed = epoch_mix(docs, {"en": 250, "zh": 100}, default_pct=100)
+    per = {
+        (r["doc_id"]): r["copies"]
+        for r in mixed.groupBy("doc_id").agg(F.count("*").alias("copies")).collect()
+    }
+    for i in range(100):
+        u = (i * KNUTH_MULT) % HASH_MOD
+        if i % 2 == 0:
+            expect = 2 + (1 if u * 100 < 50 * HASH_MOD else 0)
+        else:
+            expect = 1
+        assert per.get(i, 0) == expect, (i, per.get(i), expect)
+    # _copy is a 1-based contiguous epoch index
+    copies = mixed.filter(F.col("doc_id") == 0).select("_copy").collect()
+    assert sorted(c["_copy"] for c in copies) == list(range(1, len(copies) + 1))
