@@ -1,0 +1,222 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+train/test decontamination, token-budget sharding, per-domain caps, and
+corpus-level token document-frequency quality signals.
+
+These are the stages between a deduped corpus and a training run that no
+single-document operator covers — each needs corpus-global state (an eval
+n-gram set, a global token order, per-domain ranks, a vocabulary DF table)
+and is expressed so that state flows through joins/aggregations rather
+than driver-side collection:
+
+- ``decontaminate``: the GPT-3/Llama-style eval-overlap check — flag any
+  corpus document sharing a token n-gram with a held-out evaluation set.
+  Published pipelines use 8-13-gram overlap; the n is a parameter.
+- ``shard_by_token_budget``: deterministic global shuffle (portable
+  multiplicative hash — no RNG state, reproducible across engines) plus
+  token-budget shard assignment via the shared distributed prefix sum, so
+  every output shard holds ~``budget`` tokens regardless of document
+  length skew.
+- ``cap_per_domain``: CCNet/RefinedWeb-style per-source document caps,
+  keeping the top-``cap`` by a deterministic quality order.
+- ``token_df_signals``: vocabulary document frequencies joined back per
+  document — the exact-integer stand-in for an LM quality filter (rare
+  garbage tokens have DF 1; boilerplate-heavy docs have high mean DF).
+
+All outputs are integer-valued (oracle-exact, no float thresholds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT
+from mongoshake_spark.functions.text import _ngram_col, token_count, tokens
+from mongoshake_spark.operators.prefix import running_total
+
+
+def _doc_ngrams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) — DISTINCT token n-grams per document, exploded. The
+    distinct runs per-partition before the shuffle (groupBy on the pair),
+    so duplicate grams inside one document never cross the wire twice."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_ngram_col(tokens(F.col(text_col)), n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.lit(1))
+        .select(id_col, "gram")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/test decontamination by n-gram overlap.
+
+    Returns one row per corpus document: ``(id_col, n_grams,
+    n_contaminated, contaminated)`` where ``n_grams`` counts the document's
+    distinct token n-grams and ``n_contaminated`` how many of those also
+    occur anywhere in ``eval_docs``. Published pretraining pipelines drop
+    or span-mask documents with ``contaminated = true``.
+
+    Scale shape: the eval n-gram set is vocabulary-sized relative to a
+    100 TB corpus (benchmarks are MBs), so it broadcasts and the overlap
+    check is a map-side broadcast LEFT SEMI-shaped join — the corpus-side
+    grams never shuffle to count hits. Set ``broadcast_eval=False`` when
+    the eval side is genuinely large; the join then shuffles both sides on
+    the gram (high-cardinality key, AQE-skew-safe). The final aggregate is
+    a map-side-combinable count per document.
+    """
+    corpus_grams = _doc_ngrams(corpus, n, text_col, id_col)
+    eval_grams = _doc_ngrams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        corpus_grams.join(eval_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + token-budget shard assignment.
+
+    Documents are ordered by ``u = ((id + seed) * KNUTH) mod 2^32`` (ties
+    broken by id) — a portable multiplicative hash, so the training order
+    is reproducible across engines and runs and re-keyable by seed — then
+    laid out as one token stream and cut into shards of ~``budget`` tokens:
+    ``shard_id = floor(start_pos / budget)`` where ``start_pos`` is the
+    exclusive prefix sum of token counts in shuffle order.
+
+    Returns ``(id_col, n_tokens, shuffle_key, shard_id)``.
+
+    Scale shape: the prefix sum is the shared two-pass distributed form
+    (operators/prefix.running_total — one range exchange, per-partition
+    windows, broadcast offsets); no single-partition window, no driver
+    materialization. Writing the shards afterwards is
+    ``.repartition("shard_id").write.partitionBy("shard_id")`` — each
+    shard lands as one unit with ~equal token mass, which is exactly the
+    property downstream dataloaders want.
+    """
+    u = F.pmod(
+        (F.col(id_col).cast("bigint") + F.lit(int(seed))) * F.lit(KNUTH_MULT),
+        F.lit(HASH_MOD),
+    ).cast("bigint")
+    with_key = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        u.alias("shuffle_key"),
+    )
+    summed = running_total(
+        with_key,
+        ["shuffle_key", id_col],
+        F.col("n_tokens"),
+        "_cum",
+        num_partitions,
+    )
+    start = F.col("_cum") - F.col("n_tokens")
+    return summed.select(
+        id_col,
+        "n_tokens",
+        "shuffle_key",
+        F.floor(start / F.lit(int(budget))).cast("bigint").alias("shard_id"),
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, preferring the highest
+    ``order_col`` (ties broken by id ascending) — the CCNet/RefinedWeb
+    per-domain cap that stops any one crawl domain from dominating the
+    mix. Input columns are preserved; rows beyond the cap are dropped.
+
+    Scale shape: a window partitioned by domain — per-key sorts run in
+    parallel across domains, and ranking stops being a global sort
+    problem. A pathologically hot domain (one key >> executor memory) is
+    the known worst case; there, pre-filter with an approximate
+    ``order_col`` threshold from a sampled quantile before ranking, which
+    this operator composes with (filter first, cap after).
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def token_df_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-level token document-frequency signals per document — the
+    exact-integer analog of an LM quality filter.
+
+    Two passes: (1) build the vocabulary DF table — for each distinct
+    token, in how many documents it appears; (2) join it back onto each
+    document's distinct tokens and aggregate:
+
+    - ``n_unique``   distinct tokens in the document
+    - ``df_sum``     sum of corpus DF over those tokens (high mean DF =
+                     boilerplate-common language; low = rare/garbage)
+    - ``n_hapax``    tokens whose corpus DF is 1 — they occur in THIS
+                     document only (typos, ids, binary junk)
+
+    All integers, so the oracle matches exactly; a consumer thresholds
+    ``df_sum/n_unique`` or ``n_hapax/n_unique`` as the quality score.
+
+    Scale shape: both passes shuffle (id, token) pairs on high-cardinality
+    keys with map-side partial aggregation; the DF table is
+    vocabulary-sized (tiny vs the corpus) and broadcasts back
+    (``broadcast_vocab=False`` for a pathological vocabulary).
+    """
+    doc_tokens = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.lit(1))
+        .select(id_col, "tok")
+    )
+    vocab_df = doc_tokens.groupBy("tok").agg(F.count("*").alias("_df"))
+    if broadcast_vocab:
+        vocab_df = F.broadcast(vocab_df)
+    return (
+        doc_tokens.join(vocab_df, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("_df").cast("bigint").alias("df_sum"),
+            F.sum((F.col("_df") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        )
+    )

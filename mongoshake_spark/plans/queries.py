@@ -1829,6 +1829,136 @@ def ann_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# 5-gram expression shared by the decontamination oracle's corpus and eval
+# sides (i ranges 1 .. len-4, DuckDB range() end-exclusive).
+_G5 = (
+    "CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t) - 3), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) "
+    "ELSE [] END"
+)
+
+_DECONTAM_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_G5})) AS gram
+  FROM toks WHERE doc_id % 20 != 0),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct({_G5})) AS gram
+  FROM toks WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM cg
+  WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
+
+
+@_q(
+    "decontaminate",
+    _DECONTAM_ORACLE,
+    "Train/test decontamination (GPT-3/Llama pipeline stage): corpus docs "
+    "(doc_id % 20 != 0) checked for 5-gram overlap against a held-out "
+    "eval split (doc_id % 20 = 0); per-doc distinct-gram totals and hit "
+    "counts, broadcast semi-join against the eval gram set.",
+)
+def decontaminate_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, eval_docs, n=5).orderBy("doc_id")
+
+
+_SHARD_ORACLE = """WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST((doc_id + 7) * 2654435761 % 4294967296 AS BIGINT) AS shuffle_key
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, shuffle_key,
+         sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM t)
+SELECT doc_id, n_tokens, shuffle_key,
+       CAST(floor(start / 1000.0) AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id"""
+
+
+@_q(
+    "shard_tokens",
+    _SHARD_ORACLE,
+    "Token-budget sharding: deterministic global shuffle (Knuth hash of "
+    "doc_id, seed 7) then ~1000-token shards via the shared two-pass "
+    "distributed prefix sum — the oracle's single-partition window is the "
+    "plan shape the operator avoids (gated in tests/test_plans.py).",
+)
+def shard_tokens_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import shard_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_by_token_budget(docs, budget=1000, seed=7).orderBy("doc_id")
+
+
+_DOMAIN_CAP_ORACLE = """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM r WHERE rk <= 10 GROUP BY source ORDER BY source"""
+
+
+@_q(
+    "domain_cap",
+    _DOMAIN_CAP_ORACLE,
+    "Per-domain document cap (CCNet/RefinedWeb): keep the top-10 docs per "
+    "source by (n_chars DESC, doc_id) — per-key parallel ranking, no "
+    "global sort; verified via per-source count and id/char checksums.",
+)
+def domain_cap_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import cap_per_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_domain(docs, cap=10)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_DF_ORACLE = """WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+vdf AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok)
+SELECT doc_id, count(*) AS n_unique, CAST(sum(df) AS BIGINT) AS df_sum,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM dt JOIN vdf USING (tok)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+@_q(
+    "token_df_quality",
+    _TOKEN_DF_ORACLE,
+    "Corpus-level token document-frequency quality signals: vocabulary DF "
+    "table broadcast-joined back per document — distinct-token count, DF "
+    "checksum, and hapax (DF=1) count; the exact-integer stand-in for an "
+    "LM quality filter.",
+)
+def token_df_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import token_df_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_df_signals(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Unit tests for the corpus-curation operators: train/test
+decontamination, token-budget sharding, per-domain caps, and token-DF
+quality signals (functions/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.curation import (
+    cap_per_domain,
+    decontaminate,
+    shard_by_token_budget,
+    token_df_signals,
+)
+from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT
+
+
+def _docs(spark, rows, schema="doc_id bigint, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_decontaminate_flags_overlapping_ngrams(spark):
+    eval_docs = _docs(spark, [(100, "the quick brown fox jumps over me")])
+    corpus = _docs(
+        spark,
+        [
+            # shares the 5-gram 'the quick brown fox jumps'
+            (1, "look the quick brown fox jumps here today"),
+            # same words, different order -> no shared 5-gram
+            (2, "fox jumps brown quick the over me again"),
+            (3, "completely unrelated text about data engines here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, eval_docs, n=5).collect()}
+    assert got[1]["contaminated"] and got[1]["n_contaminated"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_contaminated"] == 0
+    assert not got[3]["contaminated"]
+    # doc 1 has 8 tokens -> 4 distinct 5-grams
+    assert got[1]["n_grams"] == 4
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the shared gram appears twice in the corpus doc but counts once
+    eval_docs = _docs(spark, [(100, "a b c d e")])
+    corpus = _docs(spark, [(1, "a b c d e x a b c d e")])
+    row = decontaminate(corpus, eval_docs, n=5).collect()[0]
+    assert row["n_contaminated"] == 1
+
+
+def test_decontaminate_drops_docs_shorter_than_n(spark):
+    eval_docs = _docs(spark, [(100, "a b c d e")])
+    corpus = _docs(spark, [(1, "too short")])
+    assert decontaminate(corpus, eval_docs, n=5).count() == 0
+
+
+def test_shard_by_token_budget_matches_serial_recompute(spark):
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(40)]
+    got = {
+        r["doc_id"]: r
+        for r in shard_by_token_budget(
+            _docs(spark, rows), budget=20, seed=3
+        ).collect()
+    }
+    # serial reference: same hash, same order, same chop
+    order = sorted(
+        rows, key=lambda r: (((r[0] + 3) * KNUTH_MULT) % HASH_MOD, r[0])
+    )
+    pos = 0
+    for doc_id, text in order:
+        n = len(text.split(" "))
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["shuffle_key"] == ((doc_id + 3) * KNUTH_MULT) % HASH_MOD
+        assert r["shard_id"] == pos // 20, doc_id
+        pos += n
+
+
+def test_shard_reorder_is_seed_dependent(spark):
+    rows = [(i, "w w w") for i in range(30)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"]: r["shard_id"] for r in shard_by_token_budget(df, 9, seed=1).collect()}
+    b = {r["doc_id"]: r["shard_id"] for r in shard_by_token_budget(df, 9, seed=2).collect()}
+    assert a != b  # different seed, different training order
+    # deterministic: same seed reproduces exactly
+    a2 = {r["doc_id"]: r["shard_id"] for r in shard_by_token_budget(df, 9, seed=1).collect()}
+    assert a == a2
+
+
+def test_cap_per_domain_keeps_top_by_order_then_id(spark):
+    rows = [
+        (1, "s1", 50),
+        (2, "s1", 90),
+        (3, "s1", 90),  # ties with 2 -> lower doc_id (2) ranks first
+        (4, "s1", 70),
+        (5, "s2", 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    kept = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, cap=2, order_col="n_chars").collect()
+    }
+    assert kept == {2, 3, 5}
+    # cap=1 exercises the tiebreak: doc 2 beats doc 3
+    kept1 = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, cap=1, order_col="n_chars").collect()
+    }
+    assert kept1 == {2, 5}
+
+
+def test_cap_per_domain_preserves_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1", 5, "x")], "doc_id bigint, source string, n_chars bigint, text string"
+    )
+    assert cap_per_domain(docs, cap=3).columns == ["doc_id", "source", "n_chars", "text"]
+
+
+def test_token_df_signals_hand_example(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat"),      # the:2 cat:2 sat:1
+            (2, "the cat ran ran"),  # ran:1 (distinct within doc)
+        ],
+    )
+    got = {r["doc_id"]: r for r in token_df_signals(docs).collect()}
+    assert got[1]["n_unique"] == 3
+    assert got[1]["df_sum"] == 2 + 2 + 1
+    assert got[1]["n_hapax"] == 1  # 'sat'
+    assert got[2]["n_unique"] == 3
+    assert got[2]["df_sum"] == 2 + 2 + 1
+    assert got[2]["n_hapax"] == 1  # 'ran' counted once despite 2 occurrences

@@ -203,3 +203,48 @@ def test_ivf_topk_broadcasts_small_sides(spark, sf_dir):
         assert "query_id" in first_arg, (
             f"window partitioned on unexpected column: {first_arg}"
         )
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination: the eval n-gram set is benchmark-sized (tiny vs a
+    100 TB corpus) and must reach the overlap check as a broadcast
+    semi-join — the corpus-side grams must not shuffle to be counted
+    against it."""
+    from mongoshake_spark.functions.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_shard_tokens_no_single_partition_window(spark, sf_dir):
+    """Token-budget sharding is a global prefix sum over the shuffle
+    order — same contract as pack_sequences: no partition-less window."""
+    import re
+
+    from mongoshake_spark.functions.curation import shard_by_token_budget
+
+    df = shard_by_token_budget(load_table(spark, sf_dir, "documents"), budget=1000)
+    plan = _plan(df)
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            f"partition-less window found: windowspecdefinition({first_arg}, ...)"
+        )
+    assert {"shard_id", "shuffle_key"} <= set(df.columns)
+
+
+def test_token_df_vocab_broadcasts_back(spark, sf_dir):
+    """Token-DF signals: the vocabulary DF table is tiny vs the corpus
+    and must broadcast for the join back onto per-doc tokens; both
+    aggregations must partially combine map-side."""
+    from mongoshake_spark.functions.curation import token_df_signals
+
+    df = token_df_signals(load_table(spark, sf_dir, "documents"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
