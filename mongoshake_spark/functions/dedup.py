@@ -189,6 +189,64 @@ def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_minhash_pairs(
+    corpus_bands: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Incremental LSH dedup — the daily-crawl production shape: dedupe a
+    NEW batch of documents against an existing corpus using the corpus's
+    STORED band index, plus against itself, without ever re-self-joining
+    the corpus.
+
+    ``corpus_bands`` is the persisted output of :func:`minhash_bands` over
+    the existing corpus (written once at corpus build, appended as
+    increments are accepted); ``increment`` is the raw new batch. Doc-id
+    spaces must be disjoint (the corpus is deduped, increment ids are
+    fresh).
+
+    Returns ``(doc_a, doc_b, origin)``: ``origin='corpus'`` pairs have
+    doc_a in the corpus and doc_b in the increment; ``origin='increment'``
+    pairs are increment-internal with doc_a < doc_b.
+
+    Scale shape: the increment's band table is a day of data vs years of
+    corpus — it broadcasts (default), so the corpus-side probe is a
+    MAP-ONLY scan of the stored index: no shuffle touches the corpus, and
+    cost is O(|corpus index| read + |increment|²-within-buckets). Set
+    ``broadcast_increment=False`` for a backfill-sized increment; the join
+    then shuffles both sides on (band, band_key). This is the reason
+    band indexes are worth persisting: full re-dedup is O(corpus
+    self-join), the increment path is O(one index scan) per day.
+    """
+    inc_bands = minhash_bands(increment, text_col).localCheckpoint(eager=True)
+    probe = F.broadcast(inc_bands) if broadcast_increment else inc_bands
+    vs_corpus = (
+        corpus_bands.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("origin", F.lit("corpus"))
+    )
+    a, b = inc_bands.alias("a"), inc_bands.alias("b")
+    vs_self = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("origin", F.lit("increment"))
+    )
+    return vs_corpus.unionByName(vs_self)
+
+
 def simhash_values(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over the token multiset (term
     frequency = weight). Bit b set iff the sum over tokens of ±1 (sign of

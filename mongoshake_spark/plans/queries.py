@@ -1959,6 +1959,38 @@ def token_df_q(spark, sf_dir):
     return token_df_signals(docs).orderBy("doc_id")
 
 
+_INC_MINHASH_ORACLE = f"""WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, origin FROM (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 'corpus' AS origin
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id % 5 != 4 AND y.doc_id % 5 = 4
+  UNION ALL
+  SELECT DISTINCT x.doc_id, y.doc_id, 'increment'
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 = 4)
+ORDER BY origin, doc_a, doc_b"""
+
+
+@_q(
+    "dedup_incremental",
+    _INC_MINHASH_ORACLE,
+    "Incremental LSH dedup (the daily-crawl shape): the increment "
+    "(doc_id % 5 = 4) is deduped against the corpus's stored band index "
+    "and itself — broadcast increment probe, corpus never self-joins; the "
+    "oracle recomputes both pair sets from the same minhash family.",
+)
+def dedup_incremental_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    inc = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus_bands = dedup.minhash_bands(corpus)
+    return dedup.incremental_minhash_pairs(corpus_bands, inc).orderBy(
+        "origin", "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

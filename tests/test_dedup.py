@@ -211,3 +211,34 @@ def test_sample_strata_subset_property(spark):
     high = {r["doc_id"] for r in sample_strata(docs, {"en": 0.6}).collect()}
     assert low <= high
     assert 0.1 < len(low) / 500 < 0.3 and 0.5 < len(high) / 500 < 0.7
+
+
+def test_incremental_minhash_finds_cross_and_self_pairs(spark):
+    from mongoshake_spark.functions import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "completely different words here not matching"),
+        ],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # dup of corpus 1
+            (11, "alpha beta gamma delta epsilon zeta"),   # dup of corpus 1 AND inc 10
+            (12, "nothing like anything else whatsoever okay"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bands = dedup.minhash_bands(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"], r["origin"])
+        for r in dedup.incremental_minhash_pairs(bands, inc).collect()
+    }
+    assert (1, 10, "corpus") in got
+    assert (1, 11, "corpus") in got
+    assert (10, 11, "increment") in got
+    assert not any(a == 12 or b == 12 for a, b, _ in got)
+    # the corpus pair (1,2) must NOT be re-derived — corpus never self-joins
+    assert not any(o == "corpus" and b in (1, 2) for _, b, o in got)

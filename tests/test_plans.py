@@ -248,3 +248,16 @@ def test_token_df_vocab_broadcasts_back(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_incremental_dedup_broadcasts_increment_probe(spark, sf_dir):
+    """Incremental dedup: the increment's band table (a day of data vs
+    years of corpus) must broadcast so the stored corpus index is probed
+    map-only — no shuffle may touch the corpus side of the cross join."""
+    from mongoshake_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs.filter(F.col("doc_id") % 5 != 4))
+    df = dedup.incremental_minhash_pairs(bands, docs.filter(F.col("doc_id") % 5 == 4))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
