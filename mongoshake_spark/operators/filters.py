@@ -102,6 +102,7 @@ def keep_namespace_ddl(
     op_col: str = "op",
     ns_col: str = "ns",
     o_col: str = "o",
+    cmap_col: Column | None = None,
 ) -> Column:
     """F4 NamespaceFilter, full DDL-aware form (oplog_filter.go:147-290).
 
@@ -128,9 +129,10 @@ def keep_namespace_ddl(
     from mongoshake_spark.operators import transforms
 
     op = F.col(op_col)
-    cmd = transforms.command_name(o_col)
-    val = transforms.command_value(o_col)
-    eff = transforms.effective_ns(op_col, ns_col, o_col)
+    cmap = transforms.command_map(o_col) if cmap_col is None else cmap_col
+    cmd = F.get(F.map_keys(cmap), F.lit(0))
+    val = F.try_element_at(cmap, cmd)
+    eff = transforms.effective_ns(op_col, ns_col, o_col, cmap_col=cmap)
     ns_keep = keep_namespace(whitelist, blacklist, ns_col=eff)
     value_cmds = transforms.COLL_TARGET_COMMANDS + ("renameCollection",)
     illegal_value = val.isNull() | val.startswith("{") | val.startswith("[")
@@ -141,6 +143,32 @@ def keep_namespace_ddl(
         .when((op == "c") & cmd.isin(*value_cmds) & illegal_value, F.lit(True))
         .otherwise(ns_keep)
     )
+
+
+def filter_namespace_ddl(
+    df: DataFrame,
+    whitelist: Sequence[str] = (),
+    blacklist: Sequence[str] = (),
+    op_col: str = "op",
+    ns_col: str = "ns",
+    o_col: str = "o",
+) -> DataFrame:
+    """DataFrame form of :func:`keep_namespace_ddl` that stages the parsed
+    command map as a column, making the single-``from_json``-per-row
+    contract explicit rather than dependent on codegen subexpression
+    elimination. (Measured at sf0.1 the un-staged predicate executes at
+    parity — Spark 4's whole-stage-codegen subexpression elimination
+    already dedupes the parses — so this exists for plan-shape clarity
+    and for engines/configs where that optimization is off.) Output
+    columns = input columns.
+    """
+    from mongoshake_spark.operators import transforms
+
+    staged = df.withColumn("_cmap", transforms.command_map(o_col))
+    pred = keep_namespace_ddl(
+        whitelist, blacklist, op_col, ns_col, o_col, cmap_col=F.col("_cmap")
+    )
+    return staged.filter(pred).drop("_cmap")
 
 
 def assert_no_migrate(df: DataFrame, col: str = "fromMigrate") -> DataFrame:

@@ -265,6 +265,19 @@ def normalize_delta_update_full(df: DataFrame, o_col: str = "o") -> DataFrame:
     )
 
 
+def command_map(o_col: str = "o") -> Column:
+    """The command document parsed as ``map<string,string>`` — the one
+    expensive subexpression of the DDL path (a full JSON parse). Callers
+    needing more than one of command_name / command_value / effective_ns
+    can project this once and pass it down (see
+    ``filters.filter_namespace_ddl``) to make the single-parse contract
+    explicit; Spark 4's whole-stage-codegen subexpression elimination
+    already dedupes the repeated parses in the un-staged form (measured at
+    parity on sf0.1), so this is about plan clarity and resilience to that
+    optimization being unavailable."""
+    return F.from_json(F.col(o_col), "map<string,string>")
+
+
 def command_name(o_col: str = "o") -> Column:
     """N8 command-name extraction (oplog/cmd_oplog.go:14-63): the first key
     of the command document. ``F.get`` (not ``getItem``): ANSI mode makes
@@ -305,7 +318,12 @@ COLL_TARGET_COMMANDS = (
 ALWAYS_DROP_COMMANDS = ("startIndexBuild", "abortIndexBuild")
 
 
-def effective_ns(op_col: str = "op", ns_col: str = "ns", o_col: str = "o") -> Column:
+def effective_ns(
+    op_col: str = "op",
+    ns_col: str = "ns",
+    o_col: str = "o",
+    cmap_col: Column | None = None,
+) -> Column:
     """Effective namespace for white/black filtering
     (collector/filter/oplog_filter.go:147-290).
 
@@ -330,7 +348,7 @@ def effective_ns(op_col: str = "op", ns_col: str = "ns", o_col: str = "o") -> Co
     """
     op, ns = F.col(op_col), F.col(ns_col)
     db = F.split(ns, r"\.", 2).getItem(0)
-    cmap = F.from_json(F.col(o_col), "map<string,string>")
+    cmap = command_map(o_col) if cmap_col is None else cmap_col
     cmd = F.get(F.map_keys(cmap), F.lit(0))
     # ANSI mode: element_at throws on a missing key; try_element_at -> NULL.
     val = F.try_element_at(cmap, cmd)

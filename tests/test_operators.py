@@ -485,3 +485,23 @@ def test_merge_segment_associativity(spark):
         s = merge.merge_upsert(s, part)
     split = {r["user_id"]: r["value"] for r in merge.visible(s).collect()}
     assert whole == split
+
+
+def test_filter_namespace_ddl_matches_predicate_form(spark):
+    from mongoshake_spark.operators import filters
+
+    rows = [
+        (1, "c", "db1.$cmd", '{"create":"t1"}'),          # keep: db1.t1 white
+        (2, "c", "db9.$cmd", '{"create":"t1"}'),          # drop: db9 not white
+        (3, "c", "db1.$cmd", '{"startIndexBuild":"t1"}'),  # drop: always-drop cmd
+        (4, "c", "db9.$cmd", '{"applyOps":"x"}'),          # keep: applyOps
+        (5, "i", "db1.t2", '{"_id":1}'),                   # keep: white ns
+        (6, "i", "db9.t2", '{"_id":1}'),                   # drop
+        (7, "c", "db1.$cmd", '{"drop":{"bad":1}}'),        # keep: illegal value
+    ]
+    df = spark.createDataFrame(rows, "id bigint, op string, ns string, o string")
+    pred = filters.keep_namespace_ddl(whitelist=["db1"])
+    a = sorted(r["id"] for r in df.filter(pred).collect())
+    b = sorted(r["id"] for r in filters.filter_namespace_ddl(df, whitelist=["db1"]).collect())
+    assert a == b == [1, 4, 5, 7]
+    assert filters.filter_namespace_ddl(df, whitelist=["db1"]).columns == df.columns
