@@ -175,6 +175,64 @@ def cap_per_domain(
     )
 
 
+def contaminated_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination: WHERE each corpus document overlaps the
+    eval set, as merged token intervals — the masking-grade output (drop
+    the spans, keep the document) that production pipelines prefer over
+    whole-document removal when a long document merely quotes a benchmark.
+
+    Returns ``(id_col, span_id, start_p, end_p)``: maximal merged
+    intervals of token positions (end exclusive) covered by eval-matching
+    ``n``-grams; ``span_id`` numbers a document's spans in order from 1.
+    All integers.
+
+    Scale shape: corpus positions explode to (doc, pos, md5(gram)) — the
+    text itself never shuffles; the eval gram-hash set broadcasts (same
+    contract as :func:`decontaminate`); interval merging is two windows
+    partitioned by document (running max end, running island count) — per
+    doc, never global.
+    """
+    toks = tokens(F.col(text_col))
+    grams = _ngram_col(toks, n)
+    pos = corpus.select(
+        F.col(id_col), F.posexplode(grams).alias("p", "gram")
+    ).select(id_col, "p", F.md5("gram").alias("h"))
+    eval_g = (
+        eval_docs.select(F.explode(_ngram_col(tokens(F.col(text_col)), n)).alias("gram"))
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+    )
+    hits = pos.join(F.broadcast(eval_g), "h", "left_semi").select(id_col, "p")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("p") + n).over(w_prev)
+    new_span = F.when(
+        prev_end.isNull() | (F.col("p") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        hits.withColumn("span_id", F.sum(new_span).over(w_run))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("p").cast("bigint").alias("start_p"),
+            (F.max("p") + n).cast("bigint").alias("end_p"),
+        )
+    )
+
+
 def token_df_signals(
     docs: DataFrame,
     text_col: str = "text",

@@ -1991,6 +1991,52 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
+_SPAN_DECON_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+    i -> struct_pack(p := i - 1,
+      g := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+  FROM toks WHERE doc_id % 20 != 0 AND len(t) >= 5),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct({_G5})) AS gram
+  FROM toks WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT doc_id, s.p AS p FROM pos WHERE s.g IN (SELECT gram FROM eg)),
+m AS (
+  SELECT doc_id, p,
+         max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(p) AS BIGINT) AS start_p, CAST(max(p) + 5 AS BIGINT) AS end_p
+FROM isl GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
+
+
+@_q(
+    "decontaminate_spans",
+    _SPAN_DECON_ORACLE,
+    "Span-level decontamination (masking-grade): merged token intervals of "
+    "each corpus doc covered by eval-set 5-grams — drop the span, keep the "
+    "document; broadcast eval gram hashes, per-doc interval-merge windows.",
+)
+def decontaminate_spans_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contaminated_spans(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    ).orderBy("doc_id", "span_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

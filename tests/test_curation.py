@@ -130,3 +130,31 @@ def test_token_df_signals_hand_example(spark):
     assert got[2]["n_unique"] == 3
     assert got[2]["df_sum"] == 2 + 2 + 1
     assert got[2]["n_hapax"] == 1  # 'ran' counted once despite 2 occurrences
+
+
+def test_contaminated_spans_merges_overlapping_intervals(spark):
+    from mongoshake_spark.functions.curation import contaminated_spans
+
+    eval_docs = _docs(spark, [(100, "a b c d e f x p q r s t")])
+    # doc 1: positions 0 ('a b c d e') and 1 ('b c d e f') hit -> one merged
+    # span [0, 6); position 8 ('p q r s t') hits -> second span [8, 13)
+    corpus = _docs(spark, [(1, "a b c d e f z z p q r s t"),
+                           (2, "nothing here matches anything at all ok")])
+    rows = sorted(
+        (r["doc_id"], r["span_id"], r["start_p"], r["end_p"])
+        for r in contaminated_spans(corpus, eval_docs, n=5).collect()
+    )
+    assert rows == [(1, 1, 0, 6), (1, 2, 8, 13)]
+
+
+def test_contaminated_spans_adjacent_windows_merge(spark):
+    from mongoshake_spark.functions.curation import contaminated_spans
+
+    # hits at p=0 and p=5: [0,5) and [5,10) touch (p == prev_end) -> merged
+    eval_docs = _docs(spark, [(100, "a b c d e"), (101, "f g h i j")])
+    corpus = _docs(spark, [(1, "a b c d e f g h i j")])
+    rows = [
+        (r["span_id"], r["start_p"], r["end_p"])
+        for r in contaminated_spans(corpus, eval_docs, n=5).collect()
+    ]
+    assert rows == [(1, 0, 10)]
