@@ -2037,6 +2037,84 @@ def decontaminate_spans_q(spark, sf_dir):
     ).orderBy("doc_id", "span_id")
 
 
+@_q(
+    "stream_dedup",
+    "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY 1",
+    "Streaming ingest dedup: the documents table PLUS a full re-crawl "
+    "copy (ids shifted so every copy lands in a LATER micro-batch than "
+    "its original) replayed as a 4-micro-batch stream through "
+    "dropDuplicatesWithinWatermark on the content hash — the dedup state "
+    "store must suppress every cross-batch re-arrival, leaving exactly "
+    "the batch-distinct hash set (fixture texts are exact-distinct, so "
+    "emitted cardinality = |docs|, input = 2x that).",
+)
+def stream_dedup_q(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from mongoshake_spark.streaming.dedup import stream_exact_dedup
+
+    base = load_table(spark, sf_dir, "documents")
+    shift = 1 << 40  # re-crawl copies sort after every original
+    docs = (
+        base.select("doc_id", "text")
+        .unionByName(
+            base.select((F.col("doc_id") + shift).alias("doc_id"), "text")
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.pmod(F.col("doc_id"), F.lit(shift))
+            ).alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
+    try:
+        (
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(feed_dir)
+        )
+        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+        t0 = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_exact_dedup(stream, watermark="10 hours")
+                .select("text_hash")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.read.parquet(out_dir)
+            .select("text_hash")
+            .orderBy("text_hash")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -592,3 +592,57 @@ def test_bucket_count_change_rebuckets(spark, tmp_path):
     assert state.groupBy("user_id").count().filter("count > 1").count() == 0
     vals = {r["user_id"]: r["value"] for r in state.collect()}
     assert vals[5] == -5.0 and len(vals) == 100
+
+
+def test_stream_exact_dedup_suppresses_cross_batch_rearrivals(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.streaming.dedup import stream_exact_dedup
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, "alpha text", 1700000001), (2, "beta text", 1700000002)]
+    rows2 = [(3, "alpha text", 1700000003),  # re-arrival -> suppressed
+             (4, "gamma text", 1700000004)]
+    schema = "doc_id bigint, text string, epoch bigint"
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds(F.col("epoch"))
+        ).drop("epoch").coalesce(1)
+        df.write.mode("overwrite").parquet(f"{feed}/b{i}")
+    # one directory-of-one-file per batch, mtime-ordered
+    os.makedirs(out, exist_ok=True)
+    files = []
+    for i in range(2):
+        d = f"{feed}/b{i}"
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        files.append((i, os.path.join(d, f)))
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    t0 = _time.time() - 20
+    for i, path in files:
+        dst = os.path.join(merged, f"part-{i}.parquet")
+        os.link(path, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    sch = "doc_id bigint, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(merged)
+    )
+    q = (
+        stream_exact_dedup(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).select("doc_id", "text_hash").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 2, 4], ids  # doc 3's content already seen in batch 1
+    assert len({r["text_hash"] for r in got}) == 3
