@@ -103,3 +103,71 @@ def test_spark_merge_matches_model(spark, rows, cut):
     state = merge.merge_upsert(merge.merge_upsert(None, b1), b2)
     got = {r["user_id"]: r["value"] for r in merge.visible(state).collect()}
     assert got == _model_fold(rows)
+
+
+# -- curation invariants -----------------------------------------------------
+
+
+def _merge_intervals(positions, n):
+    """Serial model: merged [p, p+n) spans over sorted hit positions."""
+    spans = []
+    for p in sorted(positions):
+        if spans and p <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], p + n)
+        else:
+            spans.append([p, p + n])
+    return [tuple(s) for s in spans]
+
+
+@given(st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=10))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_contaminated_spans_matches_interval_model(spark, positions):
+    """For any hit-position set, the operator's merged spans == the serial
+    interval-merge model. All tokens are globally unique, so the eval docs
+    (one per chosen position, 5 tokens each) hit exactly those positions."""
+    from mongoshake_spark.functions.curation import contaminated_spans
+
+    n = 5
+    length = max(positions) + n
+    toks = [f"w{i}x" for i in range(length)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id bigint, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(100 + j, " ".join(toks[p : p + n])) for j, p in enumerate(sorted(positions))],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["start_p"], r["end_p"])
+        for r in contaminated_spans(corpus, eval_docs, n=n)
+        .orderBy("span_id")
+        .collect()
+    ]
+    assert got == _merge_intervals(positions, n)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=25),
+    st.integers(min_value=5, max_value=50),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_shard_by_token_budget_laws(spark, tok_counts, budget, seed):
+    """Conservation + serial-equivalence for arbitrary corpora: every doc
+    lands in exactly one shard, and shard ids equal the serial
+    hash-order/prefix-sum/chop model."""
+    from mongoshake_spark.functions.curation import shard_by_token_budget
+    from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT
+
+    rows = [(i, " ".join(["t"] * c)) for i, c in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_by_token_budget(df, budget=budget, seed=seed).collect()
+    }
+    assert sorted(got) == [i for i, _ in enumerate(tok_counts)]  # exactly once
+    order = sorted(range(len(tok_counts)), key=lambda i: (((i + seed) * KNUTH_MULT) % HASH_MOD, i))
+    pos = 0
+    for i in order:
+        assert got[i] == pos // budget, (i, pos)
+        pos += tok_counts[i]
