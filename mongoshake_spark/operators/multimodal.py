@@ -140,3 +140,46 @@ def frame_sample_plan(
     return F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_k))).otherwise(
         F.array().cast("array<int>")
     )
+
+
+FEATURE_DIM = 16
+FEATURE_MOD = 997
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over Arrow batches (mapInPandas): payload bytes →
+    fixed-``dim`` ``array<float>`` embedding, the pipeline link from media
+    columns into the ANN/similarity operators.
+
+    The REAL extractor (a vision/audio model forward pass) is stubbed like
+    the decoder; the fake is chosen for cross-engine checkability, not
+    realism: the payload body (after the 12-byte fixture header) is hashed
+    with the dialect-portable polynomial hash (functions/texthash — the
+    same integers DuckDB computes from the source text), then expanded to
+    ``dim`` values ``(h*(2j+1) + 7919*j) mod 997`` — integral floats, so
+    an oracle value-compares the vectors exactly. The plumbing under it is
+    the production shape: payload bytes cross to Python once per Arrow
+    batch, the output carries only (doc_id, features), and the binary is
+    pruned from every downstream stage.
+    """
+    import pandas as pd
+
+    from mongoshake_spark.functions.texthash import MOD
+
+    def batches(it):
+        for pdf in it:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[12:].decode("utf-8")
+                h = 0
+                for ch in body:
+                    h = (h * 31 + ord(ch)) % MOD
+                ids.append(doc_id)
+                feats.append(
+                    [float((h * (2 * j + 1) + 7919 * j) % FEATURE_MOD) for j in range(dim)]
+                )
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id bigint, features array<float>"
+    )

@@ -2115,6 +2115,32 @@ def stream_dedup_q(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_MM_FEAT_ORACLE = f"""WITH h AS (
+  SELECT doc_id, {_POLY_TEXT} AS ph FROM documents)
+SELECT doc_id,
+       list_transform(range(0, 16),
+         j -> CAST((ph * (2*j + 1) + 7919 * j) % 997 AS FLOAT)) AS features
+FROM h ORDER BY doc_id"""
+
+
+@_q(
+    "mm_features",
+    _MM_FEAT_ORACLE,
+    "Multimodal feature extraction: fake media payloads -> 16-dim float "
+    "embeddings via Arrow-batched mapInPandas (payload bytes cross to "
+    "Python once; binary pruned downstream). The fake extractor hashes "
+    "the payload BODY with the dialect-portable polynomial hash, so the "
+    "oracle recomputes the identical integral-float vectors from the "
+    "source text the fixture embedded.",
+)
+def mm_features_q(spark, sf_dir):
+    from mongoshake_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.extract_features(media).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -170,3 +170,25 @@ def test_epoch_mix_copy_counts(spark):
     # _copy is a 1-based contiguous epoch index
     copies = mixed.filter(F.col("doc_id") == 0).select("_copy").collect()
     assert sorted(c["_copy"] for c in copies) == list(range(1, len(copies) + 1))
+
+
+def test_extract_features_deterministic_and_ann_composable(spark):
+    from mongoshake_spark.functions.texthash import MOD
+    from mongoshake_spark.operators import multimodal
+
+    docs = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])
+    media = multimodal.attach_fake_media(docs)
+    feats = {r["doc_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats.values())
+    # identical payload body -> identical features; python recompute matches
+    assert feats[1] == feats[3] != feats[2]
+    h = 0
+    for ch in "alpha beta":
+        h = (h * 31 + ord(ch)) % MOD
+    assert feats[1] == [float((h * (2 * j + 1) + 7919 * j) % 997) for j in range(16)]
+    # the link into the ANN operators: media features rank as embeddings
+    vecs = multimodal.extract_features(media).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).withColumnRenamed("features", "embedding")
+    top = similarity.brute_topk(vecs, [1], k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [3, 2]  # exact dup first
