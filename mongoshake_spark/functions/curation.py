@@ -152,24 +152,37 @@ def cap_per_domain(
     domain_col: str = "source",
     order_col: str = "n_chars",
     id_col: str = "doc_id",
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per domain, preferring the highest
     ``order_col`` (ties broken by id ascending) — the CCNet/RefinedWeb
     per-domain cap that stops any one crawl domain from dominating the
     mix. Input columns are preserved; rows beyond the cap are dropped.
 
-    Scale shape: a window partitioned by domain — per-key sorts run in
-    parallel across domains, and ranking stops being a global sort
-    problem. A pathologically hot domain (one key >> executor memory) is
-    the known worst case; there, pre-filter with an approximate
-    ``order_col`` threshold from a sampled quantile before ranking, which
-    this operator composes with (filter first, cap after).
+    Scale shape (``skew_safe``, the default): two-phase top-K. Phase 1
+    ranks within (input-partition-id, domain) — the partition id acts as a
+    salt, so a pathologically hot domain spreads over as many reducers as
+    there are input partitions and no single task ever sorts the whole
+    domain — and keeps each salt-group's top-``cap``. Any row in the
+    global per-domain top-``cap`` is necessarily in its salt-group's
+    top-``cap``, so phase 2's plain per-domain rank over the reduced set
+    (≤ cap × n_partitions rows per domain) returns the identical result.
+    ``skew_safe=False`` is the single-window form: one fewer shuffle,
+    correct per-key parallelism, but a hot domain lands on one reducer —
+    fine when domains are known to be balanced.
     """
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
-    )
+    order = (F.col(order_col).desc(), F.col(id_col).asc())
+    w_final = Window.partitionBy(domain_col).orderBy(*order)
+    if skew_safe:
+        w_local = Window.partitionBy("_salt", domain_col).orderBy(*order)
+        docs = (
+            docs.withColumn("_salt", F.spark_partition_id())
+            .withColumn("_rk", F.row_number().over(w_local))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk", "_salt")
+        )
     return (
-        docs.withColumn("_rk", F.row_number().over(w))
+        docs.withColumn("_rk", F.row_number().over(w_final))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )

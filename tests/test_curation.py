@@ -158,3 +158,16 @@ def test_contaminated_spans_adjacent_windows_merge(spark):
         for r in contaminated_spans(corpus, eval_docs, n=5).collect()
     ]
     assert rows == [(1, 0, 10)]
+
+
+def test_cap_per_domain_skew_safe_equals_single_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"s{rng.randrange(3)}", rng.randrange(100)) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    ).repartition(8)
+    a = {r["doc_id"] for r in cap_per_domain(docs, cap=5, skew_safe=True).collect()}
+    b = {r["doc_id"] for r in cap_per_domain(docs, cap=5, skew_safe=False).collect()}
+    assert a == b and len(a) == 15
