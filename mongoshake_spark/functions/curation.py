@@ -37,16 +37,11 @@ from mongoshake_spark.operators.prefix import running_total
 
 def _doc_ngrams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) — DISTINCT token n-grams per document, exploded. The
-    distinct runs per-partition before the shuffle (groupBy on the pair),
-    so duplicate grams inside one document never cross the wire twice."""
-    return (
-        docs.select(
-            F.col(id_col), F.explode(_ngram_col(tokens(F.col(text_col)), n)).alias("gram")
-        )
-        .groupBy(id_col, "gram")
-        .agg(F.lit(1))
-        .select(id_col, "gram")
-    )
+    dedup is ``array_distinct`` IN-ROW before the explode — a map-only
+    projection, no shuffle — so per-document duplicate grams never exist
+    as rows at all."""
+    grams = F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def decontaminate(
@@ -65,13 +60,15 @@ def decontaminate(
     occur anywhere in ``eval_docs``. Published pretraining pipelines drop
     or span-mask documents with ``contaminated = true``.
 
-    Scale shape: the eval n-gram set is vocabulary-sized relative to a
-    100 TB corpus (benchmarks are MBs), so it broadcasts and the overlap
-    check is a map-side broadcast LEFT SEMI-shaped join — the corpus-side
-    grams never shuffle to count hits. Set ``broadcast_eval=False`` when
-    the eval side is genuinely large; the join then shuffles both sides on
-    the gram (high-cardinality key, AQE-skew-safe). The final aggregate is
-    a map-side-combinable count per document.
+    Scale shape: the corpus side never shuffles at corpus width — per-doc
+    gram totals are ``size(array_distinct(...))`` computed in-row
+    (map-only), and the overlap probe is a broadcast LEFT SEMI join (the
+    eval n-gram set is benchmark-sized — MBs against a 100 TB corpus).
+    Only the HIT rows (contaminated grams, naturally rare) reach the
+    per-doc count shuffle, and the final totals⋈hits join broadcasts the
+    tiny hit side under AQE. Set ``broadcast_eval=False`` when the eval
+    side is genuinely large; the probe then shuffles both sides on the
+    gram (high-cardinality key, AQE-skew-safe).
     """
     corpus_grams = _doc_ngrams(corpus, n, text_col, id_col)
     eval_grams = _doc_ngrams(eval_docs, n, text_col, id_col).select("gram").distinct()
@@ -82,7 +79,12 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
-    totals = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    n_grams = F.size(F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))).cast(
+        "bigint"
+    )
+    totals = corpus.select(F.col(id_col), n_grams.alias("n_grams")).filter(
+        F.col("n_grams") > 0
+    )
     return (
         totals.join(hits, id_col, "left")
         .select(
