@@ -270,16 +270,16 @@ def token_df_signals(
     All integers, so the oracle matches exactly; a consumer thresholds
     ``df_sum/n_unique`` or ``n_hapax/n_unique`` as the quality score.
 
-    Scale shape: both passes shuffle (id, token) pairs on high-cardinality
-    keys with map-side partial aggregation; the DF table is
-    vocabulary-sized (tiny vs the corpus) and broadcasts back
-    (``broadcast_vocab=False`` for a pathological vocabulary).
+    Scale shape: per-doc token dedup is ``array_distinct`` IN-ROW (map-only,
+    no (id, token) shuffle); the only corpus-wide shuffle is the DF
+    aggregation on the token (high-cardinality key, map-side partial
+    combine). The DF table is vocabulary-sized (tiny vs the corpus) and
+    broadcasts back (``broadcast_vocab=False`` for a pathological
+    vocabulary), so the final per-doc aggregate is again map-side-combined.
     """
-    doc_tokens = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.lit(1))
-        .select(id_col, "tok")
+    doc_tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
     vocab_df = doc_tokens.groupBy("tok").agg(F.count("*").alias("_df"))
     if broadcast_vocab:
