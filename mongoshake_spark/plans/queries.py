@@ -2141,6 +2141,82 @@ def mm_features_q(spark, sf_dir):
     return multimodal.extract_features(media).orderBy("doc_id")
 
 
+_PIPELINE_ORACLE = f"""WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 20 != 0),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM corpus
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+q AS (
+  SELECT * FROM dd
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) * 20
+        >= len(string_split(text, ' '))),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct({_G5})) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 20 = 0)),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_G5})) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+dirty AS (SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM eg)),
+clean AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+sampled AS (
+  SELECT * FROM clean
+  WHERE (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) / 4294967296.0 <
+        CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.7 ELSE 0.9 END),
+t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM sampled),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS "offset"
+FROM c ORDER BY doc_id"""
+
+
+@_q(
+    "pipeline_curation",
+    _PIPELINE_ORACLE,
+    "The end-to-end curation pipeline as ONE lazy plan: exact dedup "
+    "(min-id keep per normalized hash) -> quality gate (token count + "
+    "stopword ratio) -> decontamination vs the eval split -> stratified "
+    "down-sampling -> sequence packing. Every stage is an operator "
+    "declared elsewhere; this query proves they COMPOSE — one Catalyst "
+    "plan, no materialization between stages — and the oracle replays "
+    "the whole chain in SQL.",
+)
+def pipeline_curation_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import decontaminate
+    from mongoshake_spark.functions.packing import pack_sequences, sample_strata
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    # dedup keep: min doc_id per normalized content hash
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keep_ids = corpus.groupBy(F.md5(norm).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = corpus.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    # quality gate (the quality_signals class-2 rule, inline)
+    n_tok = textfn.token_count(F.col("text"))
+    n_stop = textfn.stopword_count(F.col("text"))
+    q = dd.filter((n_tok >= 20) & (n_stop * 20 >= n_tok))
+    # decontamination: drop docs sharing any 5-gram with the eval split
+    dirty = decontaminate(q, eval_docs, n=5).filter(F.col("contaminated"))
+    clean = q.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    sampled = sample_strata(clean, {"en": 0.5, "zh": 0.7}, default_rate=0.9)
+    packed = pack_sequences(sampled, budget=512)
+    return (
+        packed.join(sampled.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "offset")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
