@@ -261,3 +261,20 @@ def test_incremental_dedup_broadcasts_increment_probe(spark, sf_dir):
     df = dedup.incremental_minhash_pairs(bands, docs.filter(F.col("doc_id") % 5 == 4))
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_curation_no_single_partition_window(spark, sf_dir):
+    """The composed curation pipeline must inherit the prefix-sum contract
+    end-to-end: five chained stages, and still no partition-less window
+    anywhere in the final plan."""
+    import re
+
+    from mongoshake_spark.plans import QUERIES
+
+    df = QUERIES["pipeline_curation"].fn(spark, sf_dir)
+    plan = _plan(df)
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            f"partition-less window found: windowspecdefinition({first_arg}, ...)"
+        )
+    assert "BroadcastHashJoin" in plan  # eval gram set + keep/dirty id sets
