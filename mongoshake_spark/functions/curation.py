@@ -148,6 +148,40 @@ def shard_by_token_budget(
     )
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Materialize the training layout: assign shards with
+    :func:`shard_by_token_budget`, then write one directory per shard —
+    ``path/shard_id=N/`` — with documents IN training order inside each
+    shard. Returns the shard count.
+
+    Scale shape: ``repartition(shard_id)`` co-locates each shard on one
+    task and ``partitionBy`` makes the shard id a partition column, so a
+    dataloader reads exactly its shard's directory (partition pruning) and
+    never touches the rest; ``sortWithinPartitions(shard_id, shuffle_key,
+    id)`` lays rows out in training order within each file. Shards are
+    ~``budget`` tokens each by construction, so reader work is balanced
+    regardless of document-length skew.
+    """
+    assignment = shard_by_token_budget(
+        docs, budget=budget, seed=seed, text_col=text_col, id_col=id_col
+    )
+    laid_out = (
+        docs.join(assignment, id_col)
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key", id_col)
+    )
+    laid_out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    n = laid_out.sparkSession.read.parquet(path).select("shard_id").distinct().count()
+    return n
+
+
 def cap_per_domain(
     docs: DataFrame,
     cap: int,

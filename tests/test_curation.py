@@ -171,3 +171,31 @@ def test_cap_per_domain_skew_safe_equals_single_window(spark):
     a = {r["doc_id"] for r in cap_per_domain(docs, cap=5, skew_safe=True).collect()}
     b = {r["doc_id"] for r in cap_per_domain(docs, cap=5, skew_safe=False).collect()}
     assert a == b and len(a) == 15
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    import os
+
+    from mongoshake_spark.functions.curation import write_training_shards
+
+    rows = [(i, " ".join(["w"] * (4 + i % 5))) for i in range(60)]
+    df = _docs(spark, rows)
+    out = str(tmp_path / "shards")
+    n = write_training_shards(df, out, budget=30, seed=1)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == n > 1
+    back = spark.read.parquet(out)
+    # every doc exactly once, full columns survive
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(60))
+    assert {"doc_id", "text", "n_tokens", "shuffle_key", "shard_id"} <= set(back.columns)
+    # a single shard directory read is pruned to that shard (the dataloader
+    # contract) and is internally in training order
+    one = spark.read.parquet(f"{out}/shard_id=0")
+    rows0 = one.select("shuffle_key", "doc_id").collect()
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in rows0]
+    assert keys == sorted(keys)
+    # token mass per shard ~ budget: all but the last shard reach it
+    per = {r["shard_id"]: r["s"] for r in back.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("s")).collect()}
+    last = max(per)
+    assert all(v >= 30 - 8 for k, v in per.items() if k != last)  # 8 = max doc len
