@@ -282,6 +282,56 @@ def contaminated_spans(
     )
 
 
+def mask_contaminated(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply span-level decontamination: rewrite each corpus document with
+    its eval-overlapping token spans REMOVED (the Llama-2-style masking
+    rewrite — the document survives, the benchmark quote does not).
+
+    Returns ``(id_col, n_tokens_before, n_tokens_after, clean_text)`` for
+    every corpus document; clean docs pass through byte-identical.
+
+    Scale shape: spans come from :func:`contaminated_spans` (broadcast
+    eval grams, per-doc windows); they are collected per document —
+    bounded by doc length, not corpus size — and joined back onto the
+    corpus (hit docs are rare, so AQE broadcasts the span side). The
+    rewrite itself is pure higher-order expressions (transform + filter
+    + exists over the token array): whole-stage codegen, zero Python.
+    """
+    spans = (
+        contaminated_spans(corpus, eval_docs, n, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start_p", "end_p")).alias("_spans")
+        )
+    )
+    toks = tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<start_p:bigint,end_p:bigint>>")
+    sp = F.coalesce(F.col("_spans"), empty)
+    indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("p")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp, lambda r: (s["p"] >= r["start_p"]) & (s["p"] < r["end_p"])
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    return (
+        corpus.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens_before"),
+            F.size(kept).cast("bigint").alias("n_tokens_after"),
+            clean.alias("clean_text"),
+        )
+    )
+
+
 def token_df_signals(
     docs: DataFrame,
     text_col: str = "text",

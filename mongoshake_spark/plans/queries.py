@@ -2141,6 +2141,76 @@ def mm_features_q(spark, sf_dir):
     return multimodal.extract_features(media).orderBy("doc_id")
 
 
+_MASK_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+    i -> struct_pack(p := i - 1,
+      g := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+  FROM toks WHERE doc_id % 20 != 0 AND len(t) >= 5),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct({_G5})) AS gram
+  FROM toks WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT doc_id, s.p AS p FROM pos WHERE s.g IN (SELECT gram FROM eg)),
+m AS (
+  SELECT doc_id, p,
+         max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m),
+spanrows AS (
+  SELECT doc_id, min(p) AS s, max(p) + 5 AS e
+  FROM isl GROUP BY doc_id, span_id),
+spans AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spanrows GROUP BY doc_id),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 20 != 0),
+j AS (
+  SELECT b.doc_id, b.t,
+         coalesce(s.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+  FROM base b LEFT JOIN spans s USING (doc_id)),
+k AS (
+  SELECT doc_id, len(t) AS nb,
+         list_filter(
+           list_transform(range(1, len(t) + 1), i -> struct_pack(tk := t[i], p := i - 1)),
+           x -> NOT len(list_filter(sp, r -> x.p >= r.s AND x.p < r.e)) > 0) AS keptl
+  FROM j)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_tokens_before,
+       CAST(len(keptl) AS BIGINT) AS n_tokens_after,
+       -- a fully-masked doc is the EMPTY STRING (Spark's array_join), not
+       -- NULL (DuckDB's array_to_string on an empty list)
+       coalesce(array_to_string(list_transform(keptl, x -> x.tk), ' '), '') AS clean_text
+FROM k ORDER BY doc_id"""
+
+
+@_q(
+    "decontaminate_mask",
+    _MASK_ORACLE,
+    "Masking rewrite: every corpus doc re-emitted with its eval-"
+    "overlapping token spans removed (clean docs byte-identical). Span "
+    "detection = decontaminate_spans; the rewrite is pure higher-order "
+    "expressions (transform/filter/exists over the token array) — zero "
+    "Python; the oracle replays detection AND rewrite in SQL and "
+    "value-compares the rewritten text itself.",
+)
+def decontaminate_mask_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import mask_contaminated
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mask_contaminated(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    ).orderBy("doc_id")
+
+
 _PIPELINE_ORACLE = f"""WITH corpus AS (
   SELECT * FROM documents WHERE doc_id % 20 != 0),
 keep AS (

@@ -199,3 +199,23 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         F.sum("n_tokens").alias("s")).collect()}
     last = max(per)
     assert all(v >= 30 - 8 for k, v in per.items() if k != last)  # 8 = max doc len
+
+
+def test_mask_contaminated_rewrites_only_spans(spark):
+    from mongoshake_spark.functions.curation import mask_contaminated
+
+    eval_docs = _docs(spark, [(100, "p q r s t")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b p q r s t c d"),       # span [2,7) removed
+            (2, "totally clean document here unchanged"),
+            (3, "p q r s t"),               # fully masked -> empty
+        ],
+    )
+    got = {r["doc_id"]: r for r in mask_contaminated(corpus, eval_docs, n=5).collect()}
+    assert got[1]["clean_text"] == "a b c d"
+    assert (got[1]["n_tokens_before"], got[1]["n_tokens_after"]) == (9, 4)
+    assert got[2]["clean_text"] == "totally clean document here unchanged"
+    assert got[2]["n_tokens_before"] == got[2]["n_tokens_after"] == 5
+    assert got[3]["clean_text"] == "" and got[3]["n_tokens_after"] == 0
