@@ -377,3 +377,22 @@ def token_df_signals(
             F.sum((F.col("_df") == 1).cast("int")).cast("bigint").alias("n_hapax"),
         )
     )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based ids over a total order — the post-dedup renumber
+    step (surviving documents get dense ids for shard/index addressing).
+
+    ``monotonically_increasing_id`` is the cheap platform answer but its
+    ids are sparse (partition-encoded); a dense numbering is a global
+    prefix sum of 1s, so this reuses the shared two-pass distributed form
+    (operators/prefix.running_total): one range exchange, per-partition
+    windows, broadcast offsets — never a single-partition window and never
+    a driver-side zipWithIndex collect."""
+    numbered = running_total(df, order_cols, F.lit(1), out_col, num_partitions)
+    return numbered.withColumn(out_col, (F.col(out_col) - 1).cast("bigint"))

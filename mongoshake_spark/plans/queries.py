@@ -2287,6 +2287,23 @@ def pipeline_curation_q(spark, sf_dir):
     )
 
 
+@_q(
+    "assign_row_ids",
+    """SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT) AS row_id
+FROM documents ORDER BY doc_id""",
+    "Dense contiguous 0-based ids over a total order (the post-dedup "
+    "renumber): a global prefix sum of 1s via the shared two-pass form — "
+    "the oracle's single-partition row_number is exactly the plan the "
+    "operator avoids.",
+)
+def assign_row_ids_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import assign_row_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

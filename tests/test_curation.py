@@ -219,3 +219,13 @@ def test_mask_contaminated_rewrites_only_spans(spark):
     assert got[2]["clean_text"] == "totally clean document here unchanged"
     assert got[2]["n_tokens_before"] == got[2]["n_tokens_after"] == 5
     assert got[3]["clean_text"] == "" and got[3]["n_tokens_after"] == 0
+
+
+def test_assign_row_ids_dense_and_order_respecting(spark):
+    from mongoshake_spark.functions.curation import assign_row_ids
+
+    docs = spark.createDataFrame(
+        [(10, "b"), (3, "a"), (7, "a"), (1, "c")], "doc_id bigint, lang string"
+    )
+    got = {r["doc_id"]: r["row_id"] for r in assign_row_ids(docs, ["lang", "doc_id"]).collect()}
+    assert got == {3: 0, 7: 1, 10: 2, 1: 3}
