@@ -396,3 +396,74 @@ def assign_row_ids(
     a driver-side zipWithIndex collect."""
     numbered = running_total(df, order_cols, F.lit(1), out_col, num_partitions)
     return numbered.withColumn(out_col, (F.col(out_col) - 1).cast("bigint"))
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Corpus bigram language-model scoring — the CCNet/Gopher perplexity
+    quality filter re-expressed relationally: train an add-one-smoothed
+    bigram LM on the corpus itself, then score every document by its
+    average per-bigram surprisal in bits,
+
+        bits_per_token = -1/n * sum log2((C(a,b) + 1) / (C(a,·) + V))
+
+    where ``C(a,b)`` is the corpus count of bigram (a,b), ``C(a,·)`` the
+    count of bigrams starting with ``a`` and ``V`` the corpus vocabulary
+    size. High scores = improbable token sequences (garbled text, wrong
+    language, random strings); low scores = boilerplate. Published
+    pipelines threshold on exactly this statistic (a held-out KenLM model
+    in CCNet; self-trained here so the operator is closed over its input —
+    pass a different ``docs`` to ``train`` on a reference corpus).
+
+    Returns ``(id_col, n_bigrams, bits_per_token)`` for documents with at
+    least one bigram; ``bits_per_token`` is rounded so the float crosses
+    the oracle boundary deterministically (the log2 sum is over ≤ a few
+    hundred doubles per doc — order drift is absorbed by the rounding).
+
+    Scale shape: bigram extraction is a map-only in-row explode (the text
+    never shuffles, only (id, a, b) triples); the model is two hash
+    aggregates with map-side partial combine — C2 on the (a,b) key, C1
+    derived from the ALREADY-aggregated C2 (model-sized, never re-reads
+    the corpus); scoring joins the corpus triples to the model on the
+    high-cardinality (a,b) key (AQE-skew-safe, no broadcast of a
+    corpus-proportional model); the vocabulary size is a 1-row aggregate
+    broadcast into the scoring join. Per-doc reduction is one more
+    partial-combine aggregate. Nothing driver-side, nothing quadratic.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            F.slice(toks, F.lit(2), F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    model = c2.join(c1, "a")
+    surprisal = -F.log2(
+        (F.col("c2") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    return (
+        bg.join(model, ["a", "b"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(surprisal) / F.count("*"), round_digits).alias(
+                "bits_per_token"
+            ),
+        )
+    )

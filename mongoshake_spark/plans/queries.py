@@ -2304,6 +2304,39 @@ def assign_row_ids_q(spark, sf_dir):
     return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
 
 
+_LM_SCORE_ORACLE = """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> {'a': t[i], 'b': t[i+1]})) AS p
+  FROM toks WHERE len(t) >= 2),
+b2 AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+c2 AS (SELECT a, b, count(*) AS c2 FROM b2 GROUP BY a, b),
+c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-sum(log2((c2 + 1.0) / (c1 + v))) / count(*), 4)
+         AS bits_per_token
+FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+@_q(
+    "text_lm_score",
+    _LM_SCORE_ORACLE,
+    "Bigram LM quality scoring (the CCNet perplexity-filter shape): "
+    "add-one-smoothed bigram model trained on the corpus, per-doc average "
+    "surprisal in bits. Model = two partial-combine aggregates; scoring = "
+    "one shuffle join on the (a,b) key; vocab scalar broadcast.",
+)
+def text_lm_score_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

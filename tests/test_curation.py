@@ -229,3 +229,32 @@ def test_assign_row_ids_dense_and_order_respecting(spark):
     )
     got = {r["doc_id"]: r["row_id"] for r in assign_row_ids(docs, ["lang", "doc_id"]).collect()}
     assert got == {3: 0, 7: 1, 10: 2, 1: 3}
+
+
+def test_lm_score_hand_example(spark):
+    import math
+
+    from mongoshake_spark.functions.curation import lm_score
+
+    # corpus: "a b a b" and "a b c"
+    # bigrams: (a,b)x2 +1 = 3 occurrences of (a,b); (b,a)x1; (b,c)x1
+    # C1: a->3, b->2 ; V = 3 (a, b, c)
+    docs = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    p_ab = (3 + 1) / (3 + 3)  # C2(a,b)=3, C1(a)=3, V=3
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    exp1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    exp2 = -(math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert got[1]["n_bigrams"] == 3
+    assert got[2]["n_bigrams"] == 2
+    assert abs(got[1]["bits_per_token"] - round(exp1, 4)) < 1e-9
+    assert abs(got[2]["bits_per_token"] - round(exp2, 4)) < 1e-9
+
+
+def test_lm_score_skips_short_docs(spark):
+    from mongoshake_spark.functions.curation import lm_score
+
+    docs = _docs(spark, [(1, "solo"), (2, "two tokens")])
+    rows = lm_score(docs).collect()
+    assert [r["doc_id"] for r in rows] == [2]
