@@ -745,3 +745,98 @@ def duplicate_spans(
             F.sum("contrib").cast("bigint").alias("dup_token_cov"),
         )
     )
+
+
+# --- Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003) -----------
+#
+# The MOSS local fingerprinting scheme: hash every k-token gram, slide a
+# window of w consecutive gram hashes, and select each window's minimal
+# hash (rightmost on ties). Guarantees: any shared token run of at least
+# w + k - 1 tokens yields at least one shared selected fingerprint, while
+# only ~2/(w+1) of positions are selected — the standard robust
+# fingerprinting scheme for overlap/plagiarism detection at corpus scale.
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct winnowed fingerprints per document: ``(id_col, h)``.
+
+    The whole selection runs IN-ROW as nested higher-order expressions
+    (token split -> k-gram strings -> polynomial hashes -> window minima),
+    whole-stage codegen with zero Python and zero shuffle; only the
+    selected (id, h) pairs — ~2/(w+1) of gram positions — ever become
+    rows. Ties break to the RIGHTMOST minimal hash via the
+    ``h * (nk+1) + (nk - pos)`` packing (min over the packed value is
+    lexicographic (h, -pos)); the per-doc pack multiplier keeps values
+    well under 2^63 (hash < 1e9+7).
+
+    Documents shorter than ``k`` tokens produce no fingerprints; documents
+    with fewer than ``w`` grams winnow over one whole-document window.
+    Reference analog: per-value signatures in the reference's collision
+    matrix (executor/collision_matrix.go:167-222) — same
+    compact-signature idea, published-algorithm selection.
+    """
+    from mongoshake_spark.functions.texthash import MOD
+
+    gram = "concat(" + ", ' ', ".join(f"t[i + {d}]" for d in range(k)) + ")"
+    poly = (
+        f"aggregate(sequence(1, length(g)), CAST(0 AS BIGINT), "
+        f"(acc, ci) -> (acc * 31 + ascii(substring(g, ci, 1))) % {MOD})"
+    )
+    # the size(t) >= k filter below guarantees size(hs) >= 1 here
+    expr = f"""
+    transform(
+      array_distinct(transform(
+        sequence(least({w}, size(hs)), size(hs)),
+        e -> array_min(transform(
+          sequence(e - least({w}, size(hs)) + 1, e),
+          j -> element_at(hs, j) * (size(hs) + 1) + (size(hs) - j))))),
+      s -> s div (size(hs) + 1))"""
+    hs_expr = f"""
+    transform(
+      transform(sequence(0, size(t) - {k}), i -> {gram}),
+      g -> {poly})"""
+    out = (
+        docs.selectExpr(id_col, f"split({text_col}, ' ') AS t")
+        .filter(F.expr(f"size(t) >= {k}"))
+        .selectExpr(id_col, f"{hs_expr} AS hs")
+        .selectExpr(id_col, f"explode(array_distinct({expr})) AS h")
+        .distinct()
+    )
+    return out
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints:
+    ``(doc_a, doc_b, shared)``.
+
+    Scale shape: the self-join keys on the fingerprint hash — high
+    cardinality (1e9+7 space), so the exchange partitions evenly and AQE's
+    skew split covers any boilerplate fingerprint shared by thousands of
+    documents; per-doc fingerprints are already distinct so ``count(*)``
+    per pair IS the shared-fingerprint count. The pair aggregate has
+    map-side partial combine. Same postings-join shape as
+    :func:`ngram_jaccard_pairs`, at ~2/(w+1) the row count.
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    a = fp.select(F.col(id_col).alias("doc_a"), "h")
+    b = fp.select(F.col(id_col).alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

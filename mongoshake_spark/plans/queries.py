@@ -2304,6 +2304,56 @@ def assign_row_ids_q(spark, sf_dir):
     return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
 
 
+# Winnowing oracle: poly-hash each k-gram (k=3, w=4), pack h*(nk+1)+(nk-j)
+# so list_min picks (min hash, rightmost), decode back to the hash. The
+# single-element list_transform([gram], g -> ...) binds the gram to `g` so
+# the polynomial-hash lambda body is shared verbatim with texthash.
+_WINNOW_POLY_G = (
+    "list_reduce([CAST(0 AS BIGINT)] || "
+    "list_transform(range(1, length(g) + 1), ci -> ascii(g[ci:ci])), "
+    f"(acc, x) -> (acc * 31 + x) % {MOD})"
+)
+
+_WINNOW_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hsrc AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+           i -> list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2]],
+                               g -> {_WINNOW_POLY_G})[1])
+         ELSE [] END AS hs
+  FROM toks),
+win AS (
+  SELECT doc_id, len(hs) AS nk,
+         CASE WHEN len(hs) >= 1 THEN list_distinct(list_transform(
+             range(least(4, len(hs)), len(hs) + 1),
+             e -> list_min(list_transform(range(e - least(4, len(hs)) + 1, e + 1),
+                   j -> hs[j] * (len(hs) + 1) + (len(hs) - j)))))
+         ELSE [] END AS wins
+  FROM hsrc),
+fp AS (
+  SELECT DISTINCT doc_id, unnest(wins) // (nk + 1) AS h FROM win)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
+
+
+@_q(
+    "dedup_winnow",
+    _WINNOW_ORACLE,
+    "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS "
+    "scheme): k-gram hashes, per-window rightmost-minimum selection — all "
+    "in-row codegen'd expressions, only selected (id, hash) pairs become "
+    "rows (~2/(w+1) density) — then the postings self-join for documents "
+    "sharing >= 2 fingerprints.",
+)
+def dedup_winnow_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(docs, k=3, w=4, min_shared=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 _LM_SCORE_ORACLE = """WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (

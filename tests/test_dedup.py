@@ -242,3 +242,40 @@ def test_incremental_minhash_finds_cross_and_self_pairs(spark):
     assert not any(a == 12 or b == 12 for a, b, _ in got)
     # the corpus pair (1,2) must NOT be re-derived — corpus never self-joins
     assert not any(o == "corpus" and b in (1, 2) for _, b, o in got)
+
+
+def test_winnow_guarantees_shared_run_detected(spark):
+    from mongoshake_spark.functions.dedup import winnow_fingerprints, winnow_pairs
+
+    # k=3, w=4: any shared token run of >= w+k-1 = 6 tokens must yield at
+    # least one shared fingerprint (the winnowing guarantee).
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared_run} one two three four five"),
+            (2, f"nine eight seven six {shared_run}"),
+            (3, "wholly unrelated words with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = winnow_pairs(docs, k=3, w=4, min_shared=1).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    # density: far fewer fingerprints than gram positions
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    n_grams = sum(len(r["text"].split()) - 2 for r in docs.collect())
+    assert fp.count() < n_grams
+
+
+def test_winnow_short_docs(spark):
+    from mongoshake_spark.functions.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "two tokens"), (2, "exactly three tokens"), (3, "four tokens in here")],
+        "doc_id bigint, text string",
+    )
+    # doc 1 has no 3-gram -> no fingerprints; docs 2/3 have < w grams ->
+    # one whole-doc window each -> exactly one fingerprint
+    got = {r["doc_id"]: 1 for r in winnow_fingerprints(docs, k=3, w=4).collect()}
+    assert 1 not in got and 2 in got and 3 in got
