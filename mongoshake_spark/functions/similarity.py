@@ -356,3 +356,92 @@ def lsh_buckets(
     return vecs.select(id_col, vec_col).mapInPandas(
         bucket_batches, schema=f"{id_col} bigint, {vec_col} array<float>, bucket bigint"
     )
+
+
+def semantic_neardup(
+    vecs: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 20,
+    centroid_mod: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDedup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    the corpus by nearest centroid, then emit near-duplicate pairs ONLY
+    within each cluster — ``(doc_a, doc_b, cell, cos_sim)`` with cosine >=
+    num/den. Downstream, :func:`mongoshake_spark.functions.dedup.
+    duplicate_clusters` + a keep-one policy completes the pipeline, same
+    as the other candidate-pair families.
+
+    Centroids are the deterministic corpus sample (``id % centroid_mod ==
+    0`` — reproducible across engines without RNG state, the same init as
+    :func:`ivf_topk`). vs the exact all-pairs :func:`neardup_pairs`: the
+    O(N²) dot-product work drops to sum over cells of O(|cell|²) — with K
+    balanced cells that is a K× reduction, the entire point of SemDedup at
+    100 TB — at the cost of missing cross-cell pairs (the published
+    trade-off; the oracle replays the identical clustering so the recall
+    loss is part of the pinned contract).
+
+    Scale shape: cell assignment is one broadcast join + partial-combine
+    aggregate (no window, corpus shuffles once); pair generation is one
+    shuffle of the corpus partitioned BY CELL and a vectorized numpy block
+    per cell (Arrow batches, no Python-per-row). A degenerate giant cell
+    re-concentrates the quadratic cost — pick centroid density so cells
+    fit a task, or pre-split hot cells like the SimHash hot-bucket cap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    unit = with_norm(vecs, vec_col)
+    centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    assigned = (
+        unit.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "vnorm",
+            "cid",
+            (
+                F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))
+            ).alias("cs"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.any_value(vec_col).alias(vec_col),
+        )
+        .select(F.col(id_col).alias("_id"), vec_col, (-F.col("m.ncid")).alias("cell"))
+    )
+
+    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "cell": [], "cos_sim": []}
+        ).astype(
+            {"doc_a": "int64", "doc_b": "int64", "cell": "int64", "cos_sim": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        dots = mat @ mat.T
+        keep = (dots * threshold_den >= threshold_num * np.outer(norm, norm)) & (
+            ids[:, None] < ids[None, :]
+        )
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ai],
+                "doc_b": ids[bi],
+                "cell": np.full(len(ai), int(key[0]), dtype="int64"),
+                "cos_sim": np.round(dots[ai, bi] / (norm[ai] * norm[bi]), 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        block, schema="doc_a bigint, doc_b bigint, cell bigint, cos_sim double"
+    )

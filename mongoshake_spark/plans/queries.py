@@ -2304,6 +2304,40 @@ def assign_row_ids_q(spark, sf_dir):
     return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
 
 
+_SEMDEDUP_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cvec, vnorm AS cnorm FROM v WHERE vec_id % 29 = 0),
+assign AS (
+  SELECT vec_id, embedding, vnorm, cid AS cell FROM (
+    SELECT v.vec_id, v.embedding, v.vnorm, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_dd_dot('v.embedding', 'c.cvec')} / (v.vnorm * c.cnorm) DESC, c.cid) AS rn
+    FROM v CROSS JOIN c) WHERE rn = 1)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.cell,
+       round({_dd_dot('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm), 6) AS cos_sim
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_dd_dot('a.embedding', 'b.embedding')} * 20 >= 7 * (a.vnorm * b.vnorm)
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_semantic",
+    _SEMDEDUP_ORACLE,
+    "SemDedup-shaped semantic dedup: nearest-centroid clustering "
+    "(deterministic sampled centroids, broadcast assignment) then "
+    "near-duplicate pairs WITHIN cells only — per-cell vectorized block "
+    "scoring, K-fold less dot-product work than exact all-pairs. The "
+    "oracle replays the identical clustering, pinning the recall "
+    "trade-off.",
+)
+def dedup_semantic_q(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_neardup(
+        vecs, threshold_num=7, threshold_den=20, centroid_mod=29
+    ).orderBy("doc_a", "doc_b")
+
+
 # Winnowing oracle: poly-hash each k-gram (k=3, w=4), pack h*(nk+1)+(nk-j)
 # so list_min picks (min hash, rightmost), decode back to the hash. The
 # single-element list_transform([gram], g -> ...) binds the gram to `g` so

@@ -192,3 +192,31 @@ def test_extract_features_deterministic_and_ann_composable(spark):
     ).withColumnRenamed("features", "embedding")
     top = similarity.brute_topk(vecs, [1], k=2).collect()
     assert [r["neighbor_id"] for r in top] == [3, 2]  # exact dup first
+
+
+def test_semantic_neardup_restricts_pairs_to_cells(spark):
+    from mongoshake_spark.functions.similarity import semantic_neardup
+
+    # centroid_mod=3 -> centroids are ids 0 and 3: [1,0] and [0,1].
+    # ids 1,2 sit near [1,0] (cell 0); ids 4,5 near [0,1] (cell 3).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [1.0, 0.11]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 1.0]),
+        (5, [0.11, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cell"]
+        for r in semantic_neardup(vecs, threshold_num=99, threshold_den=100,
+                                  centroid_mod=3).collect()
+    }
+    # high threshold: only the truly-close same-cell pairs survive
+    assert got[(0, 1)] == 0 and got[(1, 2)] == 0 and got[(0, 2)] == 0
+    assert got[(3, 4)] == 3 and got[(4, 5)] == 3 and got[(3, 5)] == 3
+    # no cross-cell pair exists even though e.g. cos(2,4) is well-defined
+    assert all(
+        (a < 3 and b < 3) or (a >= 3 and b >= 3) for a, b in got
+    )
