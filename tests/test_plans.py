@@ -278,3 +278,52 @@ def test_pipeline_curation_no_single_partition_window(spark, sf_dir):
             f"partition-less window found: windowspecdefinition({first_arg}, ...)"
         )
     assert "BroadcastHashJoin" in plan  # eval gram set + keep/dirty id sets
+
+
+def test_lm_score_model_joins_shuffle_not_broadcast(spark, sf_dir):
+    """Bigram LM scoring: the model (C2/C1 tables) is corpus-vocabulary
+    sized — it must NOT carry a broadcast hint (at 100 TB it would not
+    fit); the only broadcast is the 1-row vocabulary scalar. Partial
+    aggregation must cover the per-doc reduction."""
+    from mongoshake_spark.functions.curation import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = lm_score(docs)
+    # the only broadcast HINT is the 1-row vocabulary scalar; the model
+    # joins carry none (at fixture scale the planner may still pick a
+    # broadcast join from statistics — that is AQE's call, not a hint
+    # pinning a corpus-sized build side)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+
+
+def test_winnow_selection_is_single_scan_map_only(spark, sf_dir):
+    """Winnowing fingerprint SELECTION must be map-only: one parquet scan,
+    no exchange before the per-doc distinct (the first shuffle allowed is
+    the distinct on (doc_id, h)). A selection that shuffles grams defeats
+    the ~2/(w+1) density point."""
+    import re
+
+    from mongoshake_spark.functions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(winnow_fingerprints(docs))
+    # reads only the two needed columns
+    assert "text" in plan and "lang" not in plan.split("ReadSchema")[1][:200]
+    # exactly one exchange: the distinct; selection itself adds none
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange (distinct), got {n_exchanges}"
+
+
+def test_semantic_neardup_assignment_broadcasts_centroids(spark, sf_dir):
+    """SemDedup: centroid assignment must broadcast the (small) centroid
+    set and aggregate with partial combine — no window over the corpus,
+    no corpus-sized broadcast."""
+    from mongoshake_spark.functions.similarity import semantic_neardup
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(semantic_neardup(vecs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
