@@ -96,10 +96,14 @@ def main() -> None:
     # RDD blocks, broadcast remnants and shuffle files that gc.collect()
     # alone does not reliably release, and the measured "serial" spans were
     # up to 5x the same query's cost in a clean session — pollution, not
-    # query cost. Restart (not timed) + re-warm gives the steady-state
-    # number the serial DuckDB baseline is compared against.
+    # query cost. The restarted session is then run TWICE: the first pass
+    # pays per-plan codegen compilation (reported as serial_cold_total for
+    # transparency), the second is the steady-state per-query cost the
+    # serial DuckDB baseline is compared against.
     spark.stop()
     spark = fresh_session()
+    serial_cold_total, _ = run_workload(1)
+    drain_session()
     serial_total, serial_timings = run_workload(1)
     total, timings = min(pooled, key=lambda x: x[0])
     print(
@@ -113,6 +117,7 @@ def main() -> None:
                 "pool": POOL,
                 "pooled_run_totals": [t for t, _ in pooled],
                 "serial_total": serial_total,
+                "serial_cold_total": serial_cold_total,
                 "serial_queries": serial_timings,
             }
         )

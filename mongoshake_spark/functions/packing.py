@@ -41,11 +41,20 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, seq_id, offset): where each document starts in the
-    chopped ``budget``-token training-sequence stream (see module doc)."""
+    """(id, [carry_cols...], n_tokens, seq_id, offset): where each document
+    starts in the chopped ``budget``-token training-sequence stream (see
+    module doc).
+
+    ``carry_cols`` rides metadata columns (language, source, quality tier)
+    through the prefix sum instead of joining them back afterwards — the
+    join-back form re-evaluates the whole upstream pipeline a second time
+    (the prefix sum's checkpoint materializes upstream once, but a second
+    reference to ``docs`` does not share it)."""
+    carry = list(carry_cols or [])
     with_counts = docs.select(
-        id_col, token_count(F.col(text_col)).alias("n_tokens")
+        id_col, *carry, token_count(F.col(text_col)).alias("n_tokens")
     )
     summed = running_total(
         with_counts, [id_col], F.col("n_tokens"), "_cum", num_partitions
@@ -53,6 +62,7 @@ def pack_sequences(
     start = F.col("_cum") - F.col("n_tokens")  # exclusive prefix = start pos
     return summed.select(
         id_col,
+        *carry,
         "n_tokens",
         F.floor(start / F.lit(budget)).cast("bigint").alias("seq_id"),
         (start % F.lit(budget)).cast("bigint").alias("offset"),

@@ -2275,16 +2275,20 @@ def pipeline_curation_q(spark, sf_dir):
     n_tok = textfn.token_count(F.col("text"))
     n_stop = textfn.stopword_count(F.col("text"))
     q = dd.filter((n_tok >= 20) & (n_stop * 20 >= n_tok))
+    # lazy checkpoint: `q` feeds BOTH decontaminate and the anti-join —
+    # checkpointed on first materialization, the second branch reuses the
+    # blocks instead of re-running scan+dedup+quality (2x cold-run win)
+    q = q.localCheckpoint(eager=False)
     # decontamination: drop docs sharing any 5-gram with the eval split
     dirty = decontaminate(q, eval_docs, n=5).filter(F.col("contaminated"))
     clean = q.join(dirty.select("doc_id"), "doc_id", "left_anti")
     sampled = sample_strata(clean, {"en": 0.5, "zh": 0.7}, default_rate=0.9)
-    packed = pack_sequences(sampled, budget=512)
-    return (
-        packed.join(sampled.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "n_tokens", "seq_id", "offset")
-        .orderBy("doc_id")
-    )
+    # lang rides through the prefix sum (carry_cols) — a join-back against
+    # `sampled` would re-evaluate the entire upstream pipeline a second time
+    packed = pack_sequences(sampled, budget=512, carry_cols=["lang"])
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "seq_id", "offset"
+    ).orderBy("doc_id")
 
 
 @_q(
