@@ -2308,6 +2308,42 @@ def assign_row_ids_q(spark, sf_dir):
     return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
 
 
+_CORPUS_STATS_ORACLE = """WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens, n_chars
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM t GROUP BY source ORDER BY source"""
+
+
+@_q(
+    "corpus_stats",
+    _CORPUS_STATS_ORACLE,
+    "Per-source corpus monitoring summary: doc counts, token totals, exact "
+    "p50/p90 token-length quantiles (Spark `percentile` == DuckDB "
+    "quantile_cont, both linear-interpolated), mean chars. One partial-"
+    "combine aggregate; at 100 TB swap `percentile` for approx_percentile "
+    "(t-digest, mergeable sketch) — the exact form pins the oracle.",
+)
+def corpus_stats_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", textfn.token_count(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _SEMDEDUP_ORACLE = f"""WITH v AS (
   SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
   FROM embeddings),
