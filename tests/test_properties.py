@@ -171,3 +171,92 @@ def test_shard_by_token_budget_laws(spark, tok_counts, budget, seed):
     for i in order:
         assert got[i] == pos // budget, (i, pos)
         pos += tok_counts[i]
+
+
+# -- winnowing invariants ----------------------------------------------------
+
+
+MOD_POLY = 1_000_000_007
+
+
+def _poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD_POLY
+    return h
+
+
+def _winnow_model(toks, k, w):
+    """Serial reference winnowing: per window of w gram hashes, select the
+    rightmost minimal hash; return the distinct selected hash set."""
+    if len(toks) < k:
+        return set()
+    hs = [_poly(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    mw = min(w, len(hs))
+    sel = set()
+    for e in range(mw - 1, len(hs)):
+        win = hs[e - mw + 1 : e + 1]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        sel.add(m)
+    return sel
+
+
+token = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@given(st.lists(st.lists(token, min_size=1, max_size=20), min_size=1, max_size=4))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_winnow_matches_serial_model(spark, docs_toks):
+    """Spark winnow_fingerprints == the serial winnowing model for
+    arbitrary corpora (tiny alphabet → plenty of repeated grams and hash
+    ties, the tie-break-sensitive regime)."""
+    from mongoshake_spark.functions.dedup import winnow_fingerprints
+
+    k, w = 2, 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_toks)],
+        "doc_id bigint, text string",
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["h"])
+    expected = {
+        i: _winnow_model(t, k, w)
+        for i, t in enumerate(docs_toks)
+        if _winnow_model(t, k, w)
+    }
+    assert got == expected
+
+
+@given(st.lists(st.lists(token, min_size=2, max_size=12), min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_lm_score_matches_serial_model(spark, docs_toks):
+    """lm_score == the serial add-one bigram model for arbitrary corpora:
+    counts, vocabulary and per-doc average surprisal all agree."""
+    import math
+    from collections import Counter
+
+    from mongoshake_spark.functions.curation import lm_score
+
+    c2: Counter = Counter()
+    vocab = set()
+    for t in docs_toks:
+        vocab.update(t)
+        c2.update(zip(t, t[1:]))
+    c1 = Counter()
+    for (a, _), n in c2.items():
+        c1[a] += n
+    v = len(vocab)
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_toks)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    for i, t in enumerate(docs_toks):
+        bigs = list(zip(t, t[1:]))
+        exp = -sum(
+            math.log2((c2[b] + 1) / (c1[b[0]] + v)) for b in bigs
+        ) / len(bigs)
+        assert got[i]["n_bigrams"] == len(bigs)
+        assert abs(got[i]["bits_per_token"] - round(exp, 4)) < 1e-9
