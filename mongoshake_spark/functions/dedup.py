@@ -138,7 +138,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    docs: DataFrame, text_col: str = "text", sigs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, band_key) — the LSH bucket assignment.
 
     Minhash family h_i(x) = ((2i+1)*x + 7919*i) mod P, i in [0,16);
@@ -147,9 +149,11 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The signature matrix comes from minhash_signatures (Arrow-vectorized,
     no shuffle — the repartition inside doubles as the distribution);
-    bands explode from the in-row signature columns, JVM-side.
+    bands explode from the in-row signature columns, JVM-side. Pass a
+    precomputed ``sigs`` matrix to share one signature pass between the
+    band join and a downstream signature-agreement stage.
     """
-    sig = minhash_signatures(docs, text_col)
+    sig = sigs if sigs is not None else minhash_signatures(docs, text_col)
     per_band = N_MINHASH // N_BANDS
     bands_arr = F.array(
         *[
@@ -845,4 +849,63 @@ def winnow_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame, text_col: str = "text", round_digits: int = 4
+) -> DataFrame:
+    """The full MinHash pipeline's VERIFY stage: for every LSH-candidate
+    pair, estimate Jaccard similarity as the fraction of agreeing
+    signature components — ``(doc_a, doc_b, n_agree, est_jaccard)``.
+
+    This is the standard scalable form (Broder 1997): the exact
+    verification (:func:`ngram_jaccard_pairs`) re-touches shingle postings
+    — O(sum of posting-list products); the estimate touches only the
+    16-component signatures of candidate pairs, O(|candidates|), with the
+    well-known ±1/sqrt(16) standard error. Thresholding on ``n_agree``
+    replaces the exact-Jaccard threshold at corpus scale.
+
+    Scale shape: the signature matrix is computed ONCE (localCheckpoint)
+    and feeds both the band self-join (candidates) and the two signature
+    lookups; all three joins key on doc ids / band keys — high
+    cardinality, no broadcast of anything corpus-sized. Agreement is an
+    in-row integer sum over the 16 columns (no explode, no per-component
+    shuffle).
+    """
+    sigs = minhash_signatures(docs, text_col).localCheckpoint(eager=True)
+    bands = minhash_bands(docs, text_col, sigs=sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(N_MINHASH)],
+    )
+    n_agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(N_MINHASH)
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            F.round(n_agree / F.lit(float(N_MINHASH)), round_digits).alias(
+                "est_jaccard"
+            ),
+        )
     )

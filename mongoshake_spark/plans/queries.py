@@ -2308,6 +2308,36 @@ def assign_row_ids_q(spark, sf_dir):
     return assign_row_ids(docs, ["lang", "doc_id"]).orderBy("doc_id")
 
 
+_MINHASH_EST_ORACLE = f"""WITH {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_agree, round(n_agree / 16.0, 4) AS est_jaccard
+FROM agree ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_minhash_estimate",
+    _MINHASH_EST_ORACLE,
+    "MinHash verify stage (Broder 1997): per LSH-candidate pair, Jaccard "
+    "estimated as the fraction of agreeing signature components — "
+    "O(|candidates|) signature lookups instead of re-touching shingle "
+    "postings; one signature pass (checkpointed) feeds both the band join "
+    "and the agreement sum, computed in-row over the 16 columns.",
+)
+def dedup_minhash_estimate_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
 _CORPUS_STATS_ORACLE = """WITH t AS (
   SELECT source, len(string_split(text, ' ')) AS n_tokens, n_chars
   FROM documents)

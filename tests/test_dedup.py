@@ -279,3 +279,29 @@ def test_winnow_short_docs(spark):
     # one whole-doc window each -> exactly one fingerprint
     got = {r["doc_id"]: 1 for r in winnow_fingerprints(docs, k=3, w=4).collect()}
     assert 1 not in got and 2 in got and 3 in got
+
+
+def test_minhash_estimate_identical_docs_agree_fully(spark):
+    from mongoshake_spark.functions.dedup import minhash_estimate_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),  # identical -> all 16 components agree
+            (3, "alpha beta gamma delta epsilon zeta eta NINE"),  # near-dup
+            (4, "totally different words in this other document here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_agree"], r["est_jaccard"])
+        for r in minhash_estimate_pairs(docs).collect()
+    }
+    assert got[(1, 2)] == (16, 1.0)
+    # near-dup shares most shingles -> candidate with partial agreement
+    if (1, 3) in got:
+        n, est = got[(1, 3)]
+        assert 1 <= n < 16 and est == round(n / 16.0, 4)
+    # the unrelated doc shares no band with anything
+    assert not any(4 in p for p in got)
