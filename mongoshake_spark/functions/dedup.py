@@ -785,13 +785,10 @@ def winnow_fingerprints(
     matrix (executor/collision_matrix.go:167-222) — same
     compact-signature idea, published-algorithm selection.
     """
-    from mongoshake_spark.functions.texthash import MOD
-
     gram = "concat(" + ", ' ', ".join(f"t[i + {d}]" for d in range(k)) + ")"
-    poly = (
-        f"aggregate(sequence(1, length(g)), CAST(0 AS BIGINT), "
-        f"(acc, ci) -> (acc * 31 + ascii(substring(g, ci, 1))) % {MOD})"
-    )
+    # the parity-critical hash comes from texthash (single definition);
+    # "g" is the lambda variable the expression is evaluated under
+    poly = poly_hash_spark("g")
     # ONE expression with `t` (token array) and `hs` (gram-hash array)
     # bound as single-element-array lambda variables. Bound this way each
     # subtree is code-generated ONCE; expressed as chained projections,

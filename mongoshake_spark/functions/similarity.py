@@ -175,6 +175,38 @@ def neardup_pairs(
     )
 
 
+def assign_nearest_centroid(
+    unit: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-centroid cell assignment — the ONE implementation shared by
+    :func:`ivf_assign`, :func:`ivf_topk` and :func:`semantic_neardup`
+    (the (cos, -cid) tie-break must stay bit-identical to every oracle's
+    ``row_number ORDER BY cs DESC, cid``, so it lives in exactly one
+    place). ``unit`` carries ``vnorm`` (see :func:`with_norm`);
+    ``centroids`` is small — (cid, cvec, cnorm) — and broadcast. The
+    argmax is a hash aggregate over a (cos, -cid) struct — map-side
+    partial combine, no window, so the corpus never shuffles more than one
+    row per vector; ``carry`` columns ride through via any_value. Returns
+    ``(id_col, *carry, cell)``."""
+    scored = unit.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        *carry,
+        "cid",
+        (
+            F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("cs"),
+    )
+    aggs = [F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m")]
+    aggs += [F.any_value(c).alias(c) for c in carry]
+    return scored.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), *carry, (-F.col("m.ncid")).alias("cell")
+    )
+
+
 def ivf_assign(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -182,23 +214,14 @@ def ivf_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF cell assignment: each vector joins its nearest centroid by
-    cosine (tiebreak: lower centroid id). ``centroids`` is small (the IVF
-    list count) and broadcast; the argmax is a hash aggregate over a
-    (cos, -cid) struct — map-side partial combine, no window, so the
-    corpus never shuffles more than one (id, cell) pair per vector."""
-    scored = vecs.select(
-        F.col(id_col), F.col(vec_col)
-    ).crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
-        id_col,
-        vec_col,
-        "cid",
-        F.expr(cosine_expr(vec_col, "cvec")).alias("cs"),
+    cosine (tiebreak: lower centroid id). Thin wrapper over
+    :func:`assign_nearest_centroid` that derives the norms; ``centroids``
+    needs only (cid, cvec)."""
+    unit = with_norm(vecs.select(F.col(id_col), F.col(vec_col)), vec_col)
+    cents = centroids.select(
+        "cid", "cvec", F.expr(norm_expr("cvec")).alias("cnorm")
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"))
-        .select(F.col(id_col), (-F.col("m.ncid")).alias("cell"))
-    )
+    return assign_nearest_centroid(unit, cents, vec_col, id_col)
 
 
 def ivf_topk(
@@ -228,29 +251,11 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"),
     )
-    # inline cell assignment carrying the vector+norm through the aggregate
+    # cell assignment carrying the vector+norm through the aggregate
     # (one map-side-combined shuffle; avoids a corpus self-join with
     # ivf_assign's (id, cell) output)
-    assigned = (
-        unit.crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            vec_col,
-            "vnorm",
-            "cid",
-            (F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias(
-                "cs"
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"),
-            F.any_value(vec_col).alias(vec_col),
-            F.any_value("vnorm").alias("vnorm"),
-        )
-        .select(
-            F.col(id_col), vec_col, "vnorm", (-F.col("m.ncid")).alias("cell")
-        )
+    assigned = assign_nearest_centroid(
+        unit, centroids, vec_col, id_col, carry=(vec_col, "vnorm")
     )
     queries = unit.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
@@ -398,24 +403,9 @@ def semantic_neardup(
         F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"),
     )
-    assigned = (
-        unit.crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            vec_col,
-            "vnorm",
-            "cid",
-            (
-                F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))
-            ).alias("cs"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m"),
-            F.any_value(vec_col).alias(vec_col),
-        )
-        .select(F.col(id_col).alias("_id"), vec_col, (-F.col("m.ncid")).alias("cell"))
-    )
+    assigned = assign_nearest_centroid(
+        unit, centroids, vec_col, id_col, carry=(vec_col,)
+    ).withColumnRenamed(id_col, "_id")
 
     def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

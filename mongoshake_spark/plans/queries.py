@@ -2250,13 +2250,15 @@ FROM c ORDER BY doc_id"""
 @_q(
     "pipeline_curation",
     _PIPELINE_ORACLE,
-    "The end-to-end curation pipeline as ONE lazy plan: exact dedup "
-    "(min-id keep per normalized hash) -> quality gate (token count + "
-    "stopword ratio) -> decontamination vs the eval split -> stratified "
-    "down-sampling -> sequence packing. Every stage is an operator "
-    "declared elsewhere; this query proves they COMPOSE — one Catalyst "
-    "plan, no materialization between stages — and the oracle replays "
-    "the whole chain in SQL.",
+    "The end-to-end curation pipeline: exact dedup (min-id keep per "
+    "normalized hash) -> quality gate (token count + stopword ratio) -> "
+    "decontamination vs the eval split -> stratified down-sampling -> "
+    "sequence packing. Every stage is an operator declared elsewhere; "
+    "this query proves they COMPOSE. Two deliberate lineage breaks: the "
+    "quality-gated branch is lazily checkpointed (it feeds both "
+    "decontaminate and the anti-join) and the prefix sum checkpoints its "
+    "ranged exchange; everything else is one Catalyst plan, and the "
+    "oracle replays the whole chain in SQL.",
 )
 def pipeline_curation_q(spark, sf_dir):
     from mongoshake_spark.functions.curation import decontaminate
@@ -2411,12 +2413,9 @@ def dedup_semantic_q(spark, sf_dir):
 # Winnowing oracle: poly-hash each k-gram (k=3, w=4), pack h*(nk+1)+(nk-j)
 # so list_min picks (min hash, rightmost), decode back to the hash. The
 # single-element list_transform([gram], g -> ...) binds the gram to `g` so
-# the polynomial-hash lambda body is shared verbatim with texthash.
-_WINNOW_POLY_G = (
-    "list_reduce([CAST(0 AS BIGINT)] || "
-    "list_transform(range(1, length(g) + 1), ci -> ascii(g[ci:ci])), "
-    f"(acc, x) -> (acc * 31 + x) % {MOD})"
-)
+# texthash's poly_hash_duckdb — the single parity-critical definition —
+# applies verbatim to the lambda variable.
+_WINNOW_POLY_G = poly_hash_duckdb("g")
 
 _WINNOW_ORACLE = f"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),

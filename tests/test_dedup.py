@@ -275,10 +275,12 @@ def test_winnow_short_docs(spark):
         [(1, "two tokens"), (2, "exactly three tokens"), (3, "four tokens in here")],
         "doc_id bigint, text string",
     )
+    from collections import Counter
+
     # doc 1 has no 3-gram -> no fingerprints; docs 2/3 have < w grams ->
     # one whole-doc window each -> exactly one fingerprint
-    got = {r["doc_id"]: 1 for r in winnow_fingerprints(docs, k=3, w=4).collect()}
-    assert 1 not in got and 2 in got and 3 in got
+    got = Counter(r["doc_id"] for r in winnow_fingerprints(docs, k=3, w=4).collect())
+    assert got == {2: 1, 3: 1}
 
 
 def test_minhash_estimate_identical_docs_agree_fully(spark):
