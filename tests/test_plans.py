@@ -327,3 +327,23 @@ def test_semantic_neardup_assignment_broadcasts_centroids(spark, sf_dir):
     plan = _plan(semantic_neardup(vecs))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_minhash_estimate_no_corpus_broadcast_hint(spark, sf_dir):
+    """The signature matrix and band table are corpus-sized — none of the
+    three joins (band self-join, two signature lookups) may carry a
+    broadcast hint; agreement must be an in-row projection (no explode of
+    the 16 components into rows)."""
+    from mongoshake_spark.functions.dedup import minhash_estimate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    import re
+
+    df = minhash_estimate_pairs(docs)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = _plan(df)
+    # exactly ONE Generate: the band explode (4 rows/doc). The 16-component
+    # agreement must stay an in-row projection, not a second explode.
+    n_gen = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_gen == 1, f"expected 1 Generate (bands), got {n_gen}"
