@@ -343,7 +343,9 @@ def test_minhash_estimate_no_corpus_broadcast_hint(spark, sf_dir):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
     plan = _plan(df)
-    # exactly ONE Generate: the band explode (4 rows/doc). The 16-component
-    # agreement must stay an in-row projection, not a second explode.
+    # exactly TWO Generates: the band explode (4 rows/doc), evaluated once
+    # per side of the band self-join over the checkpointed signatures. The
+    # 16-component agreement must stay an in-row projection — a third
+    # Generate would mean the components were exploded into rows.
     n_gen = len(re.findall(r"\(\d+\) Generate", plan))
-    assert n_gen == 1, f"expected 1 Generate (bands), got {n_gen}"
+    assert n_gen == 2, f"expected 2 Generates (band join sides), got {n_gen}"
