@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT
+from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT, knuth_u32
 from mongoshake_spark.functions.text import _ngram_col, token_count, tokens
 from mongoshake_spark.operators.prefix import running_total
 
@@ -54,11 +54,14 @@ def decontaminate(
 ) -> DataFrame:
     """Train/test decontamination by n-gram overlap.
 
-    Returns one row per corpus document: ``(id_col, n_grams,
-    n_contaminated, contaminated)`` where ``n_grams`` counts the document's
-    distinct token n-grams and ``n_contaminated`` how many of those also
-    occur anywhere in ``eval_docs``. Published pretraining pipelines drop
-    or span-mask documents with ``contaminated = true``.
+    Returns one row per corpus document — INCLUDING documents shorter
+    than ``n`` tokens, which have ``n_grams = 0`` and can never be
+    contaminated (a keep-set built as ``filter(~contaminated)`` must not
+    silently lose short docs): ``(id_col, n_grams, n_contaminated,
+    contaminated)`` where ``n_grams`` counts the document's distinct token
+    n-grams and ``n_contaminated`` how many of those also occur anywhere
+    in ``eval_docs``. Published pretraining pipelines drop or span-mask
+    documents with ``contaminated = true``.
 
     Scale shape: the corpus side never shuffles at corpus width — per-doc
     gram totals are ``size(array_distinct(...))`` computed in-row
@@ -82,9 +85,7 @@ def decontaminate(
     n_grams = F.size(F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))).cast(
         "bigint"
     )
-    totals = corpus.select(F.col(id_col), n_grams.alias("n_grams")).filter(
-        F.col("n_grams") > 0
-    )
+    totals = corpus.select(F.col(id_col), n_grams.alias("n_grams"))
     return (
         totals.join(hits, id_col, "left")
         .select(
@@ -123,10 +124,7 @@ def shard_by_token_budget(
     shard lands as one unit with ~equal token mass, which is exactly the
     property downstream dataloaders want.
     """
-    u = F.pmod(
-        (F.col(id_col).cast("bigint") + F.lit(int(seed))) * F.lit(KNUTH_MULT),
-        F.lit(HASH_MOD),
-    ).cast("bigint")
+    u = knuth_u32(id_col, seed).cast("bigint")
     with_key = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
@@ -178,8 +176,12 @@ def write_training_shards(
         .sortWithinPartitions("shard_id", "shuffle_key", id_col)
     )
     laid_out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
-    n = laid_out.sparkSession.read.parquet(path).select("shard_id").distinct().count()
-    return n
+    # shard ids are contiguous from 0 by construction (floor of a prefix
+    # sum), so the count is max+1 from the metadata-sized assignment —
+    # re-reading the just-written dataset to count distinct ids would
+    # re-scan every shard file for a scalar
+    row = assignment.agg(F.max("shard_id").alias("m")).first()
+    return int(row["m"]) + 1 if row["m"] is not None else 0
 
 
 def cap_per_domain(

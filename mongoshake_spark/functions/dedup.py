@@ -715,14 +715,11 @@ def duplicate_spans(
     shuffle is the cluster one. The interval union is a per-document
     running-max window — partitioned by doc_id, no global ordering funnel.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - w),
-            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from mongoshake_spark.functions.text import _ngram_col, tokens
+
+    # gram construction shared with text._ngram_col — ONE definition of
+    # window/tokenization semantics across the text + dedup operators
+    grams = _ngram_col(tokens(F.col(text_col)), w)
     sh = docs.select(id_col, F.posexplode(grams).alias("p", "gram")).select(
         id_col, "p", F.md5("gram").alias("h")
     )

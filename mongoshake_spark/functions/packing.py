@@ -25,7 +25,7 @@ Both are pure DataFrame compositions (no UDFs, no driver loops):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongoshake_spark.functions.text import token_count
@@ -33,6 +33,34 @@ from mongoshake_spark.operators.prefix import running_total
 
 KNUTH_MULT = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
 HASH_MOD = 2**32
+
+
+def knuth_u32(id_col: Column | str, seed: int = 0) -> Column:
+    """``((id + seed) * KNUTH_MULT) mod 2^32`` WITHOUT 64-bit overflow.
+
+    The naive ``id * 2654435761`` overflows bigint for id > ~3.47e9 —
+    Spark 4's ANSI mode then throws ARITHMETIC_OVERFLOW at runtime (and
+    with ANSI off would silently wrap, diverging from the documented
+    contract and the oracles). Ids that large are routine at corpus scale
+    (``monotonically_increasing_id`` starts at 2^33 in partition 1). Only
+    the low 32 bits of (id + seed) matter mod 2^32, so split them as
+    ``hi*2^16 + lo``:
+
+        (hi*2^16 + lo) * K  ≡  ((hi*K mod 2^16) * 2^16 + lo*K)  (mod 2^32)
+
+    and every intermediate stays < 2^48 — exact in bigint, identical to
+    the oracles' HUGEINT arithmetic for every id.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # reduce BEFORE adding the seed so even id = 2^63-1 cannot overflow
+    x = F.pmod(F.pmod(c.cast("bigint"), F.lit(HASH_MOD)) + F.lit(int(seed)), F.lit(HASH_MOD))
+    hi = (x / F.lit(65536)).cast("bigint")  # x < 2^32: binary division, exact
+    lo = x % F.lit(65536)
+    return F.pmod(
+        F.pmod(hi * F.lit(KNUTH_MULT), F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(KNUTH_MULT),
+        F.lit(HASH_MOD),
+    )
 
 
 def pack_sequences(
@@ -81,10 +109,7 @@ def sample_strata(
     stratum's kept set is a SUBSET of any higher rate's kept set (the
     keep threshold moves, the hash does not) — re-mixing with new rates
     never resamples from scratch."""
-    u = (
-        F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH_MULT), F.lit(HASH_MOD))
-        / F.lit(float(HASH_MOD))
-    )
+    u = knuth_u32(id_col) / F.lit(float(HASH_MOD))
     rate = F.lit(float(default_rate))
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
@@ -113,7 +138,7 @@ def epoch_mix(
     pct = F.lit(int(default_pct))
     for stratum, p in sorted(weights_pct.items()):
         pct = F.when(F.col(stratum_col) == stratum, F.lit(int(p))).otherwise(pct)
-    u = F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH_MULT), F.lit(HASH_MOD))
+    u = knuth_u32(id_col)
     extra = (u * 100 < (pct % 100) * F.lit(HASH_MOD)).cast("int")
     n_copies = (pct / 100).cast("int") + extra
     return (

@@ -161,7 +161,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #
 # Regexes restricted to the Java-regex / RE2 common subset (no lookaround,
 # no backrefs) so Spark and the DuckDB oracle agree literally.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
 
 

@@ -1636,10 +1636,10 @@ _PII_AUG_SQL = (
 _PII_ORACLE = rf"""WITH aug AS (
   SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(text, '\b[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
        md5(regexp_replace(regexp_replace(text,
-             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
              '\b[0-9]{{3}}-[0-9]{{4}}\b', '<PHONE>', 'g')) AS fp_scrubbed
 FROM aug ORDER BY doc_id"""
 
@@ -1848,7 +1848,9 @@ eg AS (
 hits AS (
   SELECT doc_id, count(*) AS n_contaminated FROM cg
   WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id),
-tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+tot AS (
+  SELECT doc_id, len(list_distinct({_G5})) AS n_grams
+  FROM toks WHERE doc_id % 20 != 0)
 SELECT t.doc_id, t.n_grams,
        CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        coalesce(h.n_contaminated, 0) > 0 AS contaminated

@@ -175,6 +175,12 @@ class TunnelServer:
     received: list = field(default_factory=list)
     ack: int = 0
     retransmit: bool = True  # "this always happen on receiver restart"
+    # per-SHARD consumed watermark: retransmit dedupe must survive sender
+    # RECONNECTS (a new connection's watermark restarts at -1, but the
+    # shard's does not), and shards are the unit of single-writer ordering
+    # (P7 partition routing: one client per shard, ordinals monotone
+    # within a shard)
+    shard_ack: dict = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
     _srv: socket.socket | None = field(default=None, repr=False)
     _threads: list = field(default_factory=list, repr=False)
@@ -249,17 +255,33 @@ class TunnelServer:
                 return self.ack
             import json as _json
 
-            prev_ack = conn_ack[0]  # dedupe against the PRE-batch watermark
+            # dedupe against the PRE-batch per-SHARD watermark: the shard
+            # is the single-writer ordering unit (P7 routing — ordinals
+            # monotone within a shard), so it is the correct dedupe key
+            # both across reconnects (a fresh connection's conn_ack
+            # restarts at -1, but the shard's watermark survives — without
+            # it an ack-lost-in-flight retransmission appends the consumed
+            # window a second time) and across shards multiplexed on one
+            # connection (whose ordinal spaces are independent; conn_ack
+            # spans them and must not gate)
+            shard = msg["shard"]
+            prev_ack = self.shard_ack.get(shard, -1)
+            batch_max = prev_ack
             for log in logs:
                 ordinal = int(_json.loads(log).get("id", 0))
-                # a retransmitted frame may replay logs this connection
-                # already consumed (rejection AFTER a consumed batch) —
+                # a retransmitted frame may replay logs already consumed
+                # (rejection AFTER a consumed batch, or a reconnect) —
                 # dropping them here is what keeps the receiver append-only
                 # AND exactly-once
                 if msg["tag"] & MSG_RETRANSMISSION and ordinal <= prev_ack:
                     continue
-                self.received.append((msg["shard"], log.decode("utf-8")))
+                self.received.append((shard, log.decode("utf-8")))
+                batch_max = max(batch_max, ordinal)
                 conn_ack[0] = max(conn_ack[0], ordinal)
+            # the shard watermark advances by THIS shard's ordinals only —
+            # conn_ack spans all shards on the connection and would poison
+            # another shard's independent ordinal space
+            self.shard_ack[shard] = max(self.shard_ack.get(shard, -1), batch_max)
             self.ack = max(self.ack, conn_ack[0])
             return conn_ack[0]
 

@@ -128,10 +128,16 @@ class ApplyKernel:
         return os.path.join(self.target_dir, "_layout.json")
 
     def _write_marker(self) -> None:
-        with open(self._marker_path(), "w") as f:
+        # atomic: the marker rewrites after EVERY flush, so an in-place
+        # truncate+write would leave a corrupt file under a crash mid-dump
+        # and poison every subsequent open; write-then-rename leaves either
+        # the old or the new marker, never a torn one.
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {"n_buckets": self.n_buckets, "watermark": self._watermark}, f
             )
+        os.replace(tmp, self._marker_path())
 
     def _bucket_dirs(self) -> list[str]:
         if not os.path.isdir(self.target_dir):
@@ -161,8 +167,15 @@ class ApplyKernel:
         bucketed = [f for f in entries if f.startswith("_bucket=")]
         marker = None
         if os.path.isfile(self._marker_path()):
-            with open(self._marker_path()) as f:
-                doc = json.load(f)
+            try:
+                with open(self._marker_path()) as f:
+                    doc = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a torn marker from a legacy (pre-atomic) writer crash:
+                # treat as missing — n_buckets mismatch then triggers the
+                # one-time rebucket below, and watermark=None compacts
+                # nothing, which is merely conservative
+                doc = {}
             marker = doc.get("n_buckets")
             if self._watermark is None:
                 self._watermark = doc.get("watermark")

@@ -47,10 +47,16 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     assert row["n_contaminated"] == 1
 
 
-def test_decontaminate_drops_docs_shorter_than_n(spark):
+def test_decontaminate_keeps_short_docs_uncontaminated(spark):
+    # a doc shorter than n has no n-grams and can never be contaminated,
+    # but it must still appear in the output (keep-set consumers filter on
+    # ~contaminated and would otherwise silently lose it)
     eval_docs = _docs(spark, [(100, "a b c d e")])
     corpus = _docs(spark, [(1, "too short")])
-    assert decontaminate(corpus, eval_docs, n=5).count() == 0
+    rows = decontaminate(corpus, eval_docs, n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_grams"] == 0 and r["n_contaminated"] == 0 and not r["contaminated"]
 
 
 def test_shard_by_token_budget_matches_serial_recompute(spark):
@@ -258,3 +264,28 @@ def test_lm_score_skips_short_docs(spark):
     docs = _docs(spark, [(1, "solo"), (2, "two tokens")])
     rows = lm_score(docs).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_knuth_u32_no_overflow_on_huge_ids(spark):
+    """ids beyond ~3.47e9 overflow the naive id*2654435761 bigint product
+    (ARITHMETIC_OVERFLOW under ANSI mode) — the split-arithmetic form must
+    stay exact up to 2^63-1, matching Python's unbounded integers."""
+    from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT, knuth_u32
+
+    ids = [0, 1, 3_470_000_000, 4_000_000_000, 2**33, 2**40 + 123, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    for seed in (0, 7):
+        got = [r["u"] for r in df.select(knuth_u32("doc_id", seed).alias("u")).collect()]
+        exp = [((i % HASH_MOD + seed) % HASH_MOD) * KNUTH_MULT % HASH_MOD for i in ids]
+        assert got == exp
+
+
+def test_sample_strata_works_beyond_32bit_ids(spark):
+    from mongoshake_spark.functions.packing import sample_strata
+
+    docs = spark.createDataFrame(
+        [(2**33 + i, "x", "en") for i in range(20)],
+        "doc_id bigint, text string, lang string",
+    )
+    kept = sample_strata(docs, {"en": 0.5}).count()
+    assert 0 <= kept <= 20  # must not throw; subset property holds

@@ -200,3 +200,45 @@ def test_spark_end_to_end_roundtrip(spark, sf_dir, server):
     a = ov.agg(F.count("*"), F.round(F.sum("value"), 2), F.min("id"), F.max("id")).collect()
     b = got.agg(F.count("*"), F.round(F.sum("value"), 2), F.min("id"), F.max("id")).collect()
     assert a == b
+
+
+def test_reconnect_retransmission_dedupes_across_connections(server):
+    """The ack-lost-in-flight scenario: a batch is consumed but the TCP
+    connection dies before the ack reaches the sender, so the sender
+    reconnects and retransmits its unack window. The NEW connection's
+    watermark restarts at -1 — the per-SHARD watermark is what must drop
+    the replayed logs, or the receiver appends them twice."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    s1 = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        s1.sendall(st.encode_packet(st.PACKET_WRITE, st.encode_tmessage(_logs([1, 2]), 0)))
+        _, payload = st.read_packet(s1)
+        assert struct.unpack(">q", payload)[0] == 2
+    finally:
+        s1.close()  # ack "lost": sender still holds 1,2 unacked
+    s2 = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        s2.sendall(
+            st.encode_packet(
+                st.PACKET_WRITE,
+                st.encode_tmessage(_logs([1, 2, 3]), 0, tag=st.MSG_RETRANSMISSION),
+            )
+        )
+        _, payload = st.read_packet(s2)
+        assert struct.unpack(">q", payload)[0] == 3
+        assert sorted(json.loads(v)["id"] for _, v in server.received) == [1, 2, 3]
+        # a different shard is NOT gated by shard 0's watermark
+        s2.sendall(
+            st.encode_packet(
+                st.PACKET_WRITE,
+                st.encode_tmessage(_logs([1]), 7, tag=st.MSG_RETRANSMISSION),
+            )
+        )
+        _, payload = st.read_packet(s2)
+        ids_by_shard = sorted((sh, json.loads(v)["id"]) for sh, v in server.received)
+        assert (7, 1) in ids_by_shard and len(ids_by_shard) == 4
+    finally:
+        s2.close()
