@@ -63,7 +63,14 @@ def compile_ns_regex(patterns: Sequence[str]) -> str:
     the namespace exactly, or as a db-prefix of it."""
     if not patterns:
         return ""
-    escaped = [p.replace(".", r"\.") for p in patterns]
+    import re
+
+    # full metacharacter escaping, not just '.': a namespace like
+    # "db.c(1)" must not become a capture group (which would also match
+    # "db.c1"), and "admin.$cmd" must not embed a mid-pattern '$' anchor
+    # that can never match. re.escape's output stays inside the Java/RE2
+    # common subset (backslash-escaped punctuation).
+    escaped = [re.escape(p) for p in patterns]
     exact = "|".join(escaped)
     prefix = "|".join(e + r"\." for e in escaped)
     return f"^({exact})$|^({prefix}).*$"

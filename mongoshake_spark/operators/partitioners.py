@@ -49,20 +49,31 @@ def worker_by_ns(df: DataFrame, n: int, ns_col: str = "ns", op_col: str = "op") 
     return out.repartition(n, "worker").sortWithinPartitions("ts", "id")
 
 
-def worker_by_id(df: DataFrame, n: int, id_col: str = "id") -> DataFrame:
-    """P2 PrimaryKeyHasher (oplog/hasher.go:54-74): worker = hash(_id) % n;
-    same-_id ordering guaranteed by repartition + sortWithinPartitions."""
-    out = df.withColumn("worker", F.pmod(F.col(id_col).cast("bigint"), F.lit(n)))
-    return out.repartition(n, "worker").sortWithinPartitions("ts", id_col)
+def worker_by_id(
+    df: DataFrame, n: int, key_col: str = "user_id", ord_col: str = "id"
+) -> DataFrame:
+    """P2 PrimaryKeyHasher (oplog/hasher.go:54-74): worker = hash(_id) % n
+    where _id is the DOCUMENT key (``key_col`` — ``user_id`` in this
+    repo's oplog schema), NOT the per-op ordinal: two ops on the same
+    document must land on the same worker or they can apply out of order,
+    which is the entire point of P2. ``ord_col`` (the unique op ordinal)
+    only tie-breaks the intra-partition sort."""
+    out = df.withColumn("worker", F.pmod(F.abs(F.hash(F.col(key_col))), F.lit(n)))
+    return out.repartition(n, "worker").sortWithinPartitions("ts", ord_col)
 
 
 def worker_by_whitelist(
-    df: DataFrame, n: int, id_collections: Sequence[str], ns_col: str = "ns", id_col: str = "id"
+    df: DataFrame,
+    n: int,
+    id_collections: Sequence[str],
+    ns_col: str = "ns",
+    key_col: str = "user_id",
+    ord_col: str = "id",
 ) -> DataFrame:
     """P3 WhiteListObjectIdHasher (oplog/hasher.go:87-110): listed
-    collections hash by _id, the rest by ns."""
+    collections hash by the DOCUMENT key (``key_col``), the rest by ns."""
     key = F.when(
-        F.col(ns_col).isin(list(id_collections)), F.col(id_col).cast("string")
+        F.col(ns_col).isin(list(id_collections)), F.col(key_col).cast("string")
     ).otherwise(F.col(ns_col))
     out = df.withColumn("worker", F.pmod(F.abs(F.hash(key)), F.lit(n)))
-    return out.repartition(n, "worker").sortWithinPartitions("ts", id_col)
+    return out.repartition(n, "worker").sortWithinPartitions("ts", ord_col)

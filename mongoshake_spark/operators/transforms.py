@@ -103,7 +103,11 @@ def ns_transform(ns_col: Column, rules: Sequence[tuple[str, str]]) -> Column:
     # Build nested CASE in reverse so the FIRST rule has highest priority.
     for src, dst in reversed(list(rules)):
         pat = "^" + src.replace(".", r"\.") + r"(\..*)?$"
-        replaced = F.concat(F.lit(dst), F.expr(f"substring(ns, {len(src) + 1})"))
+        # substr on the PASSED column — a hardcoded column name here would
+        # read an unrelated `ns` column (or fail to resolve) whenever the
+        # caller passes anything else
+        suffix = ns_col.substr(F.lit(len(src) + 1), F.length(ns_col))
+        replaced = F.concat(F.lit(dst), suffix)
         expr = F.when(ns_col.rlike(pat), replaced).otherwise(expr)
     return expr
 

@@ -133,7 +133,7 @@ def write_kafka_tunnel(
     frames = encode_frames(df, n_shards=n_shards).select(
         F.col("shard").cast("string").alias("key"), "value"
     )
-    opts = kafka_sink_options(brokers, topic, n_partitions=n_shards)
+    opts = kafka_sink_options(brokers, topic)
     if df.isStreaming:
         writer = frames.writeStream.format("kafka").options(**opts)
         if checkpoint_dir:

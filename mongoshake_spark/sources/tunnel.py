@@ -82,12 +82,12 @@ def read_file_tunnel(spark, path: str, schema: str | StructType = OPLOG_WIRE_SCH
     return decode_frames(spark.read.parquet(path), schema)
 
 
-def kafka_sink_options(
-    brokers: str, topic: str, n_partitions: int = 8
-) -> dict[str, str]:
-    """The exact S8 binding for a cluster with the Kafka package present:
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """The exact S8 binding for a cluster with the Kafka package present
+    (the shard count belongs to encode_frames — topic partitioning is a
+    topic property, not a producer option):
 
-        encode_frames(df, n_shards=n_partitions)
+        encode_frames(df, n_shards=<topic partition count>)
           .select(col("shard").cast("string").alias("key"), "value")
           .writeStream.format("kafka").options(**kafka_sink_options(...))
 

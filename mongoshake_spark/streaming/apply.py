@@ -330,7 +330,16 @@ class ApplyKernel:
                 # M4 audit journal (collector/syncer.go:635-638): append-only
                 # side output of every oplog handled, before filtering.
                 batch.write.mode("append").parquet(self.journal_dir)
-            self._quarantine(batch.filter(~F.col("op").isin("i", "u", "d", "n", "c")))
+            # null-safe: for op=NULL `~isin(...)` is NULL and a plain
+            # filter would silently DROP the row from every path (not
+            # quarantined, not applied) — the W7 contract is that rows
+            # which cannot be applied reach the dead-letter table
+            self._quarantine(
+                batch.filter(
+                    ~F.col("op").isin("i", "u", "d", "n", "c")
+                    | F.col("op").isNull()
+                )
+            )
             ddl_rows = sorted(
                 batch.filter(F.col("op") == "c").select("id", "ts", "ns", "o").collect(),
                 key=lambda r: (r["ts"], r["id"]),
@@ -434,5 +443,14 @@ def run_incr_sync(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # the drain did NOT finish: stop the query and fail loudly —
+        # returning the kernel while process_batch is still flushing in
+        # the background would hand the caller torn state and leak a
+        # running query (the checkpoint makes a re-run resume cleanly)
+        q.stop()
+        raise TimeoutError(
+            f"incremental sync did not drain within {timeout_sec}s; "
+            "stream stopped — re-run to resume from the checkpoint"
+        )
     return kernel

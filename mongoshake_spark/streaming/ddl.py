@@ -99,7 +99,10 @@ class SparkCatalogDDL:
             o = json.loads(o_json)
             if not isinstance(o, dict) or not o:
                 raise ValueError("not a command object")
-        except (json.JSONDecodeError, ValueError):
+        except (json.JSONDecodeError, ValueError, TypeError):
+            # TypeError covers o_json=None / non-string payloads — a
+            # malformed oplog must journal as unparseable, not escape
+            # foreachBatch and kill the whole stream
             self.actions.append(("unparseable", ns, o_json))
             return "unparseable"
         cmd, value = next(iter(o.items()))
@@ -209,15 +212,25 @@ class SparkCatalogDDL:
     def _do_drop_indexes(self, db: str, coll, o: dict) -> str:
         if not isinstance(coll, str) or not self._table_exists(db, coll):
             return "dropIndexes-missing"
-        target = o.get("index")  # name or '*' per Mongo's dropIndexes
+        target = o.get("index")
         if target is None:
             # MongoDB errors on dropIndexes without an index argument — a
             # malformed oplog must not silently wipe every recorded spec
             return "ignored-illegal"
         existing = self._get_prop(db, coll, INDEX_PROP)
-        kept = [] if target == "*" else [
-            s for s in existing if s.get("name") != target
-        ]
+        # Mongo's documented index argument forms: '*' (all), a name, an
+        # ARRAY of names, or the KEY-PATTERN DOCUMENT — treating the
+        # latter two as no-match would silently no-op while reporting
+        # success, diverging the recorded layout from the source
+        if target == "*":
+            kept = []
+        elif isinstance(target, list):
+            names = set(target)
+            kept = [s for s in existing if s.get("name") not in names]
+        elif isinstance(target, dict):
+            kept = [s for s in existing if s.get("key") != target]
+        else:
+            kept = [s for s in existing if s.get("name") != target]
         self._set_prop(db, coll, INDEX_PROP, kept)
         return "dropIndexes"
 

@@ -12,6 +12,7 @@ this listener covers the *operational* plane (pipeline throughput).
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -26,7 +27,11 @@ class ReplMetrics:
     rows_in: int = 0
     last_rows_per_sec: float = 0.0
     last_batch_ms: float = 0.0
-    progress: list = field(default_factory=list)
+    # bounded: a continuous query appends one entry per trigger for the
+    # listener's lifetime — days of 1s triggers would otherwise leak
+    # hundreds of thousands of dicts on the driver; the aggregates above
+    # carry the totals, this deque keeps only the recent window
+    progress: deque = field(default_factory=lambda: deque(maxlen=1024))
 
     def snapshot(self) -> dict:
         return {

@@ -51,9 +51,17 @@ def reassemble_transactions(
             state.remove()
             return
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("seq")
-            for row in pdf.itertuples(index=False):
+        # the group's rows arrive as MULTIPLE Arrow chunks (capped by
+        # maxRecordsPerBatch) in arbitrary post-shuffle order — sorting
+        # each chunk independently would let a commit row in an early
+        # chunk emit before lower-seq ops in later chunks (out-of-order
+        # output + stranded ops). Concatenate, then sort ONCE; a
+        # transaction's batch rows must fit in memory regardless, since
+        # the state buffers the whole transaction.
+        chunks = list(pdf_iter)
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("seq")
+            for row in whole.itertuples(index=False):
                 if row.abort:
                     buffered = []
                     continue

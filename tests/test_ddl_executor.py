@@ -146,3 +146,32 @@ def test_kernel_executes_ddl_in_barrier_order(spark, tmp_path, ddl):
     ]
     assert _tables(spark, "w6a") == []
     assert [e[0] for e in kernel.ddl_log] == [1, 2, 3, 4]
+
+
+def test_execute_null_payload_is_unparseable(ddl):
+    assert ddl.execute("w6a.$cmd", None) == "unparseable"
+
+
+def test_drop_indexes_array_and_keypattern_forms(spark, ddl):
+    import json
+
+    ddl.execute("w6a.$cmd", json.dumps({"create": "c1"}))
+    ddl.execute(
+        "w6a.$cmd",
+        json.dumps({"commitIndexBuild": "c1", "indexes": [
+            {"name": "i1", "key": {"a": 1}},
+            {"name": "i2", "key": {"b": 1}},
+            {"name": "i3", "key": {"c": 1}},
+        ]}),
+    )
+    # array-of-names form
+    assert ddl.execute(
+        "w6a.$cmd", json.dumps({"dropIndexes": "c1", "index": ["i1", "i2"]})
+    ) == "dropIndexes"
+    left = [s["name"] for s in ddl._get_prop("w6a", "c1", INDEX_PROP)]
+    assert left == ["i3"]
+    # key-pattern-document form
+    assert ddl.execute(
+        "w6a.$cmd", json.dumps({"dropIndexes": "c1", "index": {"c": 1}})
+    ) == "dropIndexes"
+    assert ddl._get_prop("w6a", "c1", INDEX_PROP) == []

@@ -426,9 +426,19 @@ def test_worker_by_ns_pins_ddl_to_zero(spark):
 
 
 def test_worker_by_id_preserves_per_key_order(spark):
-    rows = [(i, 100 - i, "i", "a.b", "{}", None) for i in range(50)]
-    out = partitioners.worker_by_id(_oplog_df(spark, rows), 8)
-    # within each partition, rows must be sorted by ts
+    # 50 ops over 5 documents: every op on one document must land on the
+    # SAME worker (the P2 contract — hashing the op ordinal instead would
+    # scatter them), sorted by ts within the partition
+    rows = [(i, 100 - i, i % 5, "i", "a.b", "{}", None) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "id long, ts long, user_id long, op string, ns string, o string, g string"
+    )
+    out = partitioners.worker_by_id(df, 8)
+    per_key = (
+        out.groupBy("user_id").agg(F.countDistinct("worker").alias("w")).collect()
+    )
+    assert all(r["w"] == 1 for r in per_key)
+
     def check(it):
         last = None
         for row in it:
@@ -505,3 +515,31 @@ def test_filter_namespace_ddl_matches_predicate_form(spark):
     b = sorted(r["id"] for r in filters.filter_namespace_ddl(df, whitelist=["db1"]).collect())
     assert a == b == [1, 4, 5, 7]
     assert filters.filter_namespace_ddl(df, whitelist=["db1"]).columns == df.columns
+
+
+def test_ns_regex_escapes_all_metachars(spark):
+    import re
+
+    from mongoshake_spark.operators import filters
+
+    rx = re.compile(filters.compile_ns_regex(["db.c(1)", "admin.$cmd"]))
+    assert rx.match("db.c(1)")
+    assert not rx.match("db.c1")  # parens must not become a capture group
+    assert rx.match("admin.$cmd")  # '$' must not act as an anchor
+    assert rx.match("db.c(1).sub")
+    assert not rx.match("db.cX")
+
+
+def test_ns_transform_uses_passed_column(spark):
+    """ns_transform must read the column it was handed, not a hardcoded
+    `ns` — with both columns present the suffix must come from the passed
+    one."""
+    from mongoshake_spark.operators import transforms
+
+    df = spark.createDataFrame(
+        [("WRONG.suffix", "db0.coll")], "ns string, ns_out string"
+    )
+    got = df.select(
+        transforms.ns_transform(F.col("ns_out"), [("db0", "tgt")]).alias("r")
+    ).collect()[0]["r"]
+    assert got == "tgt.coll"

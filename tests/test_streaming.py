@@ -646,3 +646,46 @@ def test_stream_exact_dedup_suppresses_cross_batch_rearrivals(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got)
     assert ids == [1, 2, 4], ids  # doc 3's content already seen in batch 1
     assert len({r["text_hash"] for r in got}) == 3
+
+
+def test_txn_reassembly_spans_arrow_chunks(spark, tmp_path):
+    """A transaction larger than arrow maxRecordsPerBatch reaches the
+    state function as MULTIPLE pandas chunks in arbitrary order — the
+    reassembly must sort the whole group once, not per chunk, or ops can
+    emit after the commit out of seq order (or strand in state)."""
+    import json
+    import os
+
+    from mongoshake_spark.streaming.txn import reassemble_transactions
+
+    src = tmp_path / "txn_chunks"
+    os.makedirs(src)
+    n_ops = 40
+    rows = [
+        {"lsid": "s1", "txnNumber": 1, "seq": s, "op": "i", "ns": "a.b", "o": "{}",
+         "commit": s == n_ops, "abort": False}
+        for s in range(1, n_ops + 1)
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = (
+        "lsid string, txnNumber long, seq long, op string, ns string, o string, "
+        "commit boolean, abort boolean"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(schema).json(str(src))
+        results = []
+        q = (
+            reassemble_transactions(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: results.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert [r["seq"] for r in results] == list(range(1, n_ops + 1))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
