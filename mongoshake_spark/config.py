@@ -45,7 +45,6 @@ class SyncConfig:
     target_delay_sec: int = 0
     checkpoint_interval_ms: int = 5000
     txn_timeout_ms: int | None = None
-    errors: list = field(default_factory=list, repr=False)
 
     def validate(self) -> "SyncConfig":
         """Cross-option checks, mirroring sanitize.go's rules that still

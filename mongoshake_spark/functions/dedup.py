@@ -27,7 +27,7 @@ Scale notes (the reason these shapes were chosen):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongoshake_spark.functions.texthash import MOD, poly_hash_spark
@@ -902,4 +902,24 @@ def minhash_estimate_pairs(
                 "est_jaccard"
             ),
         )
+    )
+
+
+def normalize_text(col: Column | str = "text") -> Column:
+    """THE canonicalization used by normalized exact dedup — lowercase,
+    whitespace-collapse, trim — defined once so dedup_exact_normalized and
+    the composed curation pipeline cannot drift apart on which document
+    survives a dedup group."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalized_exact_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-content dedup groups: ``(text_hash, n_docs, keep_id)``
+    keyed on md5 of the canonical form; keeper = min id per group (the
+    same hash-groupBy shape as :func:`exact_groups`)."""
+    return docs.groupBy(F.md5(normalize_text(text_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
     )

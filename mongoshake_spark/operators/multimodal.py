@@ -130,13 +130,14 @@ def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
-def frame_sample_plan(
-    n_frames_col: str = "n_bytes", every_k: int = 10
-) -> F.Column:
+def frame_sample_plan(n_frames_col: str, every_k: int = 10) -> F.Column:
     """Frame-sampling as an expression: indexes 0, k, 2k… bounded by the
-    frame count — `sequence` stays JVM-side; the decoder fetches only the
-    listed frames."""
-    n = (F.col(n_frames_col) / 1000).cast("int")
+    frame count in ``n_frames_col`` — `sequence` stays JVM-side; the
+    decoder fetches only the listed frames. The column must hold a REAL
+    frame count (from decoded metadata) — there is deliberately no
+    default, because any byte-length stand-in would silently produce
+    indexes derived from payload size."""
+    n = F.col(n_frames_col).cast("int")
     return F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_k))).otherwise(
         F.array().cast("array<int>")
     )

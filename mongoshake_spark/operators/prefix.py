@@ -40,28 +40,35 @@ def running_total(
     """Adds ``out_col`` = INCLUSIVE prefix sum of ``value`` over the global
     ``order_cols`` order. Input column set is preserved (internal columns
     are dropped)."""
+    # internal names are namespaced AND collision-checked: withColumn on a
+    # name the caller already uses would silently overwrite their values
+    # mid-computation and then drop the column from the output
+    pid, val, loc, off = "__rt_pid", "__rt_val", "__rt_local", "__rt_off"
+    clash = {pid, val, loc, off} & set(df.columns)
+    if clash:
+        raise ValueError(f"running_total reserved column name(s) in input: {clash}")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_val", value)
+        .withColumn(pid, F.spark_partition_id())
+        .withColumn(val, value)
         .localCheckpoint(eager=True)
     )
     wl = (
-        Window.partitionBy("_pid")
+        Window.partitionBy(pid)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_local", F.sum("_val").over(wl))
-    tot = ranged.groupBy("_pid").agg(F.sum("_val").alias("_t"))
+    local = ranged.withColumn(loc, F.sum(val).over(wl))
+    tot = ranged.groupBy(pid).agg(F.sum(val).alias("_t"))
     a, b = tot.alias("a"), tot.alias("b")
     offsets = (
-        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_off"))
+        a.join(b, F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left")
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias(off))
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_val", "_local", "_off")
+        local.join(F.broadcast(offsets), pid)
+        .withColumn(out_col, (F.col(loc) + F.col(off)).cast("bigint"))
+        .drop(pid, val, loc, off)
     )

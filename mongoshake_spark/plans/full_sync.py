@@ -56,16 +56,24 @@ def full_sync(
     per table (W13's shard-spec replication - CREATE TABLE PARTITIONED BY).
     ``chunks``+``shard`` applies the orphan filter (F6) during copy.
     """
+    from pyspark.sql import Observation
+
     report: dict[str, int] = {}
     for name in tables:
         df = load_table(spark, sf_dir, name)
         if chunks is not None and shard is not None and name == "lineitem":
             df = orphan_filter(df, chunks, "l_orderkey", "tpch.lineitem", shard)
-        writer = df.write.mode("overwrite")
+        # row count observed DURING the write (metadata cost) — a
+        # read-back count() would re-scan every just-written table,
+        # doubling the snapshot's read I/O purely for the report
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        )
         if partition_by and name in partition_by:
             writer = writer.partitionBy(partition_by[name])
         writer.parquet(os.path.join(target_root, name))
-        report[name] = spark.read.parquet(os.path.join(target_root, name)).count()
+        report[name] = int(obs.get["rows"])
     if index_map:
         # W12: index sync runs after the copy, as the reference does
         # (coordinator/full.go:202-206 StartIndexSync foreground).

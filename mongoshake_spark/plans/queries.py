@@ -314,7 +314,7 @@ FROM oplog_v GROUP BY 1 ORDER BY 1""",
 def q9(spark, sf_dir):
     df = _oplog(spark, sf_dir)
     return (
-        df.groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"))
+        df.groupBy((F.col("user_id") % F.lit(8)).cast("int").alias("partition"))
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("chk"))
         .orderBy("partition")
     )
@@ -450,7 +450,7 @@ FROM oplog_v GROUP BY 1 ORDER BY 1""",
 def q17(spark, sf_dir):
     return (
         _oplog(spark, sf_dir)
-        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("worker"))
+        .groupBy((F.col("user_id") % F.lit(8)).cast("int").alias("worker"))
         .agg(F.count("*").alias("cnt"))
         .orderBy("worker")
     )
@@ -521,12 +521,19 @@ def q20(spark, sf_dir):
     "q21_delay_gate",
     _O
     + """SELECT count(*) AS shipped FROM oplog_v
-WHERE ts <= (SELECT max(ts) FROM oplog_v) - INTERVAL 1 HOUR""",
-    "Q21 (B5/B6): target-delay gate / exit-point truncation.",
+WHERE ts <= (SELECT max(ts) FROM oplog_v) - INTERVAL 1 HOUR
+  AND ts <= (SELECT min(ts) FROM oplog_v) + INTERVAL 30 DAY""",
+    "Q21 (B5 + B6): target-delay gate composed with the exit-point cutoff "
+    "(batcher.go:199-267, 218-236) — ship rows older than the delay AND "
+    "not past the user-set exit ts.",
 )
 def q21(spark, sf_dir):
-    gated = combiner.delay_gate(_oplog(spark, sf_dir), "INTERVAL 1 HOUR")
-    return gated.agg(F.count("*").alias("shipped"))
+    feed = _oplog(spark, sf_dir)
+    exit_ts = feed.agg(
+        F.expr("min(ts) + INTERVAL 30 DAY").alias("x")
+    ).first()["x"]
+    gated = combiner.delay_gate(feed, "INTERVAL 1 HOUR")
+    return combiner.exit_point(gated, exit_ts).agg(F.count("*").alias("shipped"))
 
 
 @_q(
@@ -539,7 +546,7 @@ def q21(spark, sf_dir):
 def q22(spark, sf_dir):
     acks = (
         _oplog(spark, sf_dir)
-        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).alias("worker"))
+        .groupBy((F.col("user_id") % F.lit(8)).alias("worker"))
         .agg(F.max("ts").alias("ack"))
     )
     return acks.agg(F.min("ack").alias("checkpoint"))
@@ -614,12 +621,7 @@ FROM documents GROUP BY 1 ORDER BY 1""",
 )
 def dedup_exact_norm(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return (
-        docs.groupBy(F.md5(norm).alias("text_hash"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
-        .orderBy("text_hash")
-    )
+    return dedup.normalized_exact_groups(docs).orderBy("text_hash")
 
 
 _MINHASH_CTES = f"""toks AS (
@@ -1300,8 +1302,8 @@ FROM oplog_v WHERE op = 'u' ORDER BY id""",
 def q33_delta_nested(spark, sf_dir):
     df = _oplog(spark, sf_dir).filter(F.col("op") == "u")
     k = F.get_json_object(F.col("o"), "$.k")
-    tag = F.pmod(F.col("id"), F.lit(7)).cast("string")
-    lvl = F.pmod(F.col("user_id"), F.lit(5)).cast("string")
+    tag = (F.col("id") % F.lit(7)).cast("string")
+    lvl = (F.col("user_id") % F.lit(5)).cast("string")
     v2 = F.concat(
         F.lit('{"$v":2,"diff":{"u":{"k":"'),
         k,
@@ -1570,7 +1572,7 @@ def q32(spark, sf_dir):
         )
         got = server.to_dataframe(spark)
         return (
-            got.groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"))
+            got.groupBy((F.col("user_id") % F.lit(8)).cast("int").alias("partition"))
             .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("chk"))
             .orderBy("partition")
         )
@@ -2069,7 +2071,7 @@ def stream_dedup_q(spark, sf_dir):
             "doc_id",
             "text",
             F.timestamp_seconds(
-                F.lit(1700000000) + F.pmod(F.col("doc_id"), F.lit(shift))
+                F.lit(1700000000) + (F.col("doc_id") % F.lit(shift))
             ).alias("ts"),
         )
     )
@@ -2269,9 +2271,10 @@ def pipeline_curation_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    # dedup keep: min doc_id per normalized content hash
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    keep_ids = corpus.groupBy(F.md5(norm).alias("h")).agg(
+    # dedup keep: min doc_id per normalized content hash (THE shared
+    # canonicalization — dedup.normalize_text — so this pipeline and
+    # dedup_exact_normalized cannot drift on which doc survives)
+    keep_ids = corpus.groupBy(F.md5(dedup.normalize_text("text")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
     dd = corpus.join(keep_ids.select("doc_id"), "doc_id", "left_semi")

@@ -543,3 +543,11 @@ def test_ns_transform_uses_passed_column(spark):
         transforms.ns_transform(F.col("ns_out"), [("db0", "tgt")]).alias("r")
     ).collect()[0]["r"]
     assert got == "tgt.coll"
+
+
+def test_exit_point_cutoff(spark):
+    from mongoshake_spark.operators import combiner
+
+    rows = [(i, 1000 + i, "i", "a.b", "{}", None) for i in range(10)]
+    out = combiner.exit_point(_oplog_df(spark, rows), 1004).collect()
+    assert sorted(r["ts"] for r in out) == [1000, 1001, 1002, 1003, 1004]
