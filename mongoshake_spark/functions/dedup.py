@@ -300,6 +300,11 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
     candidate join (pigeonhole: <=3 differing bits across 4 bands leaves at
     least one band identical, so the band join finds every qualifying pair
     — same result set as a brute-force cross join, at shuffle-join cost)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} voids the 4-band pigeonhole "
+            "guarantee (exact only for <= 3); add bands or brute-force"
+        )
     spark = docs.sparkSession
     sims = simhash_values(docs, text_col).localCheckpoint(eager=True)
     bands = spark.range(SIMHASH_BITS // 8).withColumnRenamed("id", "k")
@@ -434,6 +439,12 @@ def simhash_pairs64(
 
     ``sims`` (testing/reuse hook): a precomputed (doc_id, simhash)
     DataFrame; skips fingerprint computation."""
+    if max_hamming >= SIMHASH64_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} voids the {SIMHASH64_BANDS}-band "
+            "pigeonhole guarantee (exact only for <= "
+            f"{SIMHASH64_BANDS - 1}); add bands or brute-force"
+        )
     if sims is None:
         # checkpoint, not persist: both join sides and the census reuse the
         # materialized fingerprints, and the blocks free on GC instead of

@@ -39,8 +39,18 @@ def cosine_expr(a: str, b: str) -> str:
     return f"{dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)})"
 
 
-def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return vecs.withColumn("vnorm", F.expr(norm_expr(vec_col)))
+def with_norm(
+    vecs: DataFrame, vec_col: str = "embedding", drop_zero: bool = True
+) -> DataFrame:
+    """Adds ``vnorm``. ``drop_zero`` (default) excludes zero-norm vectors:
+    they have no direction, their cosine against anything is 0/0 = NaN,
+    and Spark ranks NaN ABOVE every real double — one zero embedding
+    (padding row, failed encode) would otherwise become the rank-1
+    neighbor of every query and pair with everything in threshold scans.
+    The fixture corpus has no zero vectors, so the oracles are unaffected;
+    on real data dropping them is the correct reading of 'nearest'."""
+    out = vecs.withColumn("vnorm", F.expr(norm_expr(vec_col)))
+    return out.filter(F.col("vnorm") > 0) if drop_zero else out
 
 
 def brute_topk(
@@ -154,8 +164,14 @@ def neardup_pairs(
         a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
         dots = a_mat @ b_mat.T
-        keep = (dots * threshold_den >= threshold_num * np.outer(a_norm, b_norm)) & (
-            a_ids[:, None] != b_ids[None, :]
+        norms = np.outer(a_norm, b_norm)
+        # norms > 0: a zero-norm vector (padding row, failed encode) turns
+        # the threshold test into 0 >= 0 against EVERYTHING and its cosine
+        # into NaN — one bad row would flood the pair graph
+        keep = (
+            (dots * threshold_den >= threshold_num * norms)
+            & (norms > 0)
+            & (a_ids[:, None] != b_ids[None, :])
         )
         ai, bi = np.nonzero(keep)
         lo_ids, hi_ids = np.minimum(a_ids[ai], b_ids[bi]), np.maximum(a_ids[ai], b_ids[bi])
@@ -251,6 +267,14 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"),
     )
+    if centroids.isEmpty():
+        # an id space with no multiple of centroid_mod would otherwise
+        # empty the assignment and silently return zero results — the
+        # violated sampling assumption must be loud
+        raise ValueError(
+            f"no centroids: no {id_col} divisible by {centroid_mod} — "
+            "choose a centroid_mod matching the corpus id space"
+        )
     # cell assignment carrying the vector+norm through the aggregate
     # (one map-side-combined shuffle; avoids a corpus self-join with
     # ivf_assign's (id, cell) output)
@@ -326,7 +350,12 @@ def lsh_buckets(
     derived from (plane, dim) by a multiplicative hash — reproducible across
     runs and engines, no RNG state.
 
-    plane[p][d] = ((1103515245 * (p * 64 + d) + 12345) % MOD) / MOD - 0.5
+    plane[p][d] = ((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5
+
+    (dim-dependent by design: the plane seed enumerates (plane, component)
+    pairs densely, so the SAME corpus at a different dim buckets
+    differently — an oracle or second implementation must use the actual
+    dim, exactly as the formula states.)
 
     Vectorized mapInPandas: one numpy ``A @ planesᵀ`` per Arrow batch.
     (The equivalent 16-fold column expression is correct too but costs
@@ -340,7 +369,13 @@ def lsh_buckets(
     if dim is None:
         # fallback probe — one driver row-fetch (an extra Spark job); pass
         # ``dim`` explicitly on hot paths to skip it
-        dim = len(vecs.select(vec_col).first()[0])
+        row = vecs.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "lsh_buckets cannot infer the vector dim (empty input or "
+                "NULL first vector) — pass dim explicitly"
+            )
+        dim = len(row[0])
     planes = np.array(
         [
             [((1103515245 * (p * dim + d) + 12345) % MOD) / MOD - 0.5 for d in range(dim)]
@@ -403,6 +438,14 @@ def semantic_neardup(
         F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"),
     )
+    if centroids.isEmpty():
+        # an id space with no multiple of centroid_mod would otherwise
+        # empty the assignment and silently return zero results — the
+        # violated sampling assumption must be loud
+        raise ValueError(
+            f"no centroids: no {id_col} divisible by {centroid_mod} — "
+            "choose a centroid_mod matching the corpus id space"
+        )
     assigned = assign_nearest_centroid(
         unit, centroids, vec_col, id_col, carry=(vec_col,)
     ).withColumnRenamed(id_col, "_id")
@@ -419,8 +462,12 @@ def semantic_neardup(
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norm = np.sqrt((mat * mat).sum(axis=1))
         dots = mat @ mat.T
-        keep = (dots * threshold_den >= threshold_num * np.outer(norm, norm)) & (
-            ids[:, None] < ids[None, :]
+        norms = np.outer(norm, norm)
+        # norms > 0: see neardup_pairs — zero-norm rows must not pair
+        keep = (
+            (dots * threshold_den >= threshold_num * norms)
+            & (norms > 0)
+            & (ids[:, None] < ids[None, :])
         )
         ai, bi = np.nonzero(keep)
         return pd.DataFrame(

@@ -18,7 +18,7 @@ from mongoshake_spark.functions.texthash import poly_hash_spark
 # language heuristic (public-knowledge word list).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-WORD_RE = "[a-z0-9]+"
+WORD_RE = "[a-zA-Z0-9]+"
 
 
 def tokens(col: Column) -> Column:
@@ -171,13 +171,16 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (regexp_count / regexp_replace are JVM-side; replace-all semantics on
     both engines)."""
     c = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        # phones counted on the EMAIL-SCRUBBED text, matching the
+        # replacement order — a phone-shaped run inside an email address
+        # (john@555-1234.com) is redacted as part of the <EMAIL> and must
+        # not be reported as a <PHONE> that does not exist in the output
+        F.regexp_count(after_email, F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(scrubbed).alias("fp_scrubbed"),
     )
 

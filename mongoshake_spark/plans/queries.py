@@ -879,7 +879,7 @@ def text_vocab(spark, sf_dir):
 @_q(
     "text_tokens",
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words,
        length(text) AS n_chars_calc
 FROM documents ORDER BY doc_id""",
     "Token counting: whitespace + regex word tokens.",
@@ -900,7 +900,7 @@ _STOP_IN = ", ".join(f"'{w}'" for w in textfn.STOPWORDS)
 _QUALITY_ORACLE = f"""WITH sig AS (
   SELECT doc_id, length(text) AS n_chars_calc,
          len(string_split(text, ' ')) AS n_tokens,
-         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words,
          len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS n_stopwords
   FROM documents)
 SELECT doc_id, n_chars_calc, n_tokens, n_words, n_stopwords,
@@ -1639,7 +1639,9 @@ _PII_ORACLE = rf"""WITH aug AS (
   SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '\b[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+             '\b[0-9]{{3}}-[0-9]{{4}}\b')) AS INT) AS n_phones,
        md5(regexp_replace(regexp_replace(text,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
              '\b[0-9]{{3}}-[0-9]{{4}}\b', '<PHONE>', 'g')) AS fp_scrubbed

@@ -96,16 +96,23 @@ def read_change_stream(
         .option("spark.mongodb.change.stream.publish.full.document.only", "false")
     )
     if start_at_operation_time is not None:
+        # BOTH options are required: the ...timestamp.start.at.operation.time
+        # sub-option is only consulted when startup.mode is 'timestamp' —
+        # setting the sub-option alone leaves the default 'latest' mode and
+        # silently drops every event between the requested time and now
         reader = reader.option(
+            "spark.mongodb.change.stream.startup.mode", "timestamp"
+        ).option(
             "spark.mongodb.change.stream.startup.mode.timestamp.start.at.operation.time",
             start_at_operation_time,
         )
     from mongoshake_spark.operators.transforms import event_to_oplog
 
-    raw = reader.load()
-    # project the connector's columns into the normalized event shape; any
-    # the connector did not supply (e.g. txn fields outside transactions)
-    # arrive as NULL, which event_to_oplog tolerates
+    # the streaming mongodb source requires an EXPLICIT schema (it cannot
+    # infer one from a stream); this is also what guarantees the projected
+    # columns below exist — fields absent from a given event arrive as
+    # NULL under the declared schema, which event_to_oplog tolerates
+    raw = reader.schema(CHANGE_EVENT_SCHEMA).load()
     events = raw.select(
         "clusterTime", "operationType", "ns", "to", "fullDocument",
         "documentKey", "updateDescription", "lsid", "txnNumber",

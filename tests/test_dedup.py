@@ -307,3 +307,15 @@ def test_minhash_estimate_identical_docs_agree_fully(spark):
         assert 1 <= n < 16 and est == round(n / 16.0, 4)
     # the unrelated doc shares no band with anything
     assert not any(4 in p for p in got)
+
+
+def test_simhash_max_hamming_guard(spark):
+    import pytest
+
+    from mongoshake_spark.functions.dedup import simhash_pairs, simhash_pairs64
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs64(docs, max_hamming=4)

@@ -220,3 +220,57 @@ def test_semantic_neardup_restricts_pairs_to_cells(spark):
     assert all(
         (a < 3 and b < 3) or (a >= 3 and b >= 3) for a, b in got
     )
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """One zero embedding (padding row / failed encode) must neither
+    become the NaN rank-1 neighbor of every query nor pair with everything
+    in the threshold scans."""
+    from mongoshake_spark.functions.similarity import brute_topk, neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm
+        (3, [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    top = brute_topk(vecs, [0], k=3).collect()
+    assert all(r["neighbor_id"] != 2 for r in top)
+    assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
+    pairs = neardup_pairs(vecs, threshold_num=0, threshold_den=10).collect()
+    assert not any(2 in (r["doc_a"], r["doc_b"]) for r in pairs)
+
+
+def test_semantic_neardup_raises_without_centroids(spark):
+    import pytest
+
+    from mongoshake_spark.functions.similarity import semantic_neardup
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no centroids"):
+        semantic_neardup(vecs, centroid_mod=29).count()
+
+
+def test_word_count_mixed_case():
+    import re
+
+    from mongoshake_spark.functions.text import WORD_RE
+
+    assert len(re.findall(WORD_RE, "Hello World FOO bar9")) == 4
+
+
+def test_scrub_pii_mixed_case_and_phone_inside_email(spark):
+    from mongoshake_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "contact Bob.Smith@Corp.IO or john@555-1234.com now call 555-9876 ok")],
+        "doc_id bigint, text string",
+    )
+    r = scrub_pii(docs).collect()[0]
+    # both emails redacted incl. the uppercase one; the phone-shaped run
+    # INSIDE the second email is part of the <EMAIL>, not a phone
+    assert r["n_emails"] == 2
+    assert r["n_phones"] == 1
