@@ -12,9 +12,12 @@ Reference wire format (tunnel/tcp_writer.go:17-48 header comment):
     | { len(4B) | log bytes } * number
   cksum = XOR of crc32.IEEE over each raw log (tunnel/tunnel.go:53-59).
   tag bits (tunnel/tunnel.go:20-24): MsgRetransmission=0x1, MsgProbe=0x10.
-  compress ids (modules/compress.go:18-23): 0=none, 1=gzip, 3=zlib,
-  4=deflate (snappy=2 absent from this env, rejected like the reference's
-  unsupported-compressor path).
+  compress ids (modules/compress.go:18-23): 0=none, 1=gzip, 2=snappy,
+  3=zlib, 4=deflate. Snappy uses Arrow's bundled codec (raw block format —
+  a varint uncompressed-length header then the compressed stream — the
+  same framing Go's snappy.Encode emits, so the frames interoperate); when
+  the codec is unavailable the id is rejected exactly like the reference's
+  unsupported-compressor path (ReplyCompressorNotSupported).
 
   PacketReturnACK payload: the Sync reply as int64 big-endian — negative =
   a Reply* error code (tunnel/tunnel.go:30-37), else the receiver's acked
@@ -86,6 +89,35 @@ NO_COMPRESS, COMPRESS_GZIP, COMPRESS_SNAPPY, COMPRESS_ZLIB, COMPRESS_DEFLATE = 0
 MAX_UNACK = 32768  # collector/worker.go:18 MaxUnAckListLength
 
 
+class DecompressError(Exception):
+    """Payload claims a supported compressor but the bytes don't decode —
+    maps to ReplyDecompressInvalid (vs ValueError = unknown compressor id
+    -> ReplyCompressorNotSupported)."""
+
+
+def _snappy_codec():
+    """Arrow's bundled snappy, or None when absent (then id 2 takes the
+    reference's unsupported-compressor reject path)."""
+    try:
+        import pyarrow as pa
+
+        return pa if pa.Codec.is_available("snappy") else None
+    except ImportError:  # pragma: no cover - pyarrow is baked into this env
+        return None
+
+
+def _snappy_uncompressed_len(data: bytes) -> tuple[int, int]:
+    """(length, header_bytes) from the raw-format varint prefix."""
+    result = shift = 0
+    for i in range(min(len(data), 5)):
+        b = data[i]
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i + 1
+        shift += 7
+    raise DecompressError("snappy: bad length varint")
+
+
 def crc32_xor(logs: list[bytes]) -> int:
     v = 0
     for log in logs:
@@ -103,6 +135,10 @@ def _compress_one(data: bytes, cid: int) -> bytes:
     if cid == COMPRESS_DEFLATE:
         c = zlib.compressobj(wbits=-15)
         return c.compress(data) + c.flush()
+    if cid == COMPRESS_SNAPPY:
+        pa = _snappy_codec()
+        if pa is not None:
+            return pa.compress(data, codec="snappy", asbytes=True)
     raise ValueError(f"unsupported compressor {cid}")
 
 
@@ -115,6 +151,16 @@ def _decompress_one(data: bytes, cid: int) -> bytes:
         return zlib.decompress(data)
     if cid == COMPRESS_DEFLATE:
         return zlib.decompress(data, wbits=-15)
+    if cid == COMPRESS_SNAPPY:
+        pa = _snappy_codec()
+        if pa is not None:
+            n, _ = _snappy_uncompressed_len(data)
+            try:
+                return pa.decompress(data, decompressed_size=n, codec="snappy", asbytes=True)
+            except Exception as exc:  # ArrowInvalid subclasses ValueError,
+                # which the Sync loop maps to compressor-not-supported —
+                # corrupt bytes must map to ReplyDecompressInvalid instead
+                raise DecompressError(str(exc)) from exc
     raise ValueError(f"unsupported compressor {cid}")
 
 
@@ -245,12 +291,12 @@ class TunnelServer:
                 return REPLY_CHECKSUM_INVALID
             try:
                 logs = [_decompress_one(log, msg["compress"]) for log in msg["logs"]]
+            except (DecompressError, zlib.error, gzip.BadGzipFile):
+                self.retransmit = True
+                return REPLY_DECOMPRESS_INVALID
             except ValueError:
                 self.retransmit = True
                 return REPLY_COMPRESSOR_NOT_SUPPORTED
-            except (zlib.error, gzip.BadGzipFile):
-                self.retransmit = True
-                return REPLY_DECOMPRESS_INVALID
             if not logs:  # probe request
                 return self.ack
             import json as _json

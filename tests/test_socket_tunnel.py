@@ -22,7 +22,10 @@ def _logs(ids):
 
 
 def test_tmessage_codec_roundtrip():
-    for cid in (st.NO_COMPRESS, st.COMPRESS_GZIP, st.COMPRESS_ZLIB, st.COMPRESS_DEFLATE):
+    cids = [st.NO_COMPRESS, st.COMPRESS_GZIP, st.COMPRESS_ZLIB, st.COMPRESS_DEFLATE]
+    if st._snappy_codec() is not None:
+        cids.append(st.COMPRESS_SNAPPY)
+    for cid in cids:
         raw = _logs([1, 2, 3])
         msg = st.decode_tmessage(st.encode_tmessage(raw, shard=5, tag=st.MSG_NORMAL, compress=cid))
         assert msg["shard"] == 5 and msg["compress"] == cid
@@ -101,10 +104,10 @@ def test_unsupported_compressor_rejected(server):
 
     server.retransmit = False
     raw = st.encode_tmessage(_logs([1]), 0)
-    # patch the compress field (bytes 12:16 of the TMessage) to snappy=2,
-    # which this env cannot decompress — and is rejected like the
-    # reference's GetCompressorById failure
-    bad = raw[:12] + struct.pack(">I", st.COMPRESS_SNAPPY) + raw[16:]
+    # patch the compress field (bytes 12:16 of the TMessage) to an id the
+    # registry does not know — rejected like the reference's
+    # GetCompressorById failure
+    bad = raw[:12] + struct.pack(">I", 99) + raw[16:]
     sock = pysock.create_connection(("127.0.0.1", server.port))
     try:
         sock.sendall(st.encode_packet(st.PACKET_WRITE, bad))
@@ -113,6 +116,44 @@ def test_unsupported_compressor_rejected(server):
         assert server.retransmit is True
     finally:
         sock.close()
+
+
+@pytest.mark.skipif(st._snappy_codec() is None, reason="snappy codec unavailable")
+def test_snappy_corrupt_payload_is_decompress_invalid(server):
+    """A supported compressor id over undecodable bytes must map to
+    ReplyDecompressInvalid (replayer.go decompress-failure path), NOT to
+    compressor-not-supported — ArrowInvalid subclasses ValueError, so the
+    codec wraps it in DecompressError to keep the two replies distinct."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    raw = st.encode_tmessage(_logs([1]), 0)  # logs are NOT snappy-framed
+    bad = raw[:12] + struct.pack(">I", st.COMPRESS_SNAPPY) + raw[16:]
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, bad))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == st.REPLY_DECOMPRESS_INVALID
+        assert server.retransmit is True
+    finally:
+        sock.close()
+
+
+@pytest.mark.skipif(st._snappy_codec() is None, reason="snappy codec unavailable")
+def test_snappy_live_roundtrip(server):
+    """modules/compress.go:18-23 id 2: a snappy-compressed batch is
+    decompressed and consumed; a fresh-receiver reject + tagged resend
+    works under snappy too (frames re-encode with the same codec)."""
+    client = st.TunnelClient("127.0.0.1", server.port, compress=st.COMPRESS_SNAPPY)
+    try:
+        assert client.send(_logs([1, 2]), shard=0, ordinal=2) == 2
+        assert [json.loads(v)["id"] for _, v in server.received] == [1, 2]
+        server.retransmit = True  # simulated receiver restart mid-stream
+        assert client.send(_logs([3]), shard=0, ordinal=3) == 3
+        assert sorted(json.loads(v)["id"] for _, v in server.received) == [1, 2, 3]
+    finally:
+        client.close()
 
 
 def test_unordered_batch_acks_max_and_purges(server):
