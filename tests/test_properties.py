@@ -260,3 +260,59 @@ def test_lm_score_matches_serial_model(spark, docs_toks):
         ) / len(bigs)
         assert got[i]["n_bigrams"] == len(bigs)
         assert abs(got[i]["bits_per_token"] - round(exp, 4)) < 1e-9
+
+
+# -- wire-codec properties (socket tunnel, pure python) ----------------------
+
+from mongoshake_spark.sources import socket_tunnel as tun
+
+_cids = [tun.NO_COMPRESS, tun.COMPRESS_GZIP, tun.COMPRESS_ZLIB, tun.COMPRESS_DEFLATE]
+if tun._snappy_codec() is not None:
+    _cids.append(tun.COMPRESS_SNAPPY)
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=8),
+    st.sampled_from(_cids),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tmessage_roundtrip_any_logs_any_codec(logs, cid, shard):
+    """encode o decode = identity for arbitrary byte logs under every
+    registered compressor, with the checksum matching the wire bytes
+    (tunnel/tunnel.go:53-72 contract)."""
+    payload = tun.encode_tmessage(logs, shard=shard, compress=cid)
+    msg = tun.decode_tmessage(payload)
+    assert msg["shard"] == shard and msg["compress"] == cid
+    assert [tun._decompress_one(log, cid) for log in msg["logs"]] == logs
+    assert msg["checksum"] == tun.crc32_xor(msg["logs"])
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=4),
+    st.sampled_from(_cids),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_checksum_catches_any_single_log_byte_flip(logs, cid, data):
+    """Flipping any bit of any wire log byte breaks the xor-of-crc32
+    checksum — the replayer's ChecksumInvalid gate fires on arbitrary
+    payload corruption, not just the example in the scenario test."""
+    payload = bytearray(tun.encode_tmessage(logs, shard=0, compress=cid))
+    msg = tun.decode_tmessage(bytes(payload))
+    # corrupt one byte INSIDE a wire log (offsets past the 20B TMessage
+    # header and 4B length prefix of the first log)
+    wire_logs = msg["logs"]
+    li = data.draw(st.integers(0, len(wire_logs) - 1))
+    target = wire_logs[li]
+    if not target:  # a log can compress to 0 wire bytes only when empty input is allowed
+        return
+    bi = data.draw(st.integers(0, len(target) - 1))
+    bit = 1 << data.draw(st.integers(0, 7))
+    off = 20
+    for j in range(li):
+        off += 4 + len(wire_logs[j])
+    off += 4 + bi
+    payload[off] ^= bit
+    corrupted = tun.decode_tmessage(bytes(payload))
+    assert tun.crc32_xor(corrupted["logs"]) != corrupted["checksum"]
