@@ -32,12 +32,15 @@ def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> 
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Spark's own tuning guide recommends false: let AQE coalesce to the
-        # advisory partition size instead of preserving parallelism, so
-        # small post-shuffle stages don't schedule dozens of near-empty
-        # tasks (measured ~6% on the light-query workload; neutral at scale
-        # where partitions are full either way).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (Spark's default): AQE coalesces down to
+        # minPartitionSize but stops shrinking below the cluster
+        # parallelism. The advisory-size-only mode (false) was measured
+        # ~6% better on the sub-second light queries, but it coalesces the
+        # mid-size shuffle stages of the HEAVY analytics (ngram/winnow/
+        # span dedup at sf0.1) to ONE task — their warm serial total
+        # regressed 26.7s -> 14.8s when flipped back. Neutral at real
+        # scale, where every post-shuffle partition exceeds the advisory
+        # size anyway.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR job scheduling: the engine serves a workload of concurrent
