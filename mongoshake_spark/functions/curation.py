@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT, knuth_u32
 from mongoshake_spark.functions.text import _ngram_col, token_count, tokens
+from mongoshake_spark.operators.parallel import fan_out_scan
 from mongoshake_spark.operators.prefix import running_total
 
 
@@ -73,6 +74,7 @@ def decontaminate(
     side is genuinely large; the probe then shuffles both sides on the
     gram (high-cardinality key, AQE-skew-safe).
     """
+    corpus = fan_out_scan(corpus)  # gram explode is CPU-bound (operators/parallel)
     corpus_grams = _doc_ngrams(corpus, n, text_col, id_col)
     eval_grams = _doc_ngrams(eval_docs, n, text_col, id_col).select("gram").distinct()
     if broadcast_eval:
@@ -251,7 +253,7 @@ def contaminated_spans(
     """
     toks = tokens(F.col(text_col))
     grams = _ngram_col(toks, n)
-    pos = corpus.select(
+    pos = fan_out_scan(corpus).select(
         F.col(id_col), F.posexplode(grams).alias("p", "gram")
     ).select(id_col, "p", F.md5("gram").alias("h"))
     eval_g = (
@@ -305,6 +307,7 @@ def mask_contaminated(
     rewrite itself is pure higher-order expressions (transform + filter
     + exists over the token array): whole-stage codegen, zero Python.
     """
+    corpus = fan_out_scan(corpus)  # the rewrite re-tokenizes every doc in-row
     spans = (
         contaminated_spans(corpus, eval_docs, n, text_col, id_col)
         .groupBy(id_col)
@@ -363,6 +366,9 @@ def token_df_signals(
     broadcasts back (``broadcast_vocab=False`` for a pathological
     vocabulary), so the final per-doc aggregate is again map-side-combined.
     """
+    # no fan_out_scan here: the explode feeds the DF groupBy's hash
+    # exchange immediately, which already spreads the work — an extra
+    # round-robin hop measured ~2x slower, not faster
     doc_tokens = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
@@ -436,6 +442,10 @@ def lm_score(
     broadcast into the scoring join. Per-doc reduction is one more
     partial-combine aggregate. Nothing driver-side, nothing quadratic.
     """
+    # no fan_out_scan here: the bigram explode feeds the model/scoring
+    # hash exchanges immediately (which already parallelize), and the
+    # multi-referenced input defeats exchange reuse — measured ~1.8x
+    # slower with a fan-out hop
     toks = tokens(F.col(text_col))
     pairs = F.when(
         F.size(toks) >= 2,

@@ -727,10 +727,12 @@ def duplicate_spans(
     running-max window — partitioned by doc_id, no global ordering funnel.
     """
     from mongoshake_spark.functions.text import _ngram_col, tokens
+    from mongoshake_spark.operators.parallel import fan_out_scan
 
     # gram construction shared with text._ngram_col — ONE definition of
     # window/tokenization semantics across the text + dedup operators
     grams = _ngram_col(tokens(F.col(text_col)), w)
+    docs = fan_out_scan(docs)
     sh = docs.select(id_col, F.posexplode(grams).alias("p", "gram")).select(
         id_col, "p", F.md5("gram").alias("h")
     )
@@ -819,8 +821,11 @@ def winnow_fingerprints(
           s -> s div (size(hs) + 1))
       )[0]
     )[0]"""
+    from mongoshake_spark.operators.parallel import fan_out_scan
+
     return (
-        docs.filter(F.expr(f"size(split({text_col}, ' ')) >= {k}"))
+        fan_out_scan(docs)
+        .filter(F.expr(f"size(split({text_col}, ' ')) >= {k}"))
         .selectExpr(id_col, f"explode({bound}) AS h")
         .distinct()
     )

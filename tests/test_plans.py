@@ -300,10 +300,15 @@ def test_lm_score_model_joins_shuffle_not_broadcast(spark, sf_dir):
 
 
 def test_winnow_selection_is_single_scan_map_only(spark, sf_dir):
-    """Winnowing fingerprint SELECTION must be map-only: one parquet scan,
-    no exchange before the per-doc distinct (the first shuffle allowed is
-    the distinct on (doc_id, h)). A selection that shuffles grams defeats
-    the ~2/(w+1) density point."""
+    """Winnowing fingerprint SELECTION must be map-only: after the (narrow,
+    pre-explode) scan fan-out, no exchange before the per-doc distinct —
+    the first shuffle of GRAM-SIZED rows is the distinct on (doc_id, h).
+    A selection that shuffles grams defeats the ~2/(w+1) density point.
+
+    Allowed exchanges: the distinct, plus at most one RoundRobin
+    repartition of the raw (id, text) rows from operators/parallel
+    .fan_out_scan — that one moves document-sized rows, not gram-sized,
+    and disappears at real scale (scan splits >= cores)."""
     import re
 
     from mongoshake_spark.functions.dedup import winnow_fingerprints
@@ -312,9 +317,14 @@ def test_winnow_selection_is_single_scan_map_only(spark, sf_dir):
     plan = _plan(winnow_fingerprints(docs))
     # reads only the two needed columns
     assert "text" in plan and "lang" not in plan.split("ReadSchema")[1][:200]
-    # exactly one exchange: the distinct; selection itself adds none
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == 1, f"expected 1 exchange (distinct), got {n_exchanges}"
+    # formatted plans put the partitioning in an Arguments: line, not on
+    # the Exchange node line itself
+    n_fanout = len(re.findall(r"RoundRobinPartitioning", plan))
+    assert n_fanout <= 1, f"expected at most one scan fan-out, got {n_fanout}"
+    assert n_exchanges - n_fanout == 1, (
+        f"expected 1 gram-row exchange (distinct), got {n_exchanges - n_fanout}"
+    )
 
 
 def test_semantic_neardup_assignment_broadcasts_centroids(spark, sf_dir):
