@@ -81,3 +81,37 @@ def test_metrics_listener_and_journal(spark, sf_dir, tmp_path):
         assert listener.metrics.snapshot()["rows_in"] == total
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_plan_audit_detector(spark):
+    """scripts/plan_audit.window_flags must FIRE on a global ordered
+    window and stay quiet on a partitioned one and on a whole-group
+    frame — otherwise the sweep is vacuous."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scripts.plan_audit import window_flags
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base = spark.range(100).withColumn("g", F.col("id") % 10)
+    bad = base.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert window_flags(plan_of(bad)) == ["global-ordered-window"]
+    good = base.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert window_flags(plan_of(good)) == []
+    whole_group = base.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+    assert window_flags(plan_of(whole_group)) == []
+    # a rank filter compiles to WindowGroupLimit ([partition] comes FIRST
+    # in that node's argument list) — partitioned top-k must NOT flag
+    topk = good.filter(F.col("rn") <= 3)
+    topk_plan = plan_of(topk)
+    assert "WindowGroupLimit" in topk_plan
+    assert window_flags(topk_plan) == []
+    bad_topk = bad.filter(F.col("rn") <= 3)
+    assert "global-ordered-window" in window_flags(plan_of(bad_topk))
