@@ -135,8 +135,17 @@ def keep_namespace_ddl(
     """
     from mongoshake_spark.operators import transforms
 
+    if cmap_col is None:
+        # one parse per row, structurally (transforms.bind_command_map):
+        # re-enter with the lambda variable bound to the parsed map
+        return transforms.bind_command_map(
+            o_col,
+            lambda m: keep_namespace_ddl(
+                whitelist, blacklist, op_col, ns_col, o_col, cmap_col=m
+            ),
+        )
     op = F.col(op_col)
-    cmap = transforms.command_map(o_col) if cmap_col is None else cmap_col
+    cmap = cmap_col
     cmd = F.get(F.map_keys(cmap), F.lit(0))
     val = F.try_element_at(cmap, cmd)
     eff = transforms.effective_ns(op_col, ns_col, o_col, cmap_col=cmap)

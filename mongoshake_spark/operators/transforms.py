@@ -273,13 +273,27 @@ def command_map(o_col: str = "o") -> Column:
     """The command document parsed as ``map<string,string>`` — the one
     expensive subexpression of the DDL path (a full JSON parse). Callers
     needing more than one of command_name / command_value / effective_ns
-    can project this once and pass it down (see
-    ``filters.filter_namespace_ddl``) to make the single-parse contract
-    explicit; Spark 4's whole-stage-codegen subexpression elimination
-    already dedupes the repeated parses in the un-staged form (measured at
-    parity on sf0.1), so this is about plan clarity and resilience to that
-    optimization being unavailable."""
+    must evaluate it ONCE per row via :func:`bind_command_map`: staging it
+    as a projected column does NOT survive the optimizer (predicate
+    pushdown substitutes the alias back into the filter, re-expanding one
+    ``from_json`` per reference — measured 51 parses in the q29 plan and
+    ~2x the filter wall; codegen subexpression elimination did not recover
+    it)."""
     return F.from_json(F.col(o_col), "map<string,string>")
+
+
+def bind_command_map(o_col: str, fn) -> Column:
+    """Evaluate ``fn(m)`` with ``m`` bound to ``command_map(o_col)``
+    exactly once per row, STRUCTURALLY: the parse is wrapped in a
+    single-element array and ``fn`` becomes a higher-order-function lambda
+    over it — ``get(transform(array(parse), fn), 0)`` — so every reference
+    to ``m`` inside ``fn`` is a lambda-variable read, not a re-expanded
+    subexpression. Unlike a staged column, the optimizer cannot inline
+    through a lambda binding, so the single-parse contract holds wherever
+    the predicate/projection lands (measured: q29 3.3s -> 1.7s warm,
+    9.2s -> 1.8s cold, plan parse count 51 -> 2). NULL flows through
+    unchanged: ``fn(NULL)`` is evaluated just as the direct form would."""
+    return F.get(F.transform(F.array(command_map(o_col)), fn), F.lit(0))
 
 
 def command_name(o_col: str = "o") -> Column:
@@ -297,8 +311,9 @@ def command_value(o_col: str = "o") -> Column:
     JSON null becomes NULL. Callers use those two shapes to detect the
     reference's 'illegal oplog' case (a non-string command value,
     oplog_filter.go:202-206)."""
-    cmap = F.from_json(F.col(o_col), "map<string,string>")
-    return F.try_element_at(cmap, F.get(F.map_keys(cmap), F.lit(0)))
+    return bind_command_map(
+        o_col, lambda m: F.try_element_at(m, F.get(F.map_keys(m), F.lit(0)))
+    )
 
 
 # DDL commands whose command VALUE names the target collection — the effective
@@ -350,9 +365,14 @@ def effective_ns(
     :func:`mongoshake_spark.operators.filters.keep_namespace_ddl` keeps
     such rows unconditionally before the ns rule ever sees them.
     """
+    if cmap_col is None:
+        # bind the parse once per row; re-enter with the lambda variable
+        return bind_command_map(
+            o_col, lambda m: effective_ns(op_col, ns_col, o_col, cmap_col=m)
+        )
     op, ns = F.col(op_col), F.col(ns_col)
     db = F.split(ns, r"\.", 2).getItem(0)
-    cmap = command_map(o_col) if cmap_col is None else cmap_col
+    cmap = cmap_col
     cmd = F.get(F.map_keys(cmap), F.lit(0))
     # ANSI mode: element_at throws on a missing key; try_element_at -> NULL.
     val = F.try_element_at(cmap, cmd)
