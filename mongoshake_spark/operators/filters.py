@@ -169,22 +169,22 @@ def filter_namespace_ddl(
     ns_col: str = "ns",
     o_col: str = "o",
 ) -> DataFrame:
-    """DataFrame form of :func:`keep_namespace_ddl` that stages the parsed
-    command map as a column, making the single-``from_json``-per-row
-    contract explicit rather than dependent on codegen subexpression
-    elimination. (Measured at sf0.1 the un-staged predicate executes at
-    parity — Spark 4's whole-stage-codegen subexpression elimination
-    already dedupes the parses — so this exists for plan-shape clarity
-    and for engines/configs where that optimization is off.) Output
-    columns = input columns.
-    """
-    from mongoshake_spark.operators import transforms
+    """DataFrame form of :func:`keep_namespace_ddl`. Output columns =
+    input columns.
 
-    staged = df.withColumn("_cmap", transforms.command_map(o_col))
-    pred = keep_namespace_ddl(
-        whitelist, blacklist, op_col, ns_col, o_col, cmap_col=F.col("_cmap")
+    Historical note: this used to stage the parsed command map as a
+    ``_cmap`` column, believing the projection made the single-parse
+    contract explicit. It does not — predicate pushdown substitutes the
+    alias back into the filter and re-expands one ``from_json`` per
+    reference (51 in the q29 plan, ~2x filter wall; codegen CSE did not
+    recover it). The structural fix is
+    :func:`~mongoshake_spark.operators.transforms.bind_command_map`,
+    which :func:`keep_namespace_ddl` now applies itself, so this wrapper
+    is a plain filter again.
+    """
+    return df.filter(
+        keep_namespace_ddl(whitelist, blacklist, op_col, ns_col, o_col)
     )
-    return staged.filter(pred).drop("_cmap")
 
 
 def assert_no_migrate(df: DataFrame, col: str = "fromMigrate") -> DataFrame:
