@@ -37,6 +37,9 @@ class FullSyncReport:
         return sum(self.tables.values())
 
 
+_SYNC_MARKER = "_sync_report.json"
+
+
 def full_sync(
     spark: SparkSession,
     sf_dir: str,
@@ -46,6 +49,7 @@ def full_sync(
     shard: str | None = None,
     partition_by: dict[str, str] | None = None,
     index_map: dict[str, list[dict]] | None = None,
+    resume: bool = False,
 ) -> FullSyncReport:
     """Snapshot-copy every namespace (S4/S6/W11/W13).
 
@@ -55,11 +59,28 @@ def full_sync(
     partition count. ``partition_by`` optionally declares a layout column
     per table (W13's shard-spec replication - CREATE TABLE PARTITIONED BY).
     ``chunks``+``shard`` applies the orphan filter (F6) during copy.
+
+    ``resume=True`` skips tables whose copy already COMPLETED — each
+    table's row count is stamped into a ``_sync_report.json`` marker only
+    after its write commits, so a crash mid-table leaves no marker and
+    the table re-copies. The reference restarts a failed full sync from
+    zero (full-sync checkpoints are an open TODO in its docs); at 100 TB
+    a snapshot WILL be interrupted, and per-namespace resume turns a
+    restart from "re-copy everything" into "re-copy the one table that
+    was in flight". Idempotent either way: re-copying a completed table
+    is a clean overwrite.
     """
+    import json
+
     from pyspark.sql import Observation
 
     report: dict[str, int] = {}
     for name in tables:
+        marker = os.path.join(target_root, name, _SYNC_MARKER)
+        if resume and os.path.isfile(marker):
+            with open(marker) as f:
+                report[name] = int(json.load(f)["rows"])
+            continue
         df = load_table(spark, sf_dir, name)
         if chunks is not None and shard is not None and name == "lineitem":
             df = orphan_filter(df, chunks, "l_orderkey", "tpch.lineitem", shard)
@@ -74,6 +95,10 @@ def full_sync(
             writer = writer.partitionBy(partition_by[name])
         writer.parquet(os.path.join(target_root, name))
         report[name] = int(obs.get["rows"])
+        # completion marker, written only after the parquet commit; the
+        # leading underscore keeps it invisible to Spark's file index
+        with open(marker, "w") as f:
+            json.dump({"rows": report[name]}, f)
     if index_map:
         # W12: index sync runs after the copy, as the reference does
         # (coordinator/full.go:202-206 StartIndexSync foreground).

@@ -24,6 +24,38 @@ def test_full_sync_copies_all_tables(spark, sf_dir, tmp_path):
     assert report.tables == src_counts
 
 
+def test_full_sync_resume_skips_completed_tables(spark, sf_dir, tmp_path):
+    """An interrupted snapshot resumes per-namespace: tables with a
+    completion marker are skipped untouched (same report, files not
+    rewritten); a table whose marker is missing — the one in flight at
+    the crash — re-copies cleanly."""
+    import os
+
+    tables = ("region", "nation", "events")
+    first = full_sync(spark, sf_dir, str(tmp_path), tables=tables)
+    # simulate a crash mid-'events': its marker never got written
+    os.remove(tmp_path / "events" / "_sync_report.json")
+    mtimes = {
+        t: sorted(
+            (f, os.path.getmtime(tmp_path / t / f))
+            for f in os.listdir(tmp_path / t)
+            if f.endswith(".parquet")
+        )
+        for t in ("region", "nation")
+    }
+    second = full_sync(spark, sf_dir, str(tmp_path), tables=tables, resume=True)
+    assert second.tables == first.tables
+    for t in ("region", "nation"):  # completed tables untouched
+        assert mtimes[t] == sorted(
+            (f, os.path.getmtime(tmp_path / t / f))
+            for f in os.listdir(tmp_path / t)
+            if f.endswith(".parquet")
+        )
+    assert (tmp_path / "events" / "_sync_report.json").is_file()  # re-copied
+    got = spark.read.parquet(str(tmp_path / "events")).count()
+    assert got == first.tables["events"]
+
+
 def test_full_sync_orphan_filter(spark, sf_dir, tmp_path):
     li = load_table(spark, sf_dir, "lineitem")
     chunks = chunks_view(spark, li)
