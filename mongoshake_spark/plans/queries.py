@@ -2497,6 +2497,72 @@ def text_lm_score_q(spark, sf_dir):
     return lm_score(docs).orderBy("doc_id")
 
 
+_VERIFY_ORACLE = """WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment
+  FROM customer),
+dst AS (
+  SELECT c_custkey, c_name, c_nationkey, cents,
+         CASE WHEN c_custkey % 101 = 0 THEN 'MUTATED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM src WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT 999999, 'Customer#999999', 1, 0, 'EXTRA')
+SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+       CASE WHEN d.c_custkey IS NULL THEN 'missing_in_dst'
+            WHEN s.c_custkey IS NULL THEN 'missing_in_src'
+            WHEN s.c_name <> d.c_name OR s.c_nationkey <> d.c_nationkey
+              OR s.cents <> d.cents OR s.c_mktsegment <> d.c_mktsegment
+              THEN 'differs' END AS status
+FROM src s FULL OUTER JOIN dst d ON s.c_custkey = d.c_custkey
+WHERE CASE WHEN d.c_custkey IS NULL THEN 'missing_in_dst'
+           WHEN s.c_custkey IS NULL THEN 'missing_in_src'
+           WHEN s.c_name <> d.c_name OR s.c_nationkey <> d.c_nationkey
+             OR s.cents <> d.cents OR s.c_mktsegment <> d.c_mktsegment
+             THEN 'differs' END IS NOT NULL
+ORDER BY 1"""
+
+
+@_q(
+    "verify_sync_diff",
+    _VERIFY_ORACLE,
+    "Post-sync verification (scripts/comparison.py re-expressed at scale): "
+    "a mutated copy of customer — dropped keys, one altered field, one "
+    "extra row — is compared with the two-phase bucketed verifier "
+    "(plans/verify.verify_sync): bucket count+signature summaries name "
+    "the diverged buckets, then a key-level full-outer diff runs ONLY "
+    "inside them. The oracle replays the classification by direct column "
+    "comparison, pinning the verifier against a hash-free ground truth.",
+)
+def verify_sync_diff_q(spark, sf_dir):
+    from mongoshake_spark.plans.verify import verify_sync
+
+    src = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string")
+    sig_cols = [
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        cents,
+        F.col("c_mktsegment"),
+    ]
+    extra = spark.createDataFrame(
+        [(999999, "Customer#999999", 1, 0.0, "EXTRA")], src.schema
+    )
+    dst = (
+        src.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 101 == 0, F.lit("MUTATED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(extra)
+    )
+    return verify_sync(src, dst, "c_custkey", sig_cols, n_buckets=64).orderBy(
+        "c_custkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,122 @@
+"""Post-sync verification (plans/verify) — the comparison.py analog.
+
+Pins: in-sync emptiness, exact diff recovery (drop/mutate/extra), the
+payload-swap case that motivates keyed signatures, deterministic sample
+mode, and the phase-2 prune plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongoshake_spark.plans.verify import (
+    bucket_summary,
+    diverged_buckets,
+    row_signature,
+    verify_sync,
+)
+from mongoshake_spark.sources.tables import load_table
+
+SIG = ["c_name", "c_mktsegment"]
+
+
+def _customer(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def test_in_sync_has_no_diffs_and_no_diverged_buckets(spark, sf_dir):
+    src = _customer(spark, sf_dir)
+    sig = row_signature([F.col("c_custkey").cast("string"), *SIG])
+    assert diverged_buckets(src, src, "c_custkey", sig, 32).count() == 0
+    assert verify_sync(src, src, "c_custkey", SIG, n_buckets=32).count() == 0
+
+
+def test_exact_diff_recovery(spark, sf_dir):
+    src = _customer(spark, sf_dir)
+    dst = (
+        src.filter(F.col("c_custkey") % 50 != 3)  # dropped
+        .withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") % 70 == 5, F.lit("X")).otherwise(F.col("c_name")),
+        )
+    )
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=32).collect()
+    }
+    keys = [r["c_custkey"] for r in src.select("c_custkey").collect()]
+    want = {(k, "missing_in_dst") for k in keys if k % 50 == 3}
+    want |= {(k, "differs") for k in keys if k % 70 == 5 and k % 50 != 3}
+    assert got == want
+
+
+def test_payload_swap_within_bucket_is_detected(spark):
+    """Two same-length keys in the SAME bucket swapping payloads leave
+    count AND the plain signature sum unchanged — the polynomial hash is
+    linear in character values, so aligned-position swaps cancel exactly
+    in the first moment even with the key prepended (this test FAILED
+    against a sum-only summary). The quadratic moment (sum of h^2 mod M)
+    in bucket_summary is what makes phase 1 see it."""
+    rows = [(i, f"name{i}", "SEG") for i in range(20)]
+    src = spark.createDataFrame(rows, "c_custkey bigint, c_name string, c_mktsegment string")
+    # swap payloads of keys 3 and 7 with ONE bucket for everything, so the
+    # swap is invisible to (count, payload-sum) summaries by construction
+    swapped = [
+        (3, "name7", "SEG"),
+        (7, "name3", "SEG"),
+    ] + [r for r in rows if r[0] not in (3, 7)]
+    dst = spark.createDataFrame(swapped, src.schema)
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=1).collect()
+    }
+    assert got == {(3, "differs"), (7, "differs")}
+
+
+def test_sample_mode_is_deterministic_subset(spark, sf_dir):
+    src = _customer(spark, sf_dir)
+    dst = src.filter(F.col("c_custkey") % 11 != 0)
+    full = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=32).collect()
+    }
+    half = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(
+            src, dst, "c_custkey", SIG, n_buckets=32, sample_num=1, sample_den=2
+        ).collect()
+    }
+    assert half <= full
+    assert len(half) > 0  # the cut keeps roughly half the diffs
+    again = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(
+            src, dst, "c_custkey", SIG, n_buckets=32, sample_num=1, sample_den=2
+        ).collect()
+    }
+    assert again == half  # deterministic, not $sample
+
+
+def test_phase2_prunes_to_diverged_buckets(spark, sf_dir):
+    """The key-level join must be gated by a broadcast semi-join on the
+    diverged-bucket list — the shape that reduces phase 2 to zero rows
+    for an in-sync corpus."""
+    src = _customer(spark, sf_dir)
+    dst = src.filter(F.col("c_custkey") % 50 != 3)
+    plan = (
+        verify_sync(src, dst, "c_custkey", SIG, n_buckets=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+
+
+def test_bucket_summary_is_metadata_sized(spark, sf_dir):
+    src = _customer(spark, sf_dir)
+    sig = row_signature([F.col("c_custkey").cast("string"), *SIG])
+    summ = bucket_summary(src, "c_custkey", sig, 16)
+    assert summ.count() <= 16
+    assert set(summ.columns) == {"bucket", "cnt", "sig_sum", "sig_sq_sum"}
