@@ -316,3 +316,55 @@ def test_checksum_catches_any_single_log_byte_flip(logs, cid, data):
     payload[off] ^= bit
     corrupted = tun.decode_tmessage(bytes(payload))
     assert tun.crc32_xor(corrupted["logs"]) != corrupted["checksum"]
+
+
+# -- post-sync verifier model (plans/verify) ---------------------------------
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 40),
+        st.text(alphabet="abcdef", min_size=0, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+    st.dictionaries(
+        st.integers(0, 50),
+        st.one_of(st.none(), st.text(alphabet="abcdef", min_size=0, max_size=6)),
+        max_size=8,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_verify_sync_matches_set_model(spark, src_rows, mutations):
+    """For ANY source table and ANY mutation set (delete a key, change a
+    payload, insert a new key), verify_sync reports exactly the model
+    diff — nothing fabricated, nothing missed (within the hash bound)."""
+    from mongoshake_spark.plans.verify import verify_sync
+
+    dst_rows = dict(src_rows)
+    for k, v in mutations.items():
+        if v is None:
+            dst_rows.pop(k, None)  # delete (no-op when absent)
+        else:
+            dst_rows[k] = v  # update or insert
+    want = set()
+    for k in set(src_rows) | set(dst_rows):
+        if k not in dst_rows:
+            want.add((k, "missing_in_dst"))
+        elif k not in src_rows:
+            want.add((k, "missing_in_src"))
+        elif src_rows[k] != dst_rows[k]:
+            want.add((k, "differs"))
+    schema = "k bigint, payload string"
+    src = spark.createDataFrame(sorted(src_rows.items()), schema)
+    dst_items = sorted(dst_rows.items())
+    dst = (
+        spark.createDataFrame(dst_items, schema)
+        if dst_items
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        (r["k"], r["status"])
+        for r in verify_sync(src, dst, "k", ["payload"], n_buckets=4).collect()
+    }
+    assert got == want
