@@ -48,11 +48,22 @@ def row_signature(cols: list[Column | str]) -> Column:
     ``\\x1f``-joined rendering of the given columns. Callers canonicalize
     lossy types FIRST (e.g. doubles to integer cents) — raw float-to-string
     rendering differs between engines and is not part of the contract.
-    NULL renders as the empty string (concat_ws skips nulls), which is
-    adequate for presence/absence checks; a NULL-vs-empty-string flip in
-    one column is the known blind spot and the reference tool (dict ==)
-    shares it for missing-vs-null fields."""
-    rendered = F.concat_ws(_SEP, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+    Each column is null-coalesced to '' BEFORE joining: ``concat_ws``
+    silently DROPS null arguments together with their separator, so
+    ``('a', NULL, 'b')`` and ``('a', 'b', NULL)`` would otherwise render
+    identically and a value sliding between columns would go undetected.
+    With the coalesce, separators are always present and only the
+    NULL-vs-empty-string flip within one column remains blind — the same
+    blind spot the reference tool's dict equality has for missing-vs-null
+    fields."""
+    rendered = F.concat_ws(
+        _SEP,
+        *[
+            F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit(""))
+            for c in cols
+        ],
+    )
     # bind the rendering once (transforms.bind_command_map pattern): the
     # polynomial fold references its input per character position
     return F.get(F.transform(F.array(rendered), _poly_of), F.lit(0))

@@ -120,3 +120,17 @@ def test_bucket_summary_is_metadata_sized(spark, sf_dir):
     summ = bucket_summary(src, "c_custkey", sig, 16)
     assert summ.count() <= 16
     assert set(summ.columns) == {"bucket", "cnt", "sig_sum", "sig_sq_sum"}
+
+
+def test_null_column_slide_is_detected(spark):
+    """concat_ws drops NULL arguments WITH their separator, so ('a', NULL,
+    'b') and ('a', 'b', NULL) would render identically without the
+    per-column coalesce — a value sliding between columns must diff."""
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame([(1, None, "b"), (2, "x", "y")], schema)
+    dst = spark.createDataFrame([(1, "b", None), (2, "x", "y")], schema)
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=4).collect()
+    }
+    assert got == {(1, "differs")}
