@@ -155,6 +155,15 @@ def _decompress_one(data: bytes, cid: int) -> bytes:
         pa = _snappy_codec()
         if pa is not None:
             n, _ = _snappy_uncompressed_len(data)
+            # the varint is attacker-controlled and pa.decompress allocates
+            # n bytes up front; a legal raw-snappy stream cannot expand more
+            # than ~32x (a 2-byte copy tag emits at most 64 bytes), so a
+            # claimed length past that bound is corruption, not data
+            if n > len(data) * 64 + 64:
+                raise DecompressError(
+                    f"snappy: claimed length {n} exceeds max expansion of "
+                    f"{len(data)} input bytes"
+                )
             try:
                 return pa.decompress(data, decompressed_size=n, codec="snappy", asbytes=True)
             except Exception as exc:  # ArrowInvalid subclasses ValueError,

@@ -283,3 +283,27 @@ def test_reconnect_retransmission_dedupes_across_connections(server):
         assert (7, 1) in ids_by_shard and len(ids_by_shard) == 4
     finally:
         s2.close()
+
+
+@pytest.mark.skipif(st._snappy_codec() is None, reason="snappy codec unavailable")
+def test_snappy_absurd_length_claim_rejected_without_allocation(server):
+    """The raw-snappy varint header is attacker-controlled and decompress
+    allocates the claimed length up front; a claim past the format's
+    maximum expansion must be rejected as DecompressInvalid instead of
+    attempting a multi-GB allocation."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    # varint for 2^35 (absurd for a 20-byte payload), then garbage
+    fake_log = bytes([0x80, 0x80, 0x80, 0x80, 0x80, 0x01]) + b"junk"
+    payload = struct.pack(
+        ">IIIII", st.crc32_xor([fake_log]), st.MSG_NORMAL, 0, st.COMPRESS_SNAPPY, 1
+    ) + struct.pack(">I", len(fake_log)) + fake_log
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, payload))
+        _, reply = st.read_packet(sock)
+        assert struct.unpack(">q", reply)[0] == st.REPLY_DECOMPRESS_INVALID
+    finally:
+        sock.close()
