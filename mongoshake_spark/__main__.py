@@ -1,0 +1,173 @@
+"""Executable surface — ``python -m mongoshake_spark``.
+
+The reference ships as a conf-driven binary (``collector.linux -conf
+conf/collector.conf``); this module is that surface for the Spark engine:
+it reads the SAME ``key = value`` conf dialect with the SAME key names
+(conf/collector.conf: ``sync_mode``, ``tunnel``, ``filter.namespace.*``,
+``oplog.gids``, ``filter.ddl_enable``, ``incr_sync.*``,
+``checkpoint.interval``), validates through config.SyncConfig (M5), and
+dispatches to the three entry points (SURVEY §3) plus the post-sync
+verifier:
+
+    python -m mongoshake_spark --conf my.conf \
+        --source-dir /data/sf0.01 --target-dir /out \
+        [--feed-dir /feed --checkpoint-dir /ckpt]
+
+Engine-specific paths (where the parquet source/feed/target live) have no
+reference analog — the reference's are Mongo URIs — so they are CLI
+flags, not conf keys. Everything the conf can express maps 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from mongoshake_spark.config import ConfigError, SyncConfig
+
+#: conf key -> (SyncConfig field, parser)
+_CONF_KEYS = {
+    "sync_mode": ("sync_mode", str),
+    "incr_sync.shard_key": ("shard_key", str),
+    "incr_sync.worker": ("workers", int),
+    "incr_sync.adaptive.batching_max_size": ("batch_rows", int),
+    "incr_sync.target_delay": ("target_delay_sec", int),
+    "checkpoint.interval": ("checkpoint_interval_ms", int),
+    "filter.ddl_enable": ("ddl_enable", lambda v: v.lower() == "true"),
+    "filter.namespace.white": ("ns_whitelist", lambda v: tuple(x for x in v.split(";") if x)),
+    "filter.namespace.black": ("ns_blacklist", lambda v: tuple(x for x in v.split(";") if x)),
+    "oplog.gids": ("gids", lambda v: tuple(x for x in v.split(";") if x)),
+}
+
+#: recognized but engine-mapped elsewhere (tunnel routing, not SyncConfig)
+_TUNNEL_KEYS = ("tunnel", "tunnel.address")
+
+
+def parse_conf(path: str) -> tuple[SyncConfig, dict]:
+    """Parse the reference's conf dialect: ``key = value`` lines, ``#``
+    comments, blank lines ignored. Unknown keys are collected (and
+    reported) rather than failing — the reference tolerates extra keys in
+    its conf template, and most of its knobs (queue depths, serializer
+    threads) intentionally have no Spark analog."""
+    fields: dict = {}
+    tunnel: dict = {}
+    unknown: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip()
+            if key in _CONF_KEYS:
+                name, conv = _CONF_KEYS[key]
+                fields[name] = conv(value)
+            elif key in _TUNNEL_KEYS:
+                tunnel[key] = value
+            elif value:
+                unknown.append(key)
+    cfg = SyncConfig(**fields).validate()
+    return cfg, {"tunnel": tunnel, "unknown": unknown}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mongoshake_spark", description=__doc__)
+    p.add_argument("--conf", help="reference-dialect conf file (key = value)")
+    p.add_argument("--source-dir", help="parquet source dir (the fixture layout)")
+    p.add_argument("--target-dir", help="target root for full/incr state")
+    p.add_argument("--feed-dir", help="replayable oplog feed dir (incr/all)")
+    p.add_argument("--checkpoint-dir", help="stream checkpoint location (incr/all)")
+    p.add_argument("--sync-mode", choices=("full", "incr", "all", "verify"),
+                   help="override the conf's sync_mode; 'verify' runs the post-sync check")
+    p.add_argument("--resume", action="store_true",
+                   help="full sync: skip namespaces with completion markers")
+    p.add_argument("--verify-table", default="customer",
+                   help="verify mode: table under both roots to compare")
+    p.add_argument("--verify-key", default="c_custkey",
+                   help="verify mode: key column")
+    p.add_argument("--dry-run", action="store_true",
+                   help="parse + validate + print the plan, run nothing")
+    args = p.parse_args(argv)
+
+    try:
+        cfg, extra = parse_conf(args.conf) if args.conf else (SyncConfig().validate(), {"tunnel": {}, "unknown": []})
+    except (ConfigError, OSError) as e:
+        print(f"conf error: {e}", file=sys.stderr)
+        return 2
+    mode = args.sync_mode or cfg.sync_mode
+
+    plan = {
+        "mode": mode,
+        "config": {k: (list(v) if isinstance(v, tuple) else v) for k, v in vars(cfg).items()},
+        "tunnel": extra["tunnel"],
+        "ignored_conf_keys": extra["unknown"],
+        "source_dir": args.source_dir,
+        "target_dir": args.target_dir,
+        "feed_dir": args.feed_dir,
+        "checkpoint_dir": args.checkpoint_dir,
+    }
+    if args.dry_run:
+        print(json.dumps(plan, indent=1))
+        return 0
+
+    missing = [n for n in ("source_dir", "target_dir") if not getattr(args, n)]
+    if mode in ("incr", "all"):
+        missing += [n for n in ("feed_dir", "checkpoint_dir") if not getattr(args, n)]
+    if missing:
+        print(f"missing required flags for mode {mode}: {missing}", file=sys.stderr)
+        return 2
+
+    from mongoshake_spark.session import get_spark
+
+    spark = get_spark("mongoshake_spark.cli")
+    if mode == "full":
+        from mongoshake_spark.plans.full_sync import full_sync
+
+        report = full_sync(spark, args.source_dir, args.target_dir, resume=args.resume)
+        print(json.dumps({"mode": mode, "tables": report.tables, "rows": report.total_rows}))
+    elif mode == "incr":
+        from mongoshake_spark.streaming.apply import run_incr_sync
+
+        kernel = run_incr_sync(
+            spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
+            max_files_per_trigger=cfg.files_per_trigger,
+        )
+        print(json.dumps({"mode": mode, "ddl_applied": len(kernel.ddl_log)}))
+    elif mode == "all":
+        from mongoshake_spark.plans.full_sync import sync_all
+
+        out = sync_all(
+            spark, args.source_dir, args.feed_dir, args.target_dir + "/snapshot",
+            args.target_dir + "/stream", args.checkpoint_dir,
+        )
+        print(json.dumps({"mode": mode, **out}))
+    else:  # verify
+        from pyspark.sql import functions as F
+
+        from mongoshake_spark.plans.verify import verify_sync
+
+        def _load(root: str):
+            # accept both layouts: a fixture-style single file
+            # (<root>/<table>.parquet) and a synced directory
+            # (<root>/<table>/)
+            import os
+
+            d = f"{root}/{args.verify_table}"
+            return spark.read.parquet(d if os.path.isdir(d) else d + ".parquet")
+
+        src = _load(args.source_dir)
+        dst = _load(args.target_dir)
+        sig_cols = [F.col(c).cast("string") for c in src.columns if c != args.verify_key]
+        diffs = verify_sync(src, dst, args.verify_key, sig_cols).collect()
+        print(json.dumps({
+            "mode": mode,
+            "in_sync": not diffs,
+            "diffs": [{"key": r[0], "status": r[1]} for r in diffs[:100]],
+        }))
+        return 0 if not diffs else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

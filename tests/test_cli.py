@@ -1,0 +1,96 @@
+"""The executable surface (python -m mongoshake_spark): conf-dialect
+parsing with the reference's literal key names, and the full -> verify
+flow through main()."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mongoshake_spark.__main__ import main, parse_conf
+from mongoshake_spark.config import ConfigError
+
+CONF = """# reference-style conf (conf/collector.conf dialect)
+sync_mode = full
+tunnel = direct
+tunnel.address = mongodb://127.0.0.1:20080
+filter.namespace.white = db1;db2.t3
+filter.namespace.black =
+filter.ddl_enable = true
+oplog.gids = g1;g2
+incr_sync.worker = 4
+incr_sync.shard_key = collection
+incr_sync.adaptive.batching_max_size = 2048
+checkpoint.interval = 5000
+mongo_urls = mongodb://127.0.0.1:27017
+"""
+
+
+def test_parse_conf_reference_dialect(tmp_path):
+    p = tmp_path / "c.conf"
+    p.write_text(CONF)
+    cfg, extra = parse_conf(str(p))
+    assert cfg.sync_mode == "full"
+    assert cfg.ns_whitelist == ("db1", "db2.t3")
+    assert cfg.ns_blacklist == ()  # empty value -> empty tuple
+    assert cfg.gids == ("g1", "g2")
+    assert cfg.workers == 4 and cfg.batch_rows == 2048
+    assert cfg.shard_key == "collection"
+    assert extra["tunnel"] == {
+        "tunnel": "direct",
+        "tunnel.address": "mongodb://127.0.0.1:20080",
+    }
+    # unmapped reference keys are reported, not fatal
+    assert extra["unknown"] == ["mongo_urls"]
+
+
+def test_parse_conf_validation_failure(tmp_path):
+    p = tmp_path / "bad.conf"
+    p.write_text("sync_mode = sideways\n")
+    with pytest.raises(ConfigError):
+        parse_conf(str(p))
+
+
+def test_cli_dry_run(tmp_path, capsys):
+    p = tmp_path / "c.conf"
+    p.write_text(CONF)
+    assert main(["--conf", str(p), "--dry-run"]) == 0
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["mode"] == "full"
+    assert plan["config"]["ns_whitelist"] == ["db1", "db2.t3"]
+
+
+def test_cli_full_then_verify_then_diff(spark, sf_dir, tmp_path, capsys):
+    """The operator's loop: full sync, verify (in sync, exit 0), corrupt
+    the copy, verify again (diffs, exit 1)."""
+    import shutil
+
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir, "--target-dir", target]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["tables"]["customer"] > 0
+
+    assert main([
+        "--sync-mode", "verify", "--source-dir", sf_dir, "--target-dir", target,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["in_sync"] is True
+
+    # corrupt: drop some customers from the copy
+    cust = spark.read.parquet(f"{target}/customer")
+    kept = cust.filter("c_custkey % 10 != 1")
+    kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(f"{target}/customer")
+    assert main([
+        "--sync-mode", "verify", "--source-dir", sf_dir, "--target-dir", target,
+    ]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["in_sync"] is False
+    assert all(d["status"] == "missing_in_dst" for d in out["diffs"])
+    shutil.rmtree(target, ignore_errors=True)
+
+
+def test_cli_missing_flags_error(capsys):
+    assert main(["--sync-mode", "incr"]) == 2
+    err = capsys.readouterr().err
+    assert "missing required flags" in err
