@@ -121,3 +121,19 @@ def test_cli_incr_mode_drains_feed(spark, sf_dir, tmp_path, capsys):
     want = last_writer_wins(oplog_view(load_table(spark, sf_dir, "events"))).count()
     got = spark.read.parquet(target).drop("_bucket").filter(F.col("op") != "d").count()
     assert got == want
+
+
+def test_cli_all_mode(spark, sf_dir, tmp_path, capsys):
+    """The 'all' arm: snapshot + catch-up stream, reporting both planes."""
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=500)
+    rc = main([
+        "--sync-mode", "all", "--source-dir", sf_dir,
+        "--target-dir", str(tmp_path / "t"), "--feed-dir", feed,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["mode"] == "all" and out["snapshot_rows"] > 0
