@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="verify mode: table under both roots to compare")
     p.add_argument("--verify-key", default="c_custkey",
                    help="verify mode: key column")
+    p.add_argument("--verify-sample", metavar="NUM/DEN",
+                   help="verify mode: deterministic sample cut, e.g. 1/100 "
+                        "(the comparisonMode=sample analog, but reproducible)")
     p.add_argument("--dry-run", action="store_true",
                    help="parse + validate + print the plan, run nothing")
     args = p.parse_args(argv)
@@ -159,7 +162,14 @@ def main(argv: list[str] | None = None) -> int:
         src = _load(args.source_dir)
         dst = _load(args.target_dir)
         sig_cols = [F.col(c).cast("string") for c in src.columns if c != args.verify_key]
-        diffs = verify_sync(src, dst, args.verify_key, sig_cols).collect()
+        num = den = None
+        if args.verify_sample:
+            num, _, den = args.verify_sample.partition("/")
+            num, den = int(num), int(den or 1)
+        diffs = verify_sync(
+            src, dst, args.verify_key, sig_cols,
+            sample_num=num, sample_den=den or 1,
+        ).collect()
         print(json.dumps({
             "mode": mode,
             "in_sync": not diffs,

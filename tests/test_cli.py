@@ -137,3 +137,22 @@ def test_cli_all_mode(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["mode"] == "all" and out["snapshot_rows"] > 0
+
+
+def test_cli_verify_sample_mode(spark, sf_dir, tmp_path, capsys):
+    """--verify-sample N/D: the deterministic sample cut reaches the
+    verifier (diffs are a subset of the full run's)."""
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir, "--target-dir", target]) == 0
+    capsys.readouterr()
+    cust = spark.read.parquet(f"{target}/customer")
+    cust.filter("c_custkey % 7 != 0").localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(f"{target}/customer")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 1
+    full = {d["key"] for d in json.loads(capsys.readouterr().out)["diffs"]}
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-sample", "1/2"]) == 1
+    sampled = {d["key"] for d in json.loads(capsys.readouterr().out)["diffs"]}
+    assert sampled and sampled < full
