@@ -173,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "mode": mode,
             "in_sync": not diffs,
+            "n_diffs": len(diffs),  # full count — 'diffs' shows the first 100
             "diffs": [{"key": r[0], "status": r[1]} for r in diffs[:100]],
         }))
         return 0 if not diffs else 1
