@@ -123,6 +123,28 @@ def main(argv: list[str] | None = None) -> int:
 
     from mongoshake_spark.session import get_spark
 
+    sample_num = None
+    sample_den = 1
+    if mode == "verify" and args.verify_sample is not None:
+        # strict NUM/DEN validation BEFORE any Spark work: 'a/b' must exit
+        # 2 with a message (not a traceback), and num=0 / den=0 must be
+        # rejected — '0/100' would silently verify NOTHING and report
+        # in_sync, '1/0' would silently verify everything under a claimed
+        # cut
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(?:/(\d+))?", args.verify_sample)
+        sample_num, sample_den = (
+            (int(m.group(1)), int(m.group(2) or 1)) if m else (0, 0)
+        )
+        if sample_num < 1 or sample_den < 1:
+            print(
+                f"conf error: --verify-sample must be NUM/DEN with "
+                f"NUM>=1 and DEN>=1, got {args.verify_sample!r}",
+                file=sys.stderr,
+            )
+            return 2
+
     spark = get_spark("mongoshake_spark.cli")
     if mode == "full":
         from mongoshake_spark.plans.full_sync import full_sync
@@ -162,13 +184,9 @@ def main(argv: list[str] | None = None) -> int:
         src = _load(args.source_dir)
         dst = _load(args.target_dir)
         sig_cols = [F.col(c).cast("string") for c in src.columns if c != args.verify_key]
-        num = den = None
-        if args.verify_sample:
-            num, _, den = args.verify_sample.partition("/")
-            num, den = int(num), int(den or 1)
         diffs = verify_sync(
             src, dst, args.verify_key, sig_cols,
-            sample_num=num, sample_den=den or 1,
+            sample_num=sample_num, sample_den=sample_den,
         ).collect()
         print(json.dumps({
             "mode": mode,

@@ -40,6 +40,50 @@ class FullSyncReport:
 _SYNC_MARKER = "_sync_report.json"
 
 
+def _marker_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any Hadoop URI — markers must go through
+    the Hadoop FS API, not local ``open()``: ``writer.parquet`` accepts
+    ``hdfs://``/``s3a://`` targets (the stated 100 TB deployment shape)
+    and a local ``open()`` against such a URI crashes right after the
+    first table's commit."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _marker_read(spark: SparkSession, path_str: str) -> dict | None:
+    import json
+
+    fs, path = _marker_fs(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()  # markers are written as one JSON line
+        return json.loads(line) if line else None
+    finally:
+        stream.close()
+
+
+def _marker_write_raw(spark: SparkSession, path_str: str, body: str) -> None:
+    fs, path = _marker_fs(spark, path_str)
+    out = fs.create(path, True)  # creates parent dirs on any Hadoop FS
+    try:
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _marker_write(spark: SparkSession, path_str: str, data: dict) -> None:
+    import json
+
+    _marker_write_raw(spark, path_str, json.dumps(data))
+
+
 def full_sync(
     spark: SparkSession,
     sf_dir: str,
@@ -77,10 +121,11 @@ def full_sync(
     report: dict[str, int] = {}
     for name in tables:
         marker = os.path.join(target_root, name, _SYNC_MARKER)
-        if resume and os.path.isfile(marker):
-            with open(marker) as f:
-                report[name] = int(json.load(f)["rows"])
-            continue
+        if resume:
+            prior = _marker_read(spark, marker)
+            if prior is not None:
+                report[name] = int(prior["rows"])
+                continue
         df = load_table(spark, sf_dir, name)
         if chunks is not None and shard is not None and name == "lineitem":
             df = orphan_filter(df, chunks, "l_orderkey", "tpch.lineitem", shard)
@@ -97,12 +142,11 @@ def full_sync(
         report[name] = int(obs.get["rows"])
         # completion marker, written only after the parquet commit; the
         # leading underscore keeps it invisible to Spark's file index
-        with open(marker, "w") as f:
-            json.dump({"rows": report[name]}, f)
+        _marker_write(spark, marker, {"rows": report[name]})
     if index_map:
         # W12: index sync runs after the copy, as the reference does
         # (coordinator/full.go:202-206 StartIndexSync foreground).
-        emit_index_specs(target_root, build_index_specs(index_map))
+        emit_index_specs(target_root, build_index_specs(index_map), spark=spark)
     return FullSyncReport(tables=report)
 
 
@@ -150,22 +194,32 @@ def build_index_specs(
     return out
 
 
-def emit_index_specs(target_root: str, specs: dict[str, list[dict]]) -> list[str]:
+def emit_index_specs(
+    target_root: str, specs: dict[str, list[dict]], spark: SparkSession | None = None
+) -> list[str]:
     """Persist each namespace's index spec as ``_indexes.json`` inside the
     table directory — the table-properties / layout-spec analog of the
-    reference's createIndexes commands. Returns the written paths."""
+    reference's createIndexes commands. Returns the written paths.
+
+    With ``spark`` given, writes go through the Hadoop FS API (``create``
+    makes parent dirs), so hdfs://s3a:// target roots work; the local
+    ``open()`` path remains for spark-less callers/tests on local paths."""
     import json
 
     written = []
     for ns, spec in specs.items():
         table = ns.split(".", 1)[1] if "." in ns else ns
         d = os.path.join(target_root, table)
-        os.makedirs(d, exist_ok=True)
         path = os.path.join(d, "_indexes.json")
-        with open(path, "w") as f:
-            json.dump(
-                [{"createIndexes": table, "indexes": [i]} for i in spec], f, indent=1
-            )
+        body = json.dumps(
+            [{"createIndexes": table, "indexes": [i]} for i in spec], indent=1
+        )
+        if spark is not None:
+            _marker_write_raw(spark, path, body)
+        else:
+            os.makedirs(d, exist_ok=True)
+            with open(path, "w") as f:
+                f.write(body)
         written.append(path)
     return written
 

@@ -85,8 +85,17 @@ def _poly_of(col: Column) -> Column:
 
 def bucket_of(key_col: Column | str, n_buckets: int) -> Column:
     """Portable bucket id: ``knuth_u32(key) % n_buckets`` — reproducible
-    in any engine with 64-bit integers (no engine-private hash)."""
-    return (knuth_u32(key_col) % F.lit(int(n_buckets))).cast("int")
+    in any engine with 64-bit integers (no engine-private hash).
+
+    NULL keys hash to the reserved bucket ``-1`` rather than propagating
+    NULL: a NULL bucket id silently drops the row from BOTH phases (the
+    full-outer summary join never matches a NULL bucket, and the phase-2
+    semi-join's ``_b == bucket`` is null-rejecting too), so a dst-side
+    mutation of a NULL-key row would report in_sync — the one failure
+    mode a verifier must not have."""
+    return F.coalesce(
+        (knuth_u32(key_col) % F.lit(int(n_buckets))).cast("int"), F.lit(-1)
+    )
 
 
 def bucket_summary(
@@ -176,6 +185,12 @@ def verify_sync(
     ``find_one`` loop (comparison.py:166-171) is exactly what this
     replaces.
 
+    NULL keys are verified, not skipped: they hash to the reserved bucket
+    -1 (phase 1) and are paired null-safely in phase 2. Several NULL-key
+    rows on a side compare as one cross-paired group — a payload change
+    among them reports ``differs`` rows rather than a precise per-row
+    attribution (there is no key to attribute BY).
+
     The key column is prepended to the signature rendering: a bucket's
     ``sig_sum`` is permutation-invariant, so WITHOUT the key two rows
     swapping their payloads between keys of the same bucket would leave
@@ -183,19 +198,32 @@ def verify_sync(
     signatures make every such swap visible."""
     sig = row_signature([F.col(key_col).cast("string"), *sig_cols])
     if sample_num is not None:
-        cut = knuth_u32(key_col) * F.lit(int(sample_den)) < F.lit(int(sample_num)) * F.lit(HASH_MOD)
+        # coalesce the hash so NULL keys are ALWAYS in the sample (a NULL
+        # predicate would silently exclude them from a sampled run)
+        cut = (
+            F.coalesce(knuth_u32(key_col), F.lit(0)) * F.lit(int(sample_den))
+            < F.lit(int(sample_num)) * F.lit(HASH_MOD)
+        )
         src = src.filter(cut)
         dst = dst.filter(cut)
     bad = diverged_buckets(src, dst, key_col, sig, n_buckets).select("bucket")
     sj = (
-        src.select(F.col(key_col), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("src_sig"))
+        src.select(F.col(key_col).alias("_src_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("src_sig"))
         .join(F.broadcast(bad), F.col("_b") == F.col("bucket"), "left_semi")
     )
     dj = (
-        dst.select(F.col(key_col), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("dst_sig"))
+        dst.select(F.col(key_col).alias("_dst_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("dst_sig"))
         .join(F.broadcast(bad), F.col("_b") == F.col("bucket"), "left_semi")
     )
-    full = sj.drop("_b").join(dj.drop("_b"), key_col, "full_outer")
+    # null-safe key equality: plain `==` is null-rejecting, so a NULL-key
+    # row surviving phase 2 (bucket -1 diverged) would show up as BOTH
+    # missing_in_dst and missing_in_src even when only its payload changed.
+    # eqNullSafe pairs the NULL-key rows; with several NULL-key rows per
+    # side they compare as one group (cross-paired) — divergence is still
+    # reported, just at group granularity, which the docstring states.
+    full = sj.drop("_b").join(
+        dj.drop("_b"), F.col("_src_key").eqNullSafe(F.col("_dst_key")), "full_outer"
+    )
     status = (
         F.when(F.col("dst_sig").isNull(), F.lit("missing_in_dst"))
         .when(F.col("src_sig").isNull(), F.lit("missing_in_src"))
@@ -204,5 +232,5 @@ def verify_sync(
     return (
         full.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(key_col, "status")
+        .select(F.coalesce(F.col("_src_key"), F.col("_dst_key")).alias(key_col), "status")
     )

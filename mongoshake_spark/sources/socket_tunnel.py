@@ -300,7 +300,10 @@ class TunnelServer:
                 return REPLY_CHECKSUM_INVALID
             try:
                 logs = [_decompress_one(log, msg["compress"]) for log in msg["logs"]]
-            except (DecompressError, zlib.error, gzip.BadGzipFile):
+            except (DecompressError, zlib.error, gzip.BadGzipFile, EOFError):
+                # EOFError: gzip.decompress raises it (not BadGzipFile) on a
+                # TRUNCATED stream — without this clause it would kill the
+                # handler thread with no reply and leave the sender hanging
                 self.retransmit = True
                 return REPLY_DECOMPRESS_INVALID
             except ValueError:

@@ -156,3 +156,18 @@ def test_cli_verify_sample_mode(spark, sf_dir, tmp_path, capsys):
                  "--target-dir", target, "--verify-sample", "1/2"]) == 1
     sampled = {d["key"] for d in json.loads(capsys.readouterr().out)["diffs"]}
     assert sampled and sampled < full
+
+
+def test_cli_verify_sample_malformed_inputs_exit_2(sf_dir, tmp_path, capsys):
+    """ADVICE round-4: 'a/b' must exit 2 with a conf-error message (not a
+    ValueError traceback); '0/100' (verifies nothing, reports in_sync) and
+    '1/0' (silently verifies everything) must be rejected the same way."""
+    # leading-dash forms like '-1/2' are rejected by argparse itself
+    # (SystemExit 2 with a usage message) before main's validation runs
+    for bad in ("a/b", "0/100", "1/0", "1/2/3", "", "1//2", "0"):
+        rc = main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                   "--target-dir", str(tmp_path / "t"),
+                   "--verify-sample", bad])
+        err = capsys.readouterr().err
+        assert rc == 2, bad
+        assert "verify-sample" in err, bad

@@ -240,3 +240,18 @@ def test_index_sync_spec_emission(spark, sf_dir, tmp_path):
     # field order of the key doc is preserved (BSON ordering contract)
     assert list(emitted[1]["indexes"][0]["key"]) == ["o_orderdate", "_id"]
     _ = emit_index_specs  # imported for API surface
+
+
+def test_full_sync_markers_work_on_hadoop_uris(spark, sf_dir, tmp_path):
+    """ADVICE round-4: markers used to be written with local open()
+    against target_root — writer.parquet accepts any Hadoop URI, so a
+    sync to an hdfs://s3a:// target crashed right after the first
+    table's commit. A 'file:' URI exercises the same non-local-path code
+    path (os.path.isfile/open both fail on it) through the Hadoop FS
+    API: sync, resume, and the marker files must all work."""
+    root = "file:" + str(tmp_path / "snap")
+    tables = ("region", "nation")
+    first = full_sync(spark, sf_dir, root, tables=tables)
+    assert (tmp_path / "snap" / "region" / "_sync_report.json").is_file()
+    second = full_sync(spark, sf_dir, root, tables=tables, resume=True)
+    assert second.tables == first.tables

@@ -307,3 +307,28 @@ def test_snappy_absurd_length_claim_rejected_without_allocation(server):
         assert struct.unpack(">q", reply)[0] == st.REPLY_DECOMPRESS_INVALID
     finally:
         sock.close()
+
+
+def test_truncated_gzip_is_decompress_invalid_not_a_dead_thread(server):
+    """ADVICE round-4: gzip.decompress of a TRUNCATED stream raises
+    EOFError (not BadGzipFile); it must map to ReplyDecompressInvalid
+    like every other undecodable payload — before the fix it killed the
+    handler thread with no reply and the sender hung forever."""
+    import gzip
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    wire_log = gzip.compress(b"payload-that-will-be-cut")[:-4]
+    body = struct.pack(
+        ">IIIII", st.crc32_xor([wire_log]), st.MSG_NORMAL, 0, st.COMPRESS_GZIP, 1
+    ) + struct.pack(">I", len(wire_log)) + wire_log
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    sock.settimeout(5)  # a dead handler thread -> timeout, not a hang
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, body))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == st.REPLY_DECOMPRESS_INVALID
+        assert server.retransmit is True
+    finally:
+        sock.close()

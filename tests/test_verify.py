@@ -134,3 +134,50 @@ def test_null_column_slide_is_detected(spark):
         for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=4).collect()
     }
     assert got == {(1, "differs")}
+
+
+def test_null_key_divergence_is_reported(spark):
+    """ADVICE round-4 (medium): knuth_u32(NULL) used to yield a NULL
+    bucket, and both the summary join and the phase-2 semi-join are
+    null-rejecting — a dst-side mutation or deletion of a NULL-key row
+    reported in_sync. NULL keys now hash to the reserved bucket -1 and
+    phase 2 pairs them null-safely: the verifier must REPORT."""
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame(
+        [(None, "null-row", "SEG"), (2, "x", "y")], schema
+    )
+    # payload mutation of the NULL-key row
+    dst = spark.createDataFrame(
+        [(None, "MUTATED", "SEG"), (2, "x", "y")], schema
+    )
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(src, dst, "c_custkey", SIG, n_buckets=4).collect()
+    }
+    assert got == {(None, "differs")}
+    # deletion of the NULL-key row
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(
+            src, dst.filter(F.col("c_custkey").isNotNull()), "c_custkey", SIG, n_buckets=4
+        ).collect()
+    }
+    assert got == {(None, "missing_in_dst")}
+    # and when the NULL-key rows agree, no false positives
+    assert verify_sync(src, src, "c_custkey", SIG, n_buckets=4).count() == 0
+
+
+def test_null_key_verified_in_sample_mode(spark):
+    """The sample cut coalesces the NULL-key hash to 0, so NULL keys are
+    always inside any NUM>=1 sample — a sampled run must still see a
+    NULL-key mutation."""
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame([(None, "a", "s"), (7, "x", "y")], schema)
+    dst = spark.createDataFrame([(None, "B", "s"), (7, "x", "y")], schema)
+    got = {
+        (r["c_custkey"], r["status"])
+        for r in verify_sync(
+            src, dst, "c_custkey", SIG, n_buckets=4, sample_num=1, sample_den=1000
+        ).collect()
+    }
+    assert got == {(None, "differs")}
