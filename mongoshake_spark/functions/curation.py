@@ -479,3 +479,157 @@ def lm_score(
             ),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    between a curated corpus and sequence packing: every document is cut
+    into windows of ``chunk_tokens`` tokens advancing by ``stride``
+    (``chunk_tokens - stride`` tokens of overlap carry context across
+    window boundaries, the standard LM pretraining layout).
+
+    Returns ``(id, chunk_id, chunk_start, chunk_len, chunk_text)`` —
+    ``chunk_start`` is the 0-based token offset, so spans can be mapped
+    back to the source document without re-tokenizing.
+
+    Scale shape: map-ONLY — split, a ``sequence`` explode, and an array
+    slice are all per-row JVM expressions inside one projection; there is
+    no shuffle, no state, and the operator pipelines with whatever scan
+    feeds it. A document shorter than one window yields exactly one
+    (short) chunk; the final window is truncated, never padded (padding
+    is the packer's job, functions/packing.pack_sequences).
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # extra windows beyond the first: ceil((n - chunk) / stride), int form
+    extra = F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)),
+    ).cast("int")
+    start = (F.col("chunk_id") * stride).cast("int")
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), extra)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - start).alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def temperature_rebalance(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based language/domain rebalancing (the multilingual
+    sampling rule of XLM/mBERT-style pipelines): target share q_l ∝
+    p_l^alpha flattens the corpus distribution toward uniform as alpha
+    falls from 1 to 0. Realized as deterministic SUBSAMPLING — the
+    per-stratum keep fraction has the closed form
+
+        keep_frac_l = (n_min / n_l) ^ (1 - alpha)
+
+    (q_l/p_l ∝ n_l^(alpha-1), normalized so the rarest stratum keeps
+    100%; alpha=1 keeps everything, alpha=0 equalizes counts). The keep
+    decision is the same portable hash cut as ``sample_strata`` —
+    engine-reproducible, no RNG, and lowering alpha keeps a strict
+    SUBSET of any higher alpha's rows.
+
+    Returns the input rows that survive, plus the ``keep_frac`` applied
+    to each row's stratum.
+
+    Scale shape: one tiny per-stratum count aggregate (map-side partial
+    combine; #strata rows), a scalar min over it folded in a second tiny
+    aggregate, one broadcast join of the #strata-row rate table onto the
+    corpus, and a filter — the corpus itself is never shuffled.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        stratum_col,
+        F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - alpha)).alias("keep_frac"),
+    )
+    u = knuth_u32(id_col) / F.lit(float(HASH_MOD))
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("keep_frac"))
+    )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 32768,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary encoding: assign ids 0..vocab_size-1
+    to the corpus's most frequent tokens (rank by count descending, ties
+    by token ascending — a total, engine-reproducible order) and rewrite
+    every document as its token-id sequence; out-of-vocabulary tokens map
+    to ``unk_id`` (default ``vocab_size``). The integer layout a trainer
+    consumes, and the exact-arithmetic stand-in for a learned tokenizer
+    (the id-assignment/encode plumbing is identical; only the merge rules
+    differ).
+
+    Returns ``(id, ids array<int>)``.
+
+    Scale shape: the token-count aggregate is the one corpus-wide shuffle
+    (map-side partial combine on the token key). The vocabulary itself is
+    produced by a distributed top-K (per-partition sort + limit merge),
+    and the final rank window runs over AT MOST ``vocab_size`` rows — a
+    bounded constant independent of corpus size, so the single-partition
+    window is not a scale hazard (documented deliberately; this is the
+    same bounded-K argument as any driver-side top-K). Encoding joins the
+    vocabulary BROADCAST against the exploded tokens and re-aggregates
+    per document with an in-row sort — one further shuffle on the doc id.
+    """
+    unk = vocab_size if unk_id is None else unk_id
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    # distributed top-K; the row_number window then ranks <= vocab_size
+    # rows (bounded by the constant K, never by corpus size)
+    top = counts.orderBy(F.desc("_cnt"), F.asc("tok")).limit(int(vocab_size))
+    # partitionBy(lit(0)) — the boundedness argument is the limit(K)
+    # above, not the partitioning; the constant key merely states the
+    # single partition is intentional (and keeps the WindowExec
+    # pathological-window warning out of every log that runs this)
+    vocab = top.withColumn(
+        "tok_id",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.desc("_cnt"), F.asc("tok"))
+        )
+        - 1,
+    ).select("tok", "tok_id")
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col, "pos", F.coalesce(F.col("tok_id"), F.lit(int(unk))).alias("tok_id")
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+            lambda s: s["tok_id"],
+        ).alias("ids")
+    )

@@ -2563,6 +2563,93 @@ def verify_sync_diff_q(spark, sf_dir):
     )
 
 
+@_q(
+    "chunk_overlap",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+n AS (SELECT doc_id, arr, len(arr) AS n FROM s),
+c AS (SELECT doc_id, arr, n,
+        CAST(unnest(range(0, 1 + CAST(greatest(0, floor((n - 64 + 47) / 48.0)) AS BIGINT))) AS INT) AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id, chunk_id * 48 AS chunk_start,
+       least(64, n - chunk_id * 48) AS chunk_len,
+       array_to_string(arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""",
+    "Overlapping token-window chunking (context-window prep): 64-token "
+    "windows advancing by 48 — 16 tokens of cross-window overlap. "
+    "Map-ONLY: split + sequence explode + array slice in one projection, "
+    "no shuffle at any corpus size (functions/curation.chunk_documents).",
+)
+def chunk_overlap_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@_q(
+    "lang_rebalance",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+k AS (SELECT lang, n,
+        power((SELECT min(n) FROM c) / (n * 1.0), 0.5) AS keep_frac
+      FROM c)
+SELECT d.lang, count(*) AS kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+       round(any_value(k.keep_frac), 6) AS keep_frac
+FROM documents d JOIN k ON d.lang = k.lang
+WHERE (CAST(d.doc_id * 2654435761 AS BIGINT) % 4294967296) / 4294967296.0
+      < k.keep_frac
+GROUP BY d.lang ORDER BY d.lang""",
+    "Temperature rebalancing (XLM-style multilingual sampling, "
+    "alpha=0.5): keep_frac_l = (n_min/n_l)^(1-alpha) — the rarest "
+    "language keeps 100%, dominant ones subsample toward uniform; the "
+    "keep cut is the portable Knuth hash, so the oracle replays it "
+    "exactly. Two #strata-row aggregates + one broadcast join; the "
+    "corpus is never shuffled (functions/curation.temperature_rebalance).",
+)
+def lang_rebalance_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import temperature_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_rebalance(docs, alpha=0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(F.first("keep_frac"), 6).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "vocab_encode",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS tok,
+                generate_subscripts(arr, 1) - 1 AS pos FROM s),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+vocab AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS tok_id
+          FROM counts ORDER BY cnt DESC, tok LIMIT 32),
+enc AS (SELECT t.doc_id, t.pos, coalesce(v.tok_id, 32) AS tok_id
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+SELECT doc_id, list(tok_id ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    "Frequency-ranked vocabulary encoding (vocab_size=32, so the fixture "
+    "exercises the OOV->unk path): ids by (count desc, token asc) — a "
+    "total engine-reproducible order — then every document rewritten as "
+    "its token-id sequence. One corpus shuffle for the count aggregate; "
+    "the rank window covers at most vocab_size rows (bounded constant), "
+    "and the encode join broadcasts the vocabulary "
+    "(functions/curation.vocab_encode).",
+)
+def vocab_encode_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import vocab_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_encode(docs, vocab_size=32).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2576,6 +2663,8 @@ def verify_sync_diff_q(spark, sf_dir):
 #: is self-checked with the identical contract every round via
 #: scripts/selfcheck.py (committed as CORRECTNESS_SELF_r{N}.json).
 _DRIVER_CHECK_PRIORITY = [
+    # round-5 additions — never driver-checked
+    "chunk_overlap", "lang_rebalance", "vocab_encode",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

@@ -289,3 +289,67 @@ def test_sample_strata_works_beyond_32bit_ids(spark):
     )
     kept = sample_strata(docs, {"en": 0.5}).count()
     assert 0 <= kept <= 20  # must not throw; subset property holds
+
+
+def test_chunk_documents_hand_example(spark):
+    from mongoshake_spark.functions.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["chunk_len"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    }
+    assert rows == {
+        (1, 0): (0, 4, "a b c d"),
+        (1, 1): (2, 4, "c d e f"),
+        (1, 2): (4, 3, "e f g"),
+        (2, 0): (0, 2, "x y"),
+        # split('') yields [''] — one empty-token chunk, same as the oracle
+        (3, 0): (0, 1, ""),
+    }
+    # overlap contract: consecutive windows share chunk_tokens - stride tokens
+    assert rows[(1, 1)][2].split()[:2] == rows[(1, 0)][2].split()[2:]
+
+
+def test_chunk_documents_exact_multiple_has_no_empty_tail(spark):
+    from mongoshake_spark.functions.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    got = chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    assert len(got) == 1 and got[0]["chunk_text"] == "a b c d"
+
+
+def test_temperature_rebalance_closed_form(spark):
+    """keep_frac = (n_min/n_l)^(1-alpha): alpha=1 keeps everything; alpha=0
+    targets equal counts; and a lower alpha keeps a SUBSET of a higher
+    alpha's rows (hash cut, thresholds only move)."""
+    from mongoshake_spark.functions.curation import temperature_rebalance
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    all_kept = temperature_rebalance(docs, alpha=1.0).collect()
+    assert len(all_kept) == 500 and all(r["keep_frac"] == 1.0 for r in all_kept)
+
+    half = temperature_rebalance(docs, alpha=0.5)
+    fracs = {r["lang"]: r["keep_frac"] for r in half.select("lang", "keep_frac").distinct().collect()}
+    assert fracs["small"] == 1.0
+    assert abs(fracs["big"] - 0.5) < 1e-12  # (100/400)^0.5
+
+    flat = temperature_rebalance(docs, alpha=0.0)
+    keys_flat = {r["doc_id"] for r in flat.collect()}
+    keys_half = {r["doc_id"] for r in half.collect()}
+    assert keys_flat <= keys_half  # subset monotonicity in alpha
+
+
+def test_vocab_encode_rank_and_unk(spark):
+    from mongoshake_spark.functions.curation import vocab_encode
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a z")], "doc_id bigint, text string"
+    )
+    # counts: b=3, a=3, c=1, z=1 -> rank by (cnt desc, tok asc): a=0, b=1, c=2
+    got = {r["doc_id"]: r["ids"] for r in vocab_encode(docs, vocab_size=3).collect()}
+    assert got == {1: [1, 0, 1, 2, 1, 0], 2: [0, 3]}  # z is OOV -> unk=3

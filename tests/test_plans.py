@@ -359,3 +359,54 @@ def test_minhash_estimate_no_corpus_broadcast_hint(spark, sf_dir):
     # Generate would mean the components were exploded into rows.
     n_gen = len(re.findall(r"\(\d+\) Generate", plan))
     assert n_gen == 2, f"expected 2 Generates (band join sides), got {n_gen}"
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Overlapping chunking must be a pure projection chain: split +
+    sequence explode + slice, ZERO exchanges — it pipelines with the
+    scan at any corpus size."""
+    import re
+
+    from mongoshake_spark.functions.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_documents(docs))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    # reads only the two needed columns
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_temperature_rebalance_never_shuffles_corpus(spark, sf_dir):
+    """The rate table joins BROADCAST onto the corpus; the only plain
+    exchanges carry #strata-row aggregate output (the per-stratum count,
+    its global min, and their join), never corpus rows."""
+    import re
+
+    from mongoshake_spark.functions.curation import temperature_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(temperature_rebalance(docs))
+    assert re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+    # corpus-side probe of the rate join is broadcast, so the doc rows
+    # reach the filter without any repartitioning: every plain Exchange
+    # sits under an aggregate subtree (partial HashAggregate feeds it)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_partial_aggs = len(re.findall(r"partial_(count|min)", plan))
+    assert n_exchanges <= 3 and n_partial_aggs >= 2, plan[:500]
+
+
+def test_vocab_encode_two_corpus_shuffles_and_broadcast_vocab(spark, sf_dir):
+    """vocab_encode's corpus-wide cost: exactly TWO plain exchanges (the
+    token-count aggregate and the per-doc re-aggregation); the vocabulary
+    itself is a distributed top-K (TakeOrderedAndProject) broadcast into
+    the encode join; the rank window is partitioned (no pathological
+    single-partition-window warning) and bounded by the top-K limit."""
+    import re
+
+    from mongoshake_spark.functions.curation import vocab_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(vocab_encode(docs, vocab_size=32))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
