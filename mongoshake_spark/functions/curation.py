@@ -598,34 +598,43 @@ def vocab_encode(
     Scale shape: the token-count aggregate is the one corpus-wide shuffle
     (map-side partial combine on the token key). The vocabulary itself is
     produced by a distributed top-K (per-partition sort + limit merge),
-    and the final rank window runs over AT MOST ``vocab_size`` rows — a
-    bounded constant independent of corpus size, so the single-partition
-    window is not a scale hazard (documented deliberately; this is the
-    same bounded-K argument as any driver-side top-K). Encoding joins the
-    vocabulary BROADCAST against the exploded tokens and re-aggregates
-    per document with an in-row sort — one further shuffle on the doc id.
+    then RANKED IN-ROW: the <= vocab_size survivors collapse into one
+    array, ``array_sort`` by (count desc, token asc) orders it, and a
+    ``map_from_arrays`` against ``sequence(0, K-1)`` assigns ids — no
+    window operator anywhere, so no global-window funnel even as a
+    degenerate bounded case. The one-row token->id map is broadcast and
+    each token resolves via ``element_at`` (OOV -> ``unk``); the per-doc
+    re-aggregation with an in-row sort is the second and last shuffle.
     """
     unk = vocab_size if unk_id is None else unk_id
     toks = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
-    # distributed top-K; the row_number window then ranks <= vocab_size
-    # rows (bounded by the constant K, never by corpus size)
+    # distributed top-K (TakeOrderedAndProject), bounded by the constant K
     top = counts.orderBy(F.desc("_cnt"), F.asc("tok")).limit(int(vocab_size))
-    # partitionBy(lit(0)) — the boundedness argument is the limit(K)
-    # above, not the partitioning; the constant key merely states the
-    # single partition is intentional (and keeps the WindowExec
-    # pathological-window warning out of every log that runs this)
-    vocab = top.withColumn(
-        "tok_id",
-        F.row_number().over(
-            Window.partitionBy(F.lit(0)).orderBy(F.desc("_cnt"), F.asc("tok"))
+    # (-count, token) sorts ascending == (count desc, token asc)
+    order_struct = F.struct((-F.col("_cnt")).alias("_neg"), F.col("tok").alias("tok"))
+    vocab_row = (
+        top.agg(F.array_sort(F.collect_list(order_struct)).alias("_arr"))
+        .select(
+            F.when(
+                F.size("_arr") > 0,
+                F.map_from_arrays(
+                    F.transform(F.col("_arr"), lambda s: s["tok"]),
+                    F.sequence(F.lit(0), F.size("_arr") - 1),
+                ),
+            )
+            .otherwise(F.map_from_arrays(F.array(), F.array()))
+            .alias("_vocab")
         )
-        - 1,
-    ).select("tok", "tok_id")
-    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
-        id_col, "pos", F.coalesce(F.col("tok_id"), F.lit(int(unk))).alias("tok_id")
+    )
+    enc = toks.crossJoin(F.broadcast(vocab_row)).select(
+        id_col,
+        "pos",
+        F.coalesce(
+            F.element_at(F.col("_vocab"), F.col("tok")), F.lit(int(unk))
+        ).alias("tok_id"),
     )
     return enc.groupBy(id_col).agg(
         F.transform(

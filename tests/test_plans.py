@@ -398,9 +398,9 @@ def test_temperature_rebalance_never_shuffles_corpus(spark, sf_dir):
 def test_vocab_encode_two_corpus_shuffles_and_broadcast_vocab(spark, sf_dir):
     """vocab_encode's corpus-wide cost: exactly TWO plain exchanges (the
     token-count aggregate and the per-doc re-aggregation); the vocabulary
-    itself is a distributed top-K (TakeOrderedAndProject) broadcast into
-    the encode join; the rank window is partitioned (no pathological
-    single-partition-window warning) and bounded by the top-K limit."""
+    itself is a distributed top-K (TakeOrderedAndProject) ranked IN-ROW
+    (array_sort + map_from_arrays — NO window operator, not even a
+    bounded one) and broadcast into the encode lookup."""
     import re
 
     from mongoshake_spark.functions.curation import vocab_encode
@@ -410,3 +410,4 @@ def test_vocab_encode_two_corpus_shuffles_and_broadcast_vocab(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+    assert "Window" not in plan
