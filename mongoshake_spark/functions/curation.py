@@ -642,3 +642,66 @@ def vocab_encode(
             lambda s: s["tok_id"],
         ).alias("ids")
     )
+
+
+def sample_exact_k(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-``k``-per-stratum deterministic uniform sample. Rate-based
+    sampling (``sample_strata``) yields a BINOMIAL count per stratum;
+    mixture designs that promise "k docs per language" need the exact
+    count. Rows rank within their stratum by the portable hash (ties are
+    impossible: the id breaks hash collisions) and the top ``k`` survive
+    — engine-reproducible, no RNG, and k' < k keeps a strict subset of
+    k's rows (ranks only truncate).
+
+    Scale shape: REUSES ``cap_per_domain``'s skew-safe two-phase top-K
+    with the hash as the quality order — a hot stratum spreads over the
+    scan's partitions in phase 1, so no single task ever sorts a whole
+    stratum.
+    """
+    hashed = docs.withColumn("_neg_u", -knuth_u32(id_col, seed))
+    return cap_per_domain(
+        hashed, k, domain_col=stratum_col, order_col="_neg_u", id_col=id_col
+    ).drop("_neg_u")
+
+
+def quality_deciles(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-exact quality binning: bucket d holds rows whose global rank r
+    (by ``score_col`` DESC, ties by id) satisfies ``floor(r*n/N) == d`` —
+    bucket 0 is the best ~N/n rows, the cut a "keep the top 30%" quality
+    gate consumes. Exact integer arithmetic end to end: no float
+    percentile estimation, so the oracle's ``row_number``-based replay
+    matches row for row.
+
+    Scale shape: the global rank REUSES the distributed prefix sum
+    (``assign_row_ids``: one range exchange, per-partition windows,
+    broadcast offsets — no single-partition window); the row count N
+    joins as a broadcast scalar. The oracle's own single-partition
+    ``row_number`` window is exactly the plan this avoids.
+    """
+    ranked = assign_row_ids(
+        docs.withColumn("_neg_score", -F.col(score_col)),
+        ["_neg_score", id_col],
+        out_col="_rank",
+    ).drop("_neg_score")
+    total = docs.agg(F.count("*").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            ((F.col("_rank") * n_buckets) / F.col("_total"))
+            .cast("bigint")
+            .cast("int"),
+        )
+        .drop("_rank", "_total")
+    )

@@ -2650,6 +2650,49 @@ def vocab_encode_q(spark, sf_dir):
     return vocab_encode(docs, vocab_size=32).orderBy("doc_id")
 
 
+@_q(
+    "sample_exact_k",
+    """WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296), doc_id
+         ) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rk <= 30 ORDER BY doc_id""",
+    "Exactly-k-per-stratum sampling (k=30 per language): rate-based "
+    "sampling gives binomial counts, mixture designs that promise k docs "
+    "per language need the exact count. Rank-by-portable-hash, top-k per "
+    "stratum, via cap_per_domain's skew-safe two-phase top-K "
+    "(functions/curation.sample_exact_k).",
+)
+def sample_exact_k_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import sample_exact_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_exact_k(docs, k=30).select("doc_id", "lang").orderBy("doc_id")
+
+
+@_q(
+    "quality_deciles",
+    """SELECT doc_id, n_chars,
+       CAST(((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) * 10)
+            // (SELECT count(*) FROM documents) AS INT) AS decile
+FROM documents ORDER BY doc_id""",
+    "Rank-exact quality binning: decile d = floor(rank*10/N) over "
+    "(n_chars desc, id) — the 'keep the top 30%' quality gate, exact "
+    "integer arithmetic. The global rank reuses the distributed prefix "
+    "sum (no single-partition window); the oracle's own row_number "
+    "window is exactly the plan the operator avoids "
+    "(functions/curation.quality_deciles).",
+)
+def quality_deciles_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import quality_deciles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quality_deciles(docs, score_col="n_chars").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2665,6 +2708,7 @@ def vocab_encode_q(spark, sf_dir):
 _DRIVER_CHECK_PRIORITY = [
     # round-5 additions — never driver-checked
     "chunk_overlap", "lang_rebalance", "vocab_encode",
+    "sample_exact_k", "quality_deciles",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

@@ -353,3 +353,36 @@ def test_vocab_encode_rank_and_unk(spark):
     # counts: b=3, a=3, c=1, z=1 -> rank by (cnt desc, tok asc): a=0, b=1, c=2
     got = {r["doc_id"]: r["ids"] for r in vocab_encode(docs, vocab_size=3).collect()}
     assert got == {1: [1, 0, 1, 2, 1, 0], 2: [0, 3]}  # z is OOV -> unk=3
+
+
+def test_sample_exact_k_count_and_subset_monotonicity(spark):
+    from mongoshake_spark.functions.curation import sample_exact_k
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    k10 = sample_exact_k(docs, 10)
+    per = {r["lang"]: r["n"] for r in k10.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 10, "b": 10}
+    # smaller k keeps a strict subset (ranks only truncate)
+    ids5 = {r["doc_id"] for r in sample_exact_k(docs, 5).collect()}
+    ids10 = {r["doc_id"] for r in k10.collect()}
+    assert ids5 < ids10
+    # k above the stratum size keeps the whole stratum, no padding
+    assert sample_exact_k(docs, 500).count() == 200
+    # input columns are preserved (no helper columns leak)
+    assert set(k10.columns) == {"doc_id", "lang"}
+
+
+def test_quality_deciles_rank_exact(spark):
+    from mongoshake_spark.functions.curation import quality_deciles
+
+    # scores with heavy ties: deciles must follow (score desc, id asc) rank
+    rows = [(i, 100 - (i // 10)) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+    got = {r["doc_id"]: r["decile"] for r in quality_deciles(docs, "score").collect()}
+    # rank of doc i is exactly i (scores descend with i, ties broken by id)
+    assert got == {i: i // 10 for i in range(100)}
+    # bucket populations are exactly N/n
+    from collections import Counter
+
+    assert set(Counter(got.values()).values()) == {10}
