@@ -491,3 +491,61 @@ def semantic_neardup(
     return assigned.groupBy("cell").applyInPandas(
         block, schema="doc_a bigint, doc_b bigint, cell bigint, cos_sim double"
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic train/test decontamination: flag every corpus vector whose
+    cosine against ANY held-out eval vector reaches ``num/den`` — the
+    embedding-space complement of the n-gram overlap check
+    (functions/curation.decontaminate): paraphrased eval material shares
+    no 5-gram but still sits next to the eval set in embedding space.
+
+    Returns one row per CORPUS vector — ``(id, n_hits, contaminated)``
+    with ``n_hits`` the count of eval vectors above threshold (zero-hit
+    rows included, so a keep-set built as ``filter(~contaminated)``
+    cannot silently lose rows).
+
+    Scale shape: the eval side is benchmark-sized by contract, so it
+    BROADCASTS (with pre-materialized norms) and the corpus side is never
+    shuffled at corpus width — the pair stage is a map-side broadcast
+    nested-loop, the hit filter runs before any aggregation, and only HIT
+    pairs (naturally rare at a meaningful threshold) reach the per-id
+    count; the final totals⋈hits join broadcasts the tiny hit side under
+    AQE. The threshold compares in the integer-scaled form
+    ``dot*den >= num*|a|*|b|`` with a sequential JVM fold for the dot —
+    bit-identical to the oracle's ``list_reduce``, so the boundary is
+    exact, not BLAS-approximate. For an eval side too large to broadcast,
+    use ``neardup_pairs``'s tile machinery instead.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("vnorm")
+    )
+    e = with_norm(eval_vecs, vec_col).select(
+        F.col(vec_col).alias("_evec"), F.col("vnorm").alias("_enorm")
+    )
+    dot = F.expr(dot_expr(vec_col, "_evec"))
+    hit = dot * F.lit(int(threshold_den)) >= (
+        F.lit(int(threshold_num)) * F.col("vnorm") * F.col("_enorm")
+    )
+    hits = (
+        c.crossJoin(F.broadcast(e))
+        .filter(hit)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        c.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

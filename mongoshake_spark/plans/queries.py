@@ -2693,6 +2693,42 @@ def quality_deciles_q(spark, sf_dir):
     return quality_deciles(docs, score_col="n_chars").orderBy("doc_id")
 
 
+_SEMDECON_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+c AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+ev AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+hits AS (
+  SELECT c.vec_id, count(*) AS n_hits
+  FROM c JOIN ev
+    ON {_dd_dot('c.embedding', 'ev.embedding')} * 20 >= 9 * (c.vnorm * ev.vnorm)
+  GROUP BY c.vec_id)
+SELECT c.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id
+ORDER BY c.vec_id"""
+
+
+@_q(
+    "decontaminate_semantic",
+    _SEMDECON_ORACLE,
+    "Semantic decontamination: corpus vectors within cosine 0.45 of ANY "
+    "eval vector (vec_id % 5 = 0 is the held-out split) — the "
+    "embedding-space complement of n-gram decontamination for paraphrased "
+    "eval material. Eval side broadcast with pre-materialized norms, "
+    "corpus never shuffled; the dot is a sequential JVM fold, "
+    "bit-identical to the oracle's list_reduce "
+    "(functions/similarity.semantic_decontaminate).",
+)
+def decontaminate_semantic_q(spark, sf_dir):
+    from mongoshake_spark.functions.similarity import semantic_decontaminate
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    corpus = vecs.filter(F.col("vec_id") % 5 != 0)
+    eval_vecs = vecs.filter(F.col("vec_id") % 5 == 0)
+    return semantic_decontaminate(corpus, eval_vecs, 9, 20).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2708,7 +2744,7 @@ def quality_deciles_q(spark, sf_dir):
 _DRIVER_CHECK_PRIORITY = [
     # round-5 additions — never driver-checked
     "chunk_overlap", "lang_rebalance", "vocab_encode",
-    "sample_exact_k", "quality_deciles",
+    "sample_exact_k", "quality_deciles", "decontaminate_semantic",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

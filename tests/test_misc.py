@@ -115,3 +115,15 @@ def test_plan_audit_detector(spark):
     assert window_flags(topk_plan) == []
     bad_topk = bad.filter(F.col("rn") <= 3)
     assert "global-ordered-window" in window_flags(plan_of(bad_topk))
+
+
+def test_semantic_decontaminate_includes_zero_hit_rows(spark):
+    from mongoshake_spark.functions.similarity import semantic_decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    corpus = mk([(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])])
+    ev = mk([(100, [1.0, 0.0])])
+    got = {r["vec_id"]: (r["n_hits"], r["contaminated"])
+           for r in semantic_decontaminate(corpus, ev, 9, 10).collect()}
+    # cos(1,ev)=1 -> hit; cos(2,ev)=0 and cos(3,ev)=-1 -> clean but PRESENT
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False)}

@@ -411,3 +411,27 @@ def test_vocab_encode_two_corpus_shuffles_and_broadcast_vocab(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_eval_never_shuffles_corpus(spark, sf_dir):
+    """The eval side must broadcast (pair stage is a map-side broadcast
+    nested-loop with the hit filter applied BEFORE any aggregation); the
+    only plain exchange carries per-id hit counts — hit pairs, never the
+    corpus itself."""
+    import re
+
+    from mongoshake_spark.functions.similarity import semantic_decontaminate
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    corpus = vecs.filter(F.col("vec_id") % 5 != 0)
+    ev = vecs.filter(F.col("vec_id") % 5 == 0)
+    plan = _plan(semantic_decontaminate(corpus, ev, 9, 20))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exchanges: the hit-count aggregate (+ its join side at most) — no
+    # HASH exchange may carry the embedding column (corpus rows stay in
+    # place; the RoundRobin form is with_norm's guarded scan fan-out,
+    # narrow document-sized rows that disappear at real scan widths)
+    for seg in re.findall(r"\(\d+\) Exchange\n(?:.*\n){1,3}", plan):
+        if "RoundRobinPartitioning" in seg:
+            continue
+        assert "embedding" not in seg, seg
