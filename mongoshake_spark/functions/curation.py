@@ -507,6 +507,12 @@ def chunk_documents(
     """
     if stride < 1 or chunk_tokens < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
+    if stride > chunk_tokens:
+        # stride > window is GAP SAMPLING, not overlap chunking — and the
+        # chunk-count formula would emit an empty phantom tail whenever
+        # the last stride lands past the final token (found by the
+        # reconstruction property test)
+        raise ValueError("stride must be <= chunk_tokens (overlap >= 0)")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     # extra windows beyond the first: ceil((n - chunk) / stride), int form

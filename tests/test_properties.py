@@ -368,3 +368,125 @@ def test_verify_sync_matches_set_model(spark, src_rows, mutations):
         for r in verify_sync(src, dst, "k", ["payload"], n_buckets=4).collect()
     }
     assert got == want
+
+
+# -- round-5 curation operator laws ------------------------------------------
+
+KNUTH = 2654435761
+U32 = 1 << 32
+
+
+def _u32(i: int) -> int:
+    return (i * KNUTH) % U32
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=24), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_chunk_documents_reconstruction_law(spark, lens, chunk, stride):
+    if stride > chunk:  # rejected by the operator (gap sampling, not overlap)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            from mongoshake_spark.functions.curation import chunk_documents as _cd
+
+            _cd(spark.range(0), chunk_tokens=chunk, stride=stride)
+        return
+    """(a) chunk count == 1 + max(0, ceil((n-c)/s)); (b) taking each
+    chunk's first `stride` tokens plus the last chunk whole reconstructs
+    the document exactly; (c) offsets advance by stride."""
+    import math
+
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lens)]
+    from mongoshake_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        )
+    for i, text in docs:
+        toks = text.split(" ")  # '' -> [''], the documented degenerate
+        n = len(toks)
+        chunks = sorted(out[i])
+        assert len(chunks) == 1 + max(0, math.ceil((n - chunk) / stride))
+        rebuilt = []
+        for cid, start, ctext in chunks[:-1]:
+            assert start == cid * stride
+            rebuilt += ctext.split(" ")[:stride]
+        rebuilt += chunks[-1][2].split(" ") if chunks[-1][2] else [""]
+        # the last chunk may re-cover tokens earlier stride-prefixes
+        # already emitted (overlap), so compare against the true suffix
+        last_start = chunks[-1][1]
+        assert rebuilt[: len(rebuilt) - (n - last_start)] + toks[last_start:] == (
+            rebuilt[: len(rebuilt) - (n - last_start)] + rebuilt[len(rebuilt) - (n - last_start):]
+        )
+        assert rebuilt[len(rebuilt) - (n - last_start):] == toks[last_start:]
+        # stride prefixes cover [0, last_start)
+        assert rebuilt[: last_start] == toks[:last_start]
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_vocab_encode_matches_serial_model(spark, stream, k):
+    """ids match the serial model: rank by (count desc, token asc), top-k
+    in vocab, everything else unk=k; sequence length preserved."""
+    from collections import Counter
+
+    from mongoshake_spark.functions.curation import vocab_encode
+
+    # two docs cut from the random token stream
+    cut = len(stream) // 2 or 1
+    docs = [(0, " ".join(stream[:cut])), (1, " ".join(stream[cut:]) or "x")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    toks_by_doc = {i: t.split(" ") for i, t in docs}
+    counts = Counter(t for ts in toks_by_doc.values() for t in ts)
+    vocab = {t: r for r, (t, _) in enumerate(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k])}
+    got = {r["doc_id"]: r["ids"] for r in vocab_encode(df, vocab_size=k).collect()}
+    for i, ts in toks_by_doc.items():
+        assert got[i] == [vocab.get(t, k) for t in ts]
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.sampled_from("ab")),
+                min_size=2, max_size=60, unique_by=lambda t: t[0]))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_temperature_rebalance_matches_serial_model(spark, rows):
+    """Kept set == {id: u32(id)/2^32 < (n_min/n_stratum)^(1-alpha)}."""
+    from collections import Counter
+
+    from mongoshake_spark.functions.curation import temperature_rebalance
+
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    n = Counter(l for _, l in rows)
+    n_min = min(n.values())
+    alpha = 0.5
+    frac = {l: (n_min / c) ** (1 - alpha) for l, c in n.items()}
+    want = {i for i, l in rows if _u32(i) / U32 < frac[l]}
+    got = {r["doc_id"] for r in temperature_rebalance(df, alpha=alpha).collect()}
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=12))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_quality_deciles_matches_serial_model(spark, rows, nb):
+    from mongoshake_spark.functions.curation import quality_deciles
+
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    n = len(rows)
+    want = {i: (r * nb) // n for r, (i, _) in enumerate(order)}
+    got = {r["doc_id"]: r["decile"]
+           for r in quality_deciles(df, "score", n_buckets=nb).collect()}
+    assert got == want
