@@ -573,13 +573,21 @@ def temperature_rebalance(
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n"))
     n_min = counts.agg(F.min("_n").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        stratum_col,
+        F.col(stratum_col).alias("_stratum"),
         F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - alpha)).alias("keep_frac"),
     )
     u = knuth_u32(id_col) / F.lit(float(HASH_MOD))
+    # null-SAFE stratum equality: groupBy treats NULL as its own stratum,
+    # so the rate table has a row for it — a plain `==` join would then
+    # silently DROP every NULL-stratum document instead of sampling it at
+    # its own stratum's rate
     return (
-        docs.join(F.broadcast(rates), stratum_col)
+        docs.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
         .filter(u < F.col("keep_frac"))
+        .drop("_stratum")
     )
 
 

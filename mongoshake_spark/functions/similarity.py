@@ -510,7 +510,10 @@ def semantic_decontaminate(
     Returns one row per CORPUS vector — ``(id, n_hits, contaminated)``
     with ``n_hits`` the count of eval vectors above threshold (zero-hit
     rows included, so a keep-set built as ``filter(~contaminated)``
-    cannot silently lose rows).
+    cannot silently lose rows). Exception: zero-norm corpus vectors are
+    excluded entirely (``with_norm``'s documented drop — they have no
+    direction, so "semantically near the eval set" is undefined for
+    them); a keep-set wanting them back must re-union by id.
 
     Scale shape: the eval side is benchmark-sized by contract, so it
     BROADCASTS (with pre-materialized norms) and the corpus side is never

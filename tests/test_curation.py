@@ -386,3 +386,15 @@ def test_quality_deciles_rank_exact(spark):
     from collections import Counter
 
     assert set(Counter(got.values()).values()) == {10}
+
+
+def test_temperature_rebalance_null_stratum_is_its_own_group(spark):
+    """A NULL stratum must sample at its own rate, not vanish through a
+    null-rejecting join."""
+    from mongoshake_spark.functions.curation import temperature_rebalance
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept = temperature_rebalance(docs, alpha=1.0)  # keep_frac == 1 everywhere
+    assert kept.count() == 60  # nothing dropped, NULL stratum included
+    assert kept.filter(F.col("lang").isNull()).count() == 10
