@@ -1,0 +1,125 @@
+"""Temporal operators: as-of (latest-state) join and gap sessionization.
+
+The reference engine has no join surface at all (SURVEY §2.7 — MongoShake
+computes only operational aggregates), but both of these are staples of
+the event/CDC analytics its replicated data feeds, and of training-data
+telemetry pipelines (attach the most recent config/marker to every event;
+cut user activity into sessions for dataset curation):
+
+- ``asof_join``: for every left row, the newest right row with the same
+  key and ``right.ts <= left.ts`` — the temporal enrichment join Spark
+  lacks as a builtin (DuckDB spells it ASOF JOIN, which is exactly what
+  the oracle uses).
+- ``session_ids``: gap-based session numbering per key — consecutive
+  events more than ``gap`` apart start a new session.
+
+Scale shape (both): ONE hash shuffle on the key, then per-key ordered
+windows — never a partition-less global window. The unit of parallelism
+is the key; a single pathologically hot key serializes onto one task
+(same caveat and same mitigation as any keyed window: pre-split such
+keys upstream if they exist — user/entity keys are naturally
+high-cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str,
+    value_cols: list[str],
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains ``<out_prefix><c>`` for
+    each ``c`` in ``value_cols``, taken from the newest ``right`` row with
+    equal ``on`` keys and ``right.ts_col <= left.ts_col`` (inclusive);
+    NULL when no such row exists.
+
+    REQUIRES the right side unique per ``(on, ts_col)`` — pre-aggregate
+    otherwise (ties within one timestamp have no defined "newest").
+
+    Implementation is the union-tag form, not a join: right rows carry
+    their values, left rows carry NULLs, and one per-key ordered window
+    (``last(..., ignorenulls)`` over rows-unbounded-preceding, right
+    sorted BEFORE left at equal timestamps so same-instant state is
+    visible) fills each left row from the latest right row at-or-before
+    it. One shuffle on the key; no row explosion, no range join — the
+    window pass is O(n log n) per key versus the O(n·m) theta join a
+    naive ``l.ts >= r.ts`` spells.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    left_only = [c for c in left.columns if c not in on and c != ts_col]
+    vals = [f"_v_{c}" for c in value_cols]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lu = left.select(
+        *on,
+        ts_col,
+        *left_only,
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(rtypes[c]).alias(v)
+            for c, v in zip(value_cols, vals)
+        ],
+    )
+    ru = right.select(
+        *on,
+        ts_col,
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(v) for c, v in zip(value_cols, vals)],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lu.unionByName(ru).select(
+        "*",
+        *[
+            F.last(v, ignorenulls=True).over(w).alias(f"{out_prefix}{c}")
+            for c, v in zip(value_cols, vals)
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *on, ts_col, *left_only, *[f"{out_prefix}{c}" for c in value_cols]
+    )
+
+
+def session_ids(
+    df: DataFrame,
+    on: list[str] | str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap sessionization: adds ``session_no`` (1-based per key) — a new
+    session starts whenever the previous event of the same key is more
+    than ``gap_seconds`` older. The comparison is on integer microseconds
+    (``unix_micros``), so an engine replaying it (the oracle's
+    ``epoch_us``) is exact, never float-epsilon.
+
+    ``tiebreak_col`` makes the per-key order total when timestamps can
+    collide (recommended: the event id).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*on).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # cast first: parquet TIMESTAMP(isAdjustedToUTC=false) loads as
+    # TIMESTAMP_NTZ, which unix_micros rejects; the cast is lossless
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = (
+        prev.isNull() | ((us - prev) > int(gap_seconds) * 1_000_000)
+    ).cast("int")
+    return df.withColumn(
+        "session_no", F.sum(new_session).over(run).cast("bigint")
+    )

@@ -2729,6 +2729,79 @@ def decontaminate_semantic_q(spark, sf_dir):
     return semantic_decontaminate(corpus, eval_vecs, 9, 20).orderBy("vec_id")
 
 
+@_q(
+    "asof_enrich",
+    """WITH r AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_id % 10 = 0
+  GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, round(r.value, 6) AS asof_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
+    "As-of (latest-state) enrichment join: every event gains the value "
+    "of the newest marker event (event_id % 10 = 0) for the same user at "
+    "or before its timestamp — DuckDB spells the oracle with its native "
+    "ASOF JOIN. The Spark side is the union-tag window form: ONE shuffle "
+    "on the key and a per-key ordered window, O(n log n) per key versus "
+    "the O(n*m) theta join a naive l.ts >= r.ts would plan "
+    "(operators/temporal.asof_join).",
+)
+def asof_enrich_q(spark, sf_dir):
+    from mongoshake_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 6).alias("asof_value")
+    ).orderBy("event_id")
+
+
+@_q(
+    "session_windows",
+    """WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > CAST(43200 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "Gap sessionization (12-hour gap): per-user session numbering via "
+    "lag + running sum over a PER-KEY window (never partition-less), gap "
+    "compared in integer microseconds so the oracle replay is exact; "
+    "then one aggregate per session (operators/temporal.session_ids).",
+)
+def session_windows_q(spark, sf_dir):
+    from mongoshake_spark.operators.temporal import session_ids
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = session_ids(ev, on="user_id", ts_col="ts", gap_seconds=43200,
+                    tiebreak_col="event_id")
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2745,6 +2818,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-5 additions — never driver-checked
     "chunk_overlap", "lang_rebalance", "vocab_encode",
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
+    "asof_enrich", "session_windows",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",
