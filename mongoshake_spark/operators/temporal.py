@@ -55,6 +55,13 @@ def asof_join(
     on = [on] if isinstance(on, str) else list(on)
     left_only = [c for c in left.columns if c not in on and c != ts_col]
     vals = [f"_v_{c}" for c in value_cols]
+    # internal/output name collisions would silently overwrite caller data
+    # (the operators/prefix.running_total precedent): fail loudly instead
+    clash = ({"_side", *vals} | {f"{out_prefix}{c}" for c in value_cols}) & set(
+        left.columns
+    )
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internals: {clash}")
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lu = left.select(
@@ -108,6 +115,8 @@ def session_ids(
     collide (recommended: the event id).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if "session_no" in df.columns:
+        raise ValueError("session_ids: input already has a session_no column")
     order = [F.col(ts_col).asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )
