@@ -2802,6 +2802,48 @@ def session_windows_q(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_resize_frames",
+    """WITH m AS (SELECT doc_id,
+    CAST((doc_id % 64 + 1) * 16 AS INT) AS w,
+    CAST((doc_id % 48 + 1) * 16 AS INT) AS h
+  FROM documents)
+SELECT doc_id,
+  CAST(floor(w * CASE WHEN greatest(w, h) > 256
+                      THEN 256.0 / greatest(w, h) ELSE 1.0 END) AS INT) AS target_w,
+  CAST(floor(h * CASE WHEN greatest(w, h) > 256
+                      THEN 256.0 / greatest(w, h) ELSE 1.0 END) AS INT) AS target_h,
+  CAST(1 + floor((h - 1) / 10.0) AS INT) AS n_frames_sampled,
+  CAST(floor((h - 1) / 10.0) * 10 AS INT) AS last_frame
+FROM m ORDER BY doc_id""",
+    "Multimodal resize + frame-sample planning over DECODED metadata: "
+    "aspect-preserving target dims capped at 256, and every-10th frame "
+    "indexes bounded by the decoded frame count (the fake decoder's "
+    "height doubles as the fake video's frame count — real decoders swap "
+    "in behind the same columns). Both are pure JVM column math after the "
+    "mapInPandas decode; the oracle recomputes the deterministic fake "
+    "header arithmetic (operators/multimodal.resize_plan, "
+    "frame_sample_plan).",
+)
+def mm_resize_frames_q(spark, sf_dir):
+    from mongoshake_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_media(multimodal.attach_fake_media(docs))
+    fr = multimodal.frame_sample_plan("height", every_k=10)
+    return (
+        multimodal.resize_plan(decoded, max_side=256)
+        .select(
+            "doc_id",
+            "target_w",
+            "target_h",
+            F.size(fr).alias("n_frames_sampled"),
+            F.element_at(fr, -1).alias("last_frame"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2818,7 +2860,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-5 additions — never driver-checked
     "chunk_overlap", "lang_rebalance", "vocab_encode",
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
-    "asof_enrich", "session_windows",
+    "asof_enrich", "session_windows", "mm_resize_frames",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

@@ -490,3 +490,69 @@ def test_quality_deciles_matches_serial_model(spark, rows, nb):
     got = {r["doc_id"]: r["decile"]
            for r in quality_deciles(df, "score", n_buckets=nb).collect()}
     assert got == want
+
+
+# -- temporal operator laws ---------------------------------------------------
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+             min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+             min_size=0, max_size=30, unique_by=lambda t: (t[0], t[1])),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_serial_model(spark, lrows, rrows):
+    """asof value == max-ts right row with r.ts <= l.ts per key (right
+    unique per (key, ts) by construction)."""
+    import datetime as dt
+
+    from mongoshake_spark.operators.temporal import asof_join
+
+    ts = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(k, ts(s)) for k, s in lrows], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), float(v)) for k, s, v in rrows],
+        "k bigint, ts timestamp, v double",
+    ) if rrows else spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    got = [
+        (r["k"], r["ts"], r["asof_v"])
+        for r in asof_join(left, right, "k", "ts", ["v"]).collect()
+    ]
+    model = {}
+    for k, s, v in rrows:
+        model[(k, s)] = float(v)
+    def want(k, t_s):
+        cands = [(s, v) for (kk, s), v in model.items() if kk == k and s <= t_s]
+        return max(cands)[1] if cands else None
+    assert sorted(got) == sorted(
+        (k, ts(s), want(k, s)) for k, s in lrows
+    )
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 500)),
+                min_size=1, max_size=40))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_session_ids_matches_serial_model(spark, rows):
+    """session_no == running count of gap-starts in (ts, id) order per key."""
+    import datetime as dt
+
+    from mongoshake_spark.operators.temporal import session_ids
+
+    gap = 60
+    ts = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    data = [(k, i, ts(s)) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k bigint, eid bigint, ts timestamp")
+    got = {r["eid"]: r["session_no"]
+           for r in session_ids(df, "k", "ts", gap, tiebreak_col="eid").collect()}
+    want = {}
+    for k in {k for k, _ in rows}:
+        evs = sorted((s, i) for i, (kk, s) in enumerate(rows) if kk == k)
+        no, prev = 0, None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                no += 1
+            want[i] = no
+            prev = s
+    assert got == want
