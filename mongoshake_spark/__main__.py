@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--verify-sample", metavar="NUM/DEN",
                    help="verify mode: deterministic sample cut, e.g. 1/100 "
                         "(the comparisonMode=sample analog, but reproducible)")
+    p.add_argument("--verify-attribute", action="store_true",
+                   help="verify mode: name the diverged COLUMNS on each "
+                        "'differs' row (per-column signatures, computed "
+                        "only on bucket-pruned rows)")
     p.add_argument("--dry-run", action="store_true",
                    help="parse + validate + print the plan, run nothing")
     args = p.parse_args(argv)
@@ -183,16 +187,23 @@ def main(argv: list[str] | None = None) -> int:
 
         src = _load(args.source_dir)
         dst = _load(args.target_dir)
-        sig_cols = [F.col(c).cast("string") for c in src.columns if c != args.verify_key]
+        names = [c for c in src.columns if c != args.verify_key]
+        sig_cols = [F.col(c).cast("string") for c in names]
         diffs = verify_sync(
             src, dst, args.verify_key, sig_cols,
             sample_num=sample_num, sample_den=sample_den,
+            attribute_columns=args.verify_attribute, sig_col_names=names,
         ).collect()
+        def _row(r):
+            out = {"key": r[0], "status": r[1]}
+            if args.verify_attribute and r[2] is not None:
+                out["diff_cols"] = list(r[2])
+            return out
         print(json.dumps({
             "mode": mode,
             "in_sync": not diffs,
             "n_diffs": len(diffs),  # full count — 'diffs' shows the first 100
-            "diffs": [{"key": r[0], "status": r[1]} for r in diffs[:100]],
+            "diffs": [_row(r) for r in diffs[:100]],
         }))
         return 0 if not diffs else 1
     return 0

@@ -169,6 +169,8 @@ def verify_sync(
     n_buckets: int = 1024,
     sample_num: int | None = None,
     sample_den: int = 1,
+    attribute_columns: bool = False,
+    sig_col_names: list[str] | None = None,
 ) -> DataFrame:
     """The full two-phase comparison (module doc): returns one row per
     DIVERGENT key — ``(key_col, status)`` with status in
@@ -177,6 +179,15 @@ def verify_sync(
     only keys with ``u32(key) * den < num * 2^32`` are verified (both
     sides apply the identical cut, so sampling can never fabricate a
     missing-row diff).
+
+    ``attribute_columns=True`` adds ``diff_cols`` — for ``differs`` rows,
+    the NAMES of the signature columns whose values disagree (NULL for
+    missing rows); the fix-up tool then knows what to patch without a
+    second pass. Per-column signatures are computed ONLY in phase 2, on
+    rows already pruned to the diverged buckets, so an in-sync corpus
+    pays nothing for the attribution. Names come from ``sig_col_names``
+    when given, else the string entries of ``sig_cols`` (Column entries
+    fall back to ``col_<i>``).
 
     Scale shape: phase 1 is two aggregates + a bucket-count-sized join;
     phase 2 filters both sides to the diverged buckets — broadcast of a
@@ -207,12 +218,33 @@ def verify_sync(
         src = src.filter(cut)
         dst = dst.filter(cut)
     bad = diverged_buckets(src, dst, key_col, sig, n_buckets).select("bucket")
+    if attribute_columns:
+        if sig_col_names is None:
+            sig_col_names = [
+                c if isinstance(c, str) else f"col_{i}"
+                for i, c in enumerate(sig_cols)
+            ]
+        per_col = F.array(
+            *[
+                _poly_of(
+                    F.coalesce(
+                        (F.col(c) if isinstance(c, str) else c).cast("string"),
+                        F.lit(""),
+                    )
+                )
+                for c in sig_cols
+            ]
+        )
+        src_extra = [per_col.alias("_src_cs")]
+        dst_extra = [per_col.alias("_dst_cs")]
+    else:
+        src_extra = dst_extra = []
     sj = (
-        src.select(F.col(key_col).alias("_src_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("src_sig"))
+        src.select(F.col(key_col).alias("_src_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("src_sig"), *src_extra)
         .join(F.broadcast(bad), F.col("_b") == F.col("bucket"), "left_semi")
     )
     dj = (
-        dst.select(F.col(key_col).alias("_dst_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("dst_sig"))
+        dst.select(F.col(key_col).alias("_dst_key"), bucket_of(key_col, n_buckets).alias("_b"), sig.alias("dst_sig"), *dst_extra)
         .join(F.broadcast(bad), F.col("_b") == F.col("bucket"), "left_semi")
     )
     # null-safe key equality: plain `==` is null-rejecting, so a NULL-key
@@ -229,8 +261,28 @@ def verify_sync(
         .when(F.col("src_sig").isNull(), F.lit("missing_in_src"))
         .when(F.col("src_sig") != F.col("dst_sig"), F.lit("differs"))
     )
+    out_cols = [
+        F.coalesce(F.col("_src_key"), F.col("_dst_key")).alias(key_col),
+        F.col("status"),
+    ]
+    if attribute_columns:
+        diff_cols = F.when(
+            F.col("status") == "differs",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.col("_src_cs")[i].eqNullSafe(F.col("_dst_cs")[i]),
+                            F.lit(name),
+                        )
+                        for i, name in enumerate(sig_col_names)
+                    ]
+                )
+            ),
+        )
+        out_cols.append(diff_cols.alias("diff_cols"))
     return (
         full.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(F.coalesce(F.col("_src_key"), F.col("_dst_key")).alias(key_col), "status")
+        .select(*out_cols)
     )

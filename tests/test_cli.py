@@ -171,3 +171,26 @@ def test_cli_verify_sample_malformed_inputs_exit_2(sf_dir, tmp_path, capsys):
         err = capsys.readouterr().err
         assert rc == 2, bad
         assert "verify-sample" in err, bad
+
+
+def test_cli_verify_attribute_names_columns(spark, sf_dir, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    cust = spark.read.parquet(f"{target}/customer")
+    mutated = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 100 == 0, F.lit("MUT")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).localCheckpoint(eager=True)
+    mutated.write.mode("overwrite").parquet(f"{target}/customer")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-attribute"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_diffs"] > 0
+    assert all(d["diff_cols"] == ["c_mktsegment"] for d in out["diffs"]
+               if d["status"] == "differs")

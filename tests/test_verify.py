@@ -181,3 +181,40 @@ def test_null_key_verified_in_sample_mode(spark):
         ).collect()
     }
     assert got == {(None, "differs")}
+
+
+def test_column_attribution_names_the_diverged_columns(spark):
+    """attribute_columns=True: 'differs' rows carry diff_cols — exactly
+    the signature columns whose values disagree; missing rows carry NULL;
+    per-column work happens only in phase 2 (pruned rows)."""
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s2"), (3, "c", "s3")], schema
+    )
+    dst = spark.createDataFrame(
+        [(1, "a", "MUT"), (2, "X", "Y")], schema  # 1: seg only; 2: both; 3: missing
+    )
+    got = {
+        r["c_custkey"]: (r["status"], sorted(r["diff_cols"]) if r["diff_cols"] is not None else None)
+        for r in verify_sync(
+            src, dst, "c_custkey", SIG, n_buckets=4, attribute_columns=True
+        ).collect()
+    }
+    assert got == {
+        1: ("differs", ["c_mktsegment"]),
+        2: ("differs", ["c_mktsegment", "c_name"]),
+        3: ("missing_in_dst", None),
+    }
+
+
+def test_column_attribution_null_vs_value_is_attributed(spark):
+    """A NULL-vs-value flip within one column must be attributed to that
+    column (per-column signatures are null-coalesced independently, so the
+    whole-row separator blindness does not apply per column)."""
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame([(1, None, "s")], schema)
+    dst = spark.createDataFrame([(1, "x", "s")], schema)
+    rows = verify_sync(
+        src, dst, "c_custkey", SIG, n_buckets=4, attribute_columns=True
+    ).collect()
+    assert [(r["status"], r["diff_cols"]) for r in rows] == [("differs", ["c_name"])]
