@@ -83,9 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="full sync: skip namespaces with completion markers")
     p.add_argument("--verify-table", default="customer",
-                   help="verify mode: table under both roots to compare")
+                   help="verify mode: table under both roots to compare, "
+                        "or 'all' for every known table (per-table keys, "
+                        "composite for lineitem)")
     p.add_argument("--verify-key", default="c_custkey",
-                   help="verify mode: key column")
+                   help="verify mode: key column (ignored for known "
+                        "tables, which carry their own key)")
     p.add_argument("--verify-sample", metavar="NUM/DEN",
                    help="verify mode: deterministic sample cut, e.g. 1/100 "
                         "(the comparisonMode=sample analog, but reproducible)")
@@ -172,40 +175,87 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"mode": mode, **out}))
     else:  # verify
+        import os
+
         from pyspark.sql import functions as F
 
         from mongoshake_spark.plans.verify import verify_sync
 
-        def _load(root: str):
-            # accept both layouts: a fixture-style single file
-            # (<root>/<table>.parquet) and a synced directory
-            # (<root>/<table>/)
-            import os
+        #: per-table verification keys; a list means a composite key
+        #: (rendered into one derived column, the comparison key)
+        _VERIFY_KEYS = {
+            "region": "r_regionkey", "nation": "n_nationkey",
+            "customer": "c_custkey", "supplier": "s_suppkey",
+            "part": "p_partkey", "orders": "o_orderkey",
+            "lineitem": ["l_orderkey", "l_linenumber"],
+            "events": "event_id", "documents": "doc_id",
+            "embeddings": "vec_id",
+        }
 
-            d = f"{root}/{args.verify_table}"
-            return spark.read.parquet(d if os.path.isdir(d) else d + ".parquet")
+        def _path(root: str, table: str):
+            d = f"{root}/{table}"
+            # accept both layouts: fixture single file and synced directory
+            return d if os.path.isdir(d) else d + ".parquet"
 
-        src = _load(args.source_dir)
-        dst = _load(args.target_dir)
-        names = [c for c in src.columns if c != args.verify_key]
-        sig_cols = [F.col(c).cast("string") for c in names]
-        diffs = verify_sync(
-            src, dst, args.verify_key, sig_cols,
-            sample_num=sample_num, sample_den=sample_den,
-            attribute_columns=args.verify_attribute, sig_col_names=names,
-        ).collect()
-        def _row(r):
-            out = {"key": r[0], "status": r[1]}
-            if args.verify_attribute and r[2] is not None:
-                out["diff_cols"] = list(r[2])
-            return out
-        print(json.dumps({
-            "mode": mode,
-            "in_sync": not diffs,
-            "n_diffs": len(diffs),  # full count — 'diffs' shows the first 100
-            "diffs": [_row(r) for r in diffs[:100]],
-        }))
-        return 0 if not diffs else 1
+        def _exists(root: str, table: str) -> bool:
+            d = f"{root}/{table}"
+            return os.path.isdir(d) or os.path.isfile(d + ".parquet")
+
+        def _verify_one(table: str, key) -> dict:
+            src = spark.read.parquet(_path(args.source_dir, table))
+            dst = spark.read.parquet(_path(args.target_dir, table))
+            if isinstance(key, list):
+                # composite key -> one derived NUMERIC comparison column
+                # (the bucket hash requires a numeric key — its ANSI cast
+                # crashes on strings by design). Exact injective packing:
+                # l_linenumber is 1..7 per TPC-H, so orderkey*8+linenumber
+                # collides never, unlike a 64-bit hash of the rendering
+                # (whose collision would silently MERGE two keys — the one
+                # failure mode a verifier must not have).
+                assert key == ["l_orderkey", "l_linenumber"]
+                kcol = F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
+                src = src.withColumn("_vkey", kcol)
+                dst = dst.withColumn("_vkey", kcol)
+                key = "_vkey"
+            names = [c for c in src.columns if c != key]
+            sig_cols = [F.col(c).cast("string") for c in names]
+            diffs = verify_sync(
+                src, dst, key, sig_cols,
+                sample_num=sample_num, sample_den=sample_den,
+                attribute_columns=args.verify_attribute, sig_col_names=names,
+            ).collect()
+            def _row(r):
+                out = {"key": r[0], "status": r[1]}
+                if args.verify_attribute and r[2] is not None:
+                    out["diff_cols"] = list(r[2])
+                return out
+            return {
+                "in_sync": not diffs,
+                "n_diffs": len(diffs),  # full count — 'diffs' shows 100
+                "diffs": [_row(r) for r in diffs[:100]],
+            }
+
+        if args.verify_table == "all":
+            # every known table present on the SOURCE side must verify; a
+            # table missing on the target side is itself a divergence
+            report, ok = {}, True
+            for table, key in _VERIFY_KEYS.items():
+                if not _exists(args.source_dir, table):
+                    continue
+                if not _exists(args.target_dir, table):
+                    report[table] = {"in_sync": False, "missing_table": True}
+                    ok = False
+                    continue
+                res = _verify_one(table, key)
+                report[table] = res
+                ok = ok and res["in_sync"]
+            print(json.dumps({"mode": mode, "in_sync": ok, "tables": report}))
+            return 0 if ok else 1
+        key = _VERIFY_KEYS.get(args.verify_table, args.verify_key) \
+            if args.verify_key == "c_custkey" else args.verify_key
+        out = _verify_one(args.verify_table, key)
+        print(json.dumps({"mode": mode, **out}))
+        return 0 if out["in_sync"] else 1
     return 0
 
 

@@ -194,3 +194,42 @@ def test_cli_verify_attribute_names_columns(spark, sf_dir, tmp_path, capsys):
     assert out["n_diffs"] > 0
     assert all(d["diff_cols"] == ["c_mktsegment"] for d in out["diffs"]
                if d["status"] == "differs")
+
+
+def test_cli_verify_all_tables(spark, sf_dir, tmp_path, capsys):
+    """--verify-table all: every synced table verifies with its own key
+    (composite for lineitem); corrupting ONE table fails just that entry
+    and the run; a missing target table is itself a divergence."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["in_sync"] is True
+    assert set(out["tables"]) == {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    # corrupt one table (composite-key table, to exercise that path)
+    li = spark.read.parquet(f"{target}/lineitem")
+    li.filter("l_linenumber != 1 OR l_orderkey % 13 != 0").localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(f"{target}/lineitem")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["in_sync"] is False
+    assert out["tables"]["lineitem"]["in_sync"] is False
+    assert out["tables"]["customer"]["in_sync"] is True
+    # and a missing table reports as such
+    import shutil
+
+    shutil.rmtree(f"{target}/region")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["tables"]["region"] == {"in_sync": False, "missing_table": True}
