@@ -1,1 +1,1 @@
-from mongoshake_spark.functions import texthash, text, dedup, similarity, packing  # noqa: F401
+from mongoshake_spark.functions import texthash, text, dedup, similarity, packing, curation  # noqa: F401

@@ -1,1 +1,1 @@
-from mongoshake_spark.operators import filters, transforms, partitioners, combiner, merge  # noqa: F401
+from mongoshake_spark.operators import filters, transforms, partitioners, combiner, merge, temporal  # noqa: F401
