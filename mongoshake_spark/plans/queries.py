@@ -2844,6 +2844,40 @@ def mm_resize_frames_q(spark, sf_dir):
     )
 
 
+@_q(
+    "zorder_layout",
+    """WITH m AS (
+  SELECT event_id, event_id % 65536 AS x, user_id % 65536 AS y FROM events),
+s1 AS (SELECT event_id,
+  ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM m),
+s2 AS (SELECT event_id,
+  ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+s3 AS (SELECT event_id,
+  ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+s4 AS (SELECT event_id,
+  ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+SELECT event_id, CAST(x | (y << 1) AS BIGINT) AS zval
+FROM s4 ORDER BY event_id""",
+    "Z-order (Morton) layout key: bit-interleave of two 16-bit keys via "
+    "the magic-mask dilation — pure JVM integer expressions, exact in "
+    "any 64-bit engine. Rows sorted by zval cluster on BOTH dimensions, "
+    "so per-file min/max stats prune scans filtered on either column "
+    "(the multi-column data-skipping a single-column sort cannot give); "
+    "write_zordered materializes the layout with range-disjoint Z per "
+    "file (plans/bucketing.zorder_key, write_zordered).",
+)
+def zorder_layout_q(spark, sf_dir):
+    from mongoshake_spark.plans.bucketing import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("event_id") % 65536, F.col("user_id") % 65536)
+        .cast("bigint")
+        .alias("zval"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2860,7 +2894,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-5 additions — never driver-checked
     "chunk_overlap", "lang_rebalance", "vocab_encode",
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
-    "asof_enrich", "session_windows", "mm_resize_frames",
+    "asof_enrich", "session_windows", "mm_resize_frames", "zorder_layout",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

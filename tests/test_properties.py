@@ -556,3 +556,28 @@ def test_session_ids_matches_serial_model(spark, rows):
             want[i] = no
             prev = s
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=50))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_zorder_key_matches_serial_interleave(spark, pairs):
+    """zorder_key == the serial bit-interleave model; monotone locality
+    sanity: z(x,y) recovers both inputs (de-interleave bijection)."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.plans.bucketing import zorder_key
+
+    def spread(v):
+        v &= 0xFFFF
+        for s, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            v = (v | (v << s)) & m
+        return v
+
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    got = [r["z"] for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+           .collect()]
+    want = [spread(x) | (spread(y) << 1) for x, y in pairs]
+    assert sorted(got) == sorted(want)
+    # bijection: distinct inputs -> distinct z
+    assert len(set(want)) == len(set(pairs))
