@@ -2878,6 +2878,47 @@ def zorder_layout_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@_q(
+    "session_window_agg",
+    """WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) >= CAST(43200 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start""",
+    "Spark's BUILT-IN session_window aggregation cross-validated against "
+    "the lag+running-sum session model: window start = first event, end "
+    "= last event + gap, one row per merged session. Note the builtin "
+    "merges windows that OVERLAP (strict-less gap), so the oracle splits "
+    "on >= gap where session_ids splits on > gap — both conventions "
+    "oracle-pinned, one query each (streaming form: the same expression "
+    "under withWatermark in streaming/windows.py).",
+)
+def session_window_agg_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "12 hours"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -2895,6 +2936,7 @@ _DRIVER_CHECK_PRIORITY = [
     "chunk_overlap", "lang_rebalance", "vocab_encode",
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
     "asof_enrich", "session_windows", "mm_resize_frames", "zorder_layout",
+    "session_window_agg",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",
