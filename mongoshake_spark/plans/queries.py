@@ -3038,6 +3038,62 @@ def session_window_stream_q(spark, sf_dir):
     )
 
 
+_REPAIR_ORACLE = """WITH src AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer),
+dst AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 101 = 0 THEN 'MUTATED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM src WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT 999999, 'Customer#999999', 'EXTRA')
+SELECT CASE WHEN d.c_custkey IS NULL THEN 'i'
+            WHEN s.c_custkey IS NULL THEN 'd'
+            ELSE 'u' END AS op,
+       coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+       s.c_name AS c_name, s.c_mktsegment AS c_mktsegment
+FROM src s FULL OUTER JOIN dst d ON s.c_custkey = d.c_custkey
+WHERE d.c_custkey IS NULL OR s.c_custkey IS NULL
+   OR s.c_name <> d.c_name OR s.c_mktsegment <> d.c_mktsegment
+ORDER BY c_custkey"""
+
+
+@_q(
+    "repair_plan",
+    _REPAIR_ORACLE,
+    "Verify -> repair: the minimal op-set healing a diverged target — "
+    "'i' for missing rows, 'u' for mutated rows (source payload "
+    "attached), 'd' for strays — derived from the two-phase bucketed "
+    "verifier, so the work is |diff|-sized, not |table|-sized (the "
+    "reference's only recourse is a full re-sync). The oracle replays "
+    "the classification by direct comparison; "
+    "tests prove apply_repair(dst, plan) == src exactly "
+    "(plans/repair.repair_ops).",
+)
+def repair_plan_q(spark, sf_dir):
+    from mongoshake_spark.plans.repair import repair_ops
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    extra = spark.createDataFrame(
+        [(999999, "Customer#999999", "EXTRA")], src.schema
+    )
+    dst = (
+        src.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 101 == 0, F.lit("MUTATED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(extra)
+    )
+    return repair_ops(
+        src, dst, "c_custkey", ["c_name", "c_mktsegment"], n_buckets=64
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -3055,7 +3111,7 @@ _DRIVER_CHECK_PRIORITY = [
     "chunk_overlap", "lang_rebalance", "vocab_encode",
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
     "asof_enrich", "session_windows", "mm_resize_frames", "zorder_layout",
-    "session_window_agg", "session_window_stream",
+    "session_window_agg", "session_window_stream", "repair_plan",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",

@@ -218,3 +218,41 @@ def test_column_attribution_null_vs_value_is_attributed(spark):
         src, dst, "c_custkey", SIG, n_buckets=4, attribute_columns=True
     ).collect()
     assert [(r["status"], r["diff_cols"]) for r in rows] == [("differs", ["c_name"])]
+
+
+def test_repair_heals_target_exactly_and_idempotently(spark, sf_dir):
+    """The verify->repair loop: corrupt the copy (drops, mutations, a
+    stray row), derive the plan, apply it — the healed target equals the
+    source EXACTLY (verified by the verifier itself: zero diffs), and
+    re-applying the same plan changes nothing."""
+    from mongoshake_spark.plans.repair import apply_repair, repair_ops
+
+    src = _customer(spark, sf_dir)
+    extra = spark.createDataFrame([(999999, "X", "EXTRA")], src.schema)
+    dst = (
+        src.filter(F.col("c_custkey") % 50 != 3)
+        .withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") % 70 == 5, F.lit("MUT")).otherwise(
+                F.col("c_name")
+            ),
+        )
+        .unionByName(extra)
+    )
+    ops = repair_ops(src, dst, "c_custkey", SIG, n_buckets=32)
+    kinds = {r["op"] for r in ops.collect()}
+    assert kinds == {"i", "u", "d"}
+    healed = apply_repair(dst, ops, "c_custkey")
+    assert verify_sync(src, healed, "c_custkey", SIG, n_buckets=32).count() == 0
+    # idempotent: same plan again -> same rows
+    again = apply_repair(healed, ops, "c_custkey")
+    assert verify_sync(src, again, "c_custkey", SIG, n_buckets=32).count() == 0
+    # and the plan is diff-sized, not table-sized
+    assert ops.count() < src.count() / 5
+
+
+def test_repair_on_in_sync_pair_is_empty(spark, sf_dir):
+    from mongoshake_spark.plans.repair import repair_ops
+
+    src = _customer(spark, sf_dir)
+    assert repair_ops(src, src, "c_custkey", SIG, n_buckets=32).count() == 0
