@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="verify mode: name the diverged COLUMNS on each "
                         "'differs' row (per-column signatures, computed "
                         "only on bucket-pruned rows)")
+    p.add_argument("--repair-dir", metavar="PATH",
+                   help="verify mode: write the minimal healing op-set "
+                        "(i/u/d + source payload) per diverged table as "
+                        "parquet under PATH (refused with --verify-sample: "
+                        "a sampled diff cannot produce a complete repair)")
     p.add_argument("--dry-run", action="store_true",
                    help="parse + validate + print the plan, run nothing")
     args = p.parse_args(argv)
@@ -201,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
             d = f"{root}/{table}"
             return os.path.isdir(d) or os.path.isfile(d + ".parquet")
 
+        if args.repair_dir and sample_num is not None:
+            print(
+                "conf error: --repair-dir cannot be combined with "
+                "--verify-sample — a sampled diff cannot produce a "
+                "complete repair plan",
+                file=sys.stderr,
+            )
+            return 2
+
         def _verify_one(table: str, key) -> dict:
             src = spark.read.parquet(_path(args.source_dir, table))
             dst = spark.read.parquet(_path(args.target_dir, table))
@@ -229,11 +243,20 @@ def main(argv: list[str] | None = None) -> int:
                 if args.verify_attribute and r[2] is not None:
                     out["diff_cols"] = list(r[2])
                 return out
-            return {
+            res = {
                 "in_sync": not diffs,
                 "n_diffs": len(diffs),  # full count — 'diffs' shows 100
                 "diffs": [_row(r) for r in diffs[:100]],
             }
+            if args.repair_dir and diffs:
+                from mongoshake_spark.plans.repair import repair_ops
+
+                plan_path = os.path.join(args.repair_dir, table)
+                repair_ops(src, dst, key, sig_cols).write.mode(
+                    "overwrite"
+                ).parquet(plan_path)
+                res["repair_plan"] = plan_path
+            return res
 
         if args.verify_table == "all":
             # every known table present on the SOURCE side must verify; a

@@ -233,3 +233,38 @@ def test_cli_verify_all_tables(spark, sf_dir, tmp_path, capsys):
                  "--target-dir", target, "--verify-table", "all"]) == 1
     out = json.loads(capsys.readouterr().out)
     assert out["tables"]["region"] == {"in_sync": False, "missing_table": True}
+
+
+def test_cli_verify_writes_repair_plan(spark, sf_dir, tmp_path, capsys):
+    """--repair-dir: a diverged verify writes the healing op-set; applying
+    it makes the target verify clean. Refused under --verify-sample."""
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    cust = spark.read.parquet(f"{target}/customer")
+    cust.filter("c_custkey % 9 != 2").localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(f"{target}/customer")
+    repair_dir = str(tmp_path / "repair")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--repair-dir", repair_dir]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["repair_plan"] == f"{repair_dir}/customer"
+    ops = spark.read.parquet(out["repair_plan"])
+    assert {r["op"] for r in ops.collect()} == {"i"}
+    # apply the plan -> clean verify
+    from mongoshake_spark.plans.repair import apply_repair
+
+    healed = apply_repair(
+        spark.read.parquet(f"{target}/customer"), ops, "c_custkey"
+    ).localCheckpoint(eager=True)
+    healed.write.mode("overwrite").parquet(f"{target}/customer")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    # sampled repair refused
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--repair-dir", repair_dir,
+                 "--verify-sample", "1/2"]) == 2
+    assert "repair-dir" in capsys.readouterr().err
