@@ -86,9 +86,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="verify mode: table under both roots to compare, "
                         "or 'all' for every known table (per-table keys, "
                         "composite for lineitem)")
-    p.add_argument("--verify-key", default="c_custkey",
-                   help="verify mode: key column (ignored for known "
-                        "tables, which carry their own key)")
+    p.add_argument("--verify-key", default=None,
+                   help="verify mode: key column override; when omitted, "
+                        "known tables use their own key (composite for "
+                        "lineitem) and unknown tables default to "
+                        "c_custkey")
     p.add_argument("--verify-sample", metavar="NUM/DEN",
                    help="verify mode: deterministic sample cut, e.g. 1/100 "
                         "(the comparisonMode=sample analog, but reproducible)")
@@ -197,14 +199,25 @@ def main(argv: list[str] | None = None) -> int:
             "embeddings": "vec_id",
         }
 
+        def _hfs(path_str: str):
+            # Hadoop FS, not os.path: verify roots can be hdfs://s3a://
+            # like every other plane (full_sync's markers already are)
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path_str)
+            return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
         def _path(root: str, table: str):
             d = f"{root}/{table}"
+            fs, p = _hfs(d)
             # accept both layouts: fixture single file and synced directory
-            return d if os.path.isdir(d) else d + ".parquet"
+            return d if fs.isDirectory(p) else d + ".parquet"
 
         def _exists(root: str, table: str) -> bool:
             d = f"{root}/{table}"
-            return os.path.isdir(d) or os.path.isfile(d + ".parquet")
+            fs, p = _hfs(d)
+            return fs.isDirectory(p) or fs.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(d + ".parquet")
+            )
 
         if args.repair_dir and sample_num is not None:
             print(
@@ -233,11 +246,12 @@ def main(argv: list[str] | None = None) -> int:
                 key = "_vkey"
             names = [c for c in src.columns if c != key]
             sig_cols = [F.col(c).cast("string") for c in names]
-            diffs = verify_sync(
+            diffs_df = verify_sync(
                 src, dst, key, sig_cols,
                 sample_num=sample_num, sample_den=sample_den,
                 attribute_columns=args.verify_attribute, sig_col_names=names,
-            ).collect()
+            )
+            diffs = diffs_df.collect()
             def _row(r):
                 out = {"key": r[0], "status": r[1]}
                 if args.verify_attribute and r[2] is not None:
@@ -252,9 +266,26 @@ def main(argv: list[str] | None = None) -> int:
                 from mongoshake_spark.plans.repair import repair_ops
 
                 plan_path = os.path.join(args.repair_dir, table)
-                repair_ops(src, dst, key, sig_cols).write.mode(
-                    "overwrite"
-                ).parquet(plan_path)
+                # reuse the diff just computed (pass the collected rows
+                # back as a DataFrame) — repairing must not re-run the
+                # whole two-phase verification
+                diff_rows = spark.createDataFrame(
+                    [(r[0], r[1]) for r in diffs],
+                    src.select(key).schema.add("status", "string"),
+                )
+                plan = repair_ops(src, dst, key, sig_cols, diffs=diff_rows)
+                if key == "_vkey":
+                    # decode the packed composite so 'd' rows (NULL
+                    # payloads) still carry locatable key parts, and any
+                    # consumer can re-derive _vkey on the target
+                    plan = plan.withColumn(
+                        "l_orderkey",
+                        F.coalesce(F.col("l_orderkey"), F.expr("_vkey div 8")),
+                    ).withColumn(
+                        "l_linenumber",
+                        F.coalesce(F.col("l_linenumber"), F.expr("_vkey % 8")),
+                    )
+                plan.write.mode("overwrite").parquet(plan_path)
                 res["repair_plan"] = plan_path
             return res
 
@@ -272,10 +303,23 @@ def main(argv: list[str] | None = None) -> int:
                 res = _verify_one(table, key)
                 report[table] = res
                 ok = ok and res["in_sync"]
+            if not report:
+                # nothing compared must NOT report in_sync — an empty
+                # report means the source root has no known table (typo'd
+                # path), and a verifier's one forbidden failure mode is a
+                # silent pass over work it never did
+                print(
+                    f"conf error: no known table found under "
+                    f"{args.source_dir!r} — nothing was verified",
+                    file=sys.stderr,
+                )
+                return 2
             print(json.dumps({"mode": mode, "in_sync": ok, "tables": report}))
             return 0 if ok else 1
-        key = _VERIFY_KEYS.get(args.verify_table, args.verify_key) \
-            if args.verify_key == "c_custkey" else args.verify_key
+        # explicit --verify-key overrides; otherwise known tables use
+        # their own key and unknown tables fall back to c_custkey
+        key = args.verify_key if args.verify_key is not None else \
+            _VERIFY_KEYS.get(args.verify_table, "c_custkey")
         out = _verify_one(args.verify_table, key)
         print(json.dumps({"mode": mode, **out}))
         return 0 if out["in_sync"] else 1

@@ -713,9 +713,10 @@ def quality_deciles(
         ranked.crossJoin(F.broadcast(total))
         .withColumn(
             "decile",
-            ((F.col("_rank") * n_buckets) / F.col("_total"))
-            .cast("bigint")
-            .cast("int"),
+            # integral `div`, not double division: the docstring promises
+            # exact integer arithmetic, and floor-via-binary64 can misbin
+            # boundary ranks once rank*n approaches 2^53
+            F.expr(f"(_rank * {int(n_buckets)}) div _total").cast("int"),
         )
         .drop("_rank", "_total")
     )

@@ -44,57 +44,57 @@ def asof_join(
     otherwise (ties within one timestamp have no defined "newest").
 
     Implementation is the union-tag form, not a join: right rows carry
-    their values, left rows carry NULLs, and one per-key ordered window
-    (``last(..., ignorenulls)`` over rows-unbounded-preceding, right
-    sorted BEFORE left at equal timestamps so same-instant state is
-    visible) fills each left row from the latest right row at-or-before
-    it. One shuffle on the key; no row explosion, no range join — the
-    window pass is O(n log n) per key versus the O(n·m) theta join a
-    naive ``l.ts >= r.ts`` spells.
+    their values inside ONE non-null struct, left rows carry a NULL
+    struct, and one per-key ordered window (``last(struct, ignorenulls)``
+    over rows-unbounded-preceding, right sorted BEFORE left at equal
+    timestamps so same-instant state is visible) fills each left row from
+    the latest right ROW at-or-before it. The struct carrier matters:
+    ``ignorenulls`` must skip only the left rows' placeholders — a
+    genuinely NULL VALUE in the newest right row is still that row's
+    answer (DuckDB ASOF JOIN semantics), and with several value columns
+    all outputs come from the SAME right row, never mixed across rows.
+    One shuffle on the key; no row explosion, no range join — the window
+    pass is O(n log n) per key versus the O(n·m) theta join a naive
+    ``l.ts >= r.ts`` spells.
     """
     on = [on] if isinstance(on, str) else list(on)
     left_only = [c for c in left.columns if c not in on and c != ts_col]
-    vals = [f"_v_{c}" for c in value_cols]
     # internal/output name collisions would silently overwrite caller data
     # (the operators/prefix.running_total precedent): fail loudly instead
-    clash = ({"_side", *vals} | {f"{out_prefix}{c}" for c in value_cols}) & set(
+    clash = ({"_side", "_vrow"} | {f"{out_prefix}{c}" for c in value_cols}) & set(
         left.columns
     )
     if clash:
         raise ValueError(f"asof_join: left columns collide with internals: {clash}")
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
-    lu = left.select(
-        *on,
-        ts_col,
-        *left_only,
-        F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(rtypes[c]).alias(v)
-            for c, v in zip(value_cols, vals)
-        ],
-    )
     ru = right.select(
         *on,
         ts_col,
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(v) for c, v in zip(value_cols, vals)],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vrow"),
+    )
+    vrow_type = ru.schema["_vrow"].dataType.simpleString()
+    lu = left.select(
+        *on,
+        ts_col,
+        *left_only,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(vrow_type).alias("_vrow"),
     )
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lu.unionByName(ru).select(
-        "*",
-        *[
-            F.last(v, ignorenulls=True).over(w).alias(f"{out_prefix}{c}")
-            for c, v in zip(value_cols, vals)
-        ],
+    filled = lu.unionByName(ru).withColumn(
+        "_fill", F.last("_vrow", ignorenulls=True).over(w)
     )
     return filled.filter(F.col("_side") == 1).select(
-        *on, ts_col, *left_only, *[f"{out_prefix}{c}" for c in value_cols]
+        *on,
+        ts_col,
+        *left_only,
+        *[F.col("_fill")[c].alias(f"{out_prefix}{c}") for c in value_cols],
     )
 
 

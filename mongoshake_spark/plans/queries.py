@@ -71,6 +71,31 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return reg
 
 
+
+
+def _stream_tmpdir(prefix: str) -> str:
+    """Temp tree for a streaming harness: under one parent so stale trees
+    from earlier invocations (the returned DataFrame must keep reading
+    its sink, so a run cannot delete its own) are swept once they are an
+    hour old — bounded accumulation instead of a leak per call."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = os.path.join(tempfile.gettempdir(), "mongoshake_stream_q")
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # ---------------------------------------------------------------------------
 # Q0-Q24 — the MongoShake operator surface (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1489,7 +1514,7 @@ def q31(spark, sf_dir):
         .withColumn("abort", (F.col("seq") == F.col("_last_seq")) & aborted)
         .drop("_last_seq")
     )
-    tmp = tempfile.mkdtemp(prefix="q31_")
+    tmp = _stream_tmpdir("q31_")
     feed_dir, ckpt_dir = f"{tmp}/feed", f"{tmp}/ckpt"
     try:
         (
@@ -1526,7 +1551,9 @@ def q31(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream drain timed out")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # emitted rows flow executor->sink->scan, never through the driver;
@@ -2077,7 +2104,7 @@ def stream_dedup_q(spark, sf_dir):
             ).alias("ts"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    tmp = _stream_tmpdir("sdedup_")
     feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
     try:
         (
@@ -2108,7 +2135,9 @@ def stream_dedup_q(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream drain timed out")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return (
@@ -2959,7 +2988,7 @@ def session_window_stream_q(spark, sf_dir):
         .select("user_id", "event_id", "ts")
     )
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    tmp = tempfile.mkdtemp(prefix="swstream_")
+    tmp = _stream_tmpdir("swstream_")
     feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
     # 2 ranged files + the sentinel = 3 micro-batches: sessions spanning
     # the ts boundary still merge ACROSS batches (the stateful claim),

@@ -38,37 +38,64 @@ def repair_ops(
     sig_cols: list[Column | str],
     payload_cols: list[str] | None = None,
     n_buckets: int = 1024,
+    diffs: DataFrame | None = None,
 ) -> DataFrame:
     """One row per divergent key: ``(op, key_col, *payload_cols)`` with
     op in ``('i', 'u', 'd')``; payload columns are NULL for deletes.
-    Empty when in sync — repairing an in-sync pair is a no-op."""
+    Empty when in sync — repairing an in-sync pair is a no-op. NULL-key
+    divergence heals as a group rebuild (one NULL-key 'd' + an 'i' per
+    NULL-key source row). Pass ``diffs`` (a ``verify_sync`` result) to
+    reuse an already-computed diff instead of re-verifying — the CLI
+    does, halving the dominant cost of a repair run."""
     if payload_cols is None:
         payload_cols = [c for c in src.columns if c != key_col]
-    diffs = verify_sync(src, dst, key_col, sig_cols, n_buckets=n_buckets)
+    if diffs is None:
+        diffs = verify_sync(src, dst, key_col, sig_cols, n_buckets=n_buckets)
+    else:
+        diffs = diffs.select(key_col, "status")
     op = (
         F.when(F.col("status") == "missing_in_dst", F.lit("i"))
         .when(F.col("status") == "differs", F.lit("u"))
         .otherwise(F.lit("d"))
     )
-    plan = diffs.select(op.alias("op"), F.col(key_col))
+    # NULL-key divergence (which verify_sync deliberately reports, at
+    # group granularity) cannot repair through a key join — every key
+    # equality below is null-rejecting by design. The healing op for the
+    # NULL-key GROUP is a rebuild: delete all NULL-key target rows, then
+    # insert every NULL-key source row; apply_repair's null-safe anti
+    # join makes the single 'd' marker remove the whole group.
+    nonnull = diffs.filter(F.col(key_col).isNotNull())
+    plan = nonnull.select(op.alias("op"), F.col(key_col))
     payload = src.select(key_col, *payload_cols)
-    return (
-        plan.join(payload, key_col, "left")
-        .select(
-            "op",
-            key_col,
-            *[
-                F.when(F.col("op") != "d", F.col(c)).alias(c)
-                for c in payload_cols
-            ],
-        )
+    ops = plan.join(payload, key_col, "left").select(
+        "op",
+        key_col,
+        *[F.when(F.col("op") != "d", F.col(c)).alias(c) for c in payload_cols],
     )
+    null_diverged = diffs.filter(F.col(key_col).isNull()).limit(1)
+    null_delete = null_diverged.select(
+        F.lit("d").alias("op"),
+        F.col(key_col),
+        *[F.lit(None).cast(dict(src.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    null_inserts = (
+        src.filter(F.col(key_col).isNull())
+        .join(null_diverged.select(key_col), F.lit(True), "left_semi")
+        .select(F.lit("i").alias("op"), key_col, *payload_cols)
+    )
+    return ops.unionByName(null_delete).unionByName(null_inserts)
 
 
 def apply_repair(dst: DataFrame, ops: DataFrame, key_col: str) -> DataFrame:
     """Heal the target: drop every key the plan touches (deletes AND
     updates), then union in the insert/update payloads. Idempotent —
-    applying the same plan twice leaves the same result."""
-    touched = ops.select(key_col)
+    applying the same plan twice leaves the same result. The anti join is
+    NULL-SAFE, so a NULL-key 'd' marker removes the whole NULL-key group
+    (the group-rebuild contract of ``repair_ops``)."""
+    touched = ops.select(F.col(key_col).alias("_touched_key"))
     replacements = ops.filter(F.col("op") != "d").select(*dst.columns)
-    return dst.join(touched, key_col, "left_anti").unionByName(replacements)
+    return (
+        dst.join(
+            touched, F.col(key_col).eqNullSafe(F.col("_touched_key")), "left_anti"
+        ).unionByName(replacements)
+    )

@@ -32,10 +32,16 @@ TABLES = (
 #: DataFrame is an immutable logical plan, so handing the same one to
 #: every caller is exactly what a metastore-backed catalog does — without
 #: the cache each load pays a parquet footer/schema read plus a py4j
-#: round trip (~0.1 s), which across an 85-query workload is seconds of
-#: pure re-analysis. Keyed by applicationId AND the session wrapper id so
-#: a stopped-and-recreated context can never serve stale plans.
+#: round trip (~0.1 s), which across a 90-query workload is seconds of
+#: pure re-analysis. Two safety rails: (1) only paths under the
+#: IMMUTABLE roots in ``CACHEABLE_ROOTS`` are cached — a cached plan
+#: pins its file listing and schema at first load, which is wrong for
+#: any path a session might rewrite (mutable paths simply bypass the
+#: cache); (2) the cache holds ONE application's entries — a new
+#: applicationId clears the previous app's plans, so stopped contexts
+#: are never pinned and growth is bounded by the table count.
 _TABLE_CACHE: dict = {}
+CACHEABLE_ROOTS: tuple = ("/root/testdata/",)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,10 +54,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the fixture values are whole microseconds, so this is lossless.
     """
     path = f"{sf_dir}/{name}.parquet"
+    cacheable = any(path.startswith(r) for r in CACHEABLE_ROOTS)
     key = (spark.sparkContext.applicationId, id(spark), path)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cacheable:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        stale = [k for k in _TABLE_CACHE if k[0] != key[0]]
+        for k in stale:
+            del _TABLE_CACHE[k]
     # Runtime-settable; required so this works on ANY caller session (the
     # driver's verify creates its own), not just ours from get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,7 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
-    _TABLE_CACHE[key] = df
+    if cacheable:
+        _TABLE_CACHE[key] = df
     return df
 
 

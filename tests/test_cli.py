@@ -268,3 +268,29 @@ def test_cli_verify_writes_repair_plan(spark, sf_dir, tmp_path, capsys):
                  "--target-dir", target, "--repair-dir", repair_dir,
                  "--verify-sample", "1/2"]) == 2
     assert "repair-dir" in capsys.readouterr().err
+
+
+def test_cli_verify_all_empty_source_is_an_error_not_in_sync(tmp_path, capsys):
+    """A source root with no known table must exit 2 with a message — a
+    verifier must never report in_sync over work it never did (a typo'd
+    --source-dir previously printed in_sync=true, tables={})."""
+    empty = str(tmp_path / "nothing")
+    import os
+
+    os.makedirs(empty)
+    rc = main(["--sync-mode", "verify", "--source-dir", empty,
+               "--target-dir", str(tmp_path / "t"), "--verify-table", "all"])
+    assert rc == 2
+    assert "no known table" in capsys.readouterr().err
+
+
+def test_cli_verify_known_table_uses_own_key(spark, sf_dir, tmp_path, capsys):
+    """--verify-table orders without --verify-key verifies on o_orderkey
+    (the known-table map), not the old c_custkey default."""
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "orders"]) == 0
+    assert json.loads(capsys.readouterr().out)["in_sync"] is True

@@ -80,3 +80,23 @@ def test_asof_plan_is_one_key_shuffle_no_theta_join(spark, sf_dir):
     # windows all carry a partition spec
     for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
         assert "ASC" not in first_arg and "DESC" not in first_arg
+
+
+def test_asof_join_null_value_in_newest_right_row_wins(spark):
+    """A genuinely-NULL value in the newest matching right row is that
+    row's answer — NOT skipped for a stale older value (the struct
+    carrier distinguishes 'no right row yet' from 'right row with NULL');
+    and with several value columns all outputs come from the SAME row."""
+    left = spark.createDataFrame([(1, _ts(3)), (1, _ts(1))], "k bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 5.0, "a"), (1, _ts(2), None, "b")],
+        "k bigint, ts timestamp, v double, tag string",
+    )
+    got = {
+        r["ts"].second: (r["asof_v"], r["asof_tag"])
+        for r in asof_join(left, right, "k", "ts", ["v", "tag"]).collect()
+    }
+    assert got == {
+        1: (5.0, "a"),      # only the ts=0 row is at-or-before
+        3: (None, "b"),     # newest row wins wholesale, NULL v included
+    }

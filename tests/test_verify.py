@@ -256,3 +256,29 @@ def test_repair_on_in_sync_pair_is_empty(spark, sf_dir):
 
     src = _customer(spark, sf_dir)
     assert repair_ops(src, src, "c_custkey", SIG, n_buckets=32).count() == 0
+
+
+def test_repair_heals_null_key_divergence(spark):
+    """NULL-key divergence heals as a group rebuild: one NULL 'd' marker
+    (null-safe anti join removes the whole group) plus an 'i' per source
+    NULL-key row — the layer-up counterpart of verify_sync's NULL-key
+    reporting; nothing silently survives or duplicates."""
+    from mongoshake_spark.plans.repair import apply_repair, repair_ops
+
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    src = spark.createDataFrame(
+        [(None, "null-a", "s"), (None, "null-b", "s"), (2, "x", "y")], schema
+    )
+    dst = spark.createDataFrame(
+        [(None, "STALE", "s"), (2, "x", "y")], schema
+    )
+    ops = repair_ops(src, dst, "c_custkey", SIG, n_buckets=8)
+    healed = apply_repair(dst, ops, "c_custkey")
+    assert verify_sync(src, healed, "c_custkey", SIG, n_buckets=8).count() == 0
+    got = sorted((r["c_name"], r["c_mktsegment"]) for r in healed.collect())
+    assert got == [("null-a", "s"), ("null-b", "s"), ("x", "y")]
+    # idempotent
+    again = apply_repair(healed, ops, "c_custkey")
+    assert sorted((r["c_name"], r["c_mktsegment"]) for r in again.collect()) == got
+    # in-sync NULL keys produce no ops at all
+    assert repair_ops(src, src, "c_custkey", SIG, n_buckets=8).count() == 0
