@@ -3123,6 +3123,62 @@ def repair_plan_q(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+@_q(
+    "stream_static_enrich",
+    """SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+       count(*) AS cnt, CAST(sum(e.user_id) AS BIGINT) AS key_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1""",
+    "Stream-STATIC enrichment join: the events feed replayed as a "
+    "2-micro-batch stream, each batch broadcast-joined against the "
+    "static customer dimension (the canonical CDC-enrichment shape: the "
+    "dim is re-resolvable per batch, no state store involved), drained "
+    "to a parquet sink and aggregated; totals must equal the batch "
+    "join. Stateless per batch — at 100 TB/day the only cost above the "
+    "scan is the broadcast.",
+)
+def stream_static_enrich_q(spark, sf_dir):
+    import os
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = _stream_tmpdir("senrich_")
+    feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
+    ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(feed_dir)
+    parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+    t0 = time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left"
+    ).select("event_id", "user_id", "c_mktsegment")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_static_enrich: drain timed out")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(none)")).alias("segment")
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").alias("key_sum"))
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -3141,6 +3197,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sample_exact_k", "quality_deciles", "decontaminate_semantic",
     "asof_enrich", "session_windows", "mm_resize_frames", "zorder_layout",
     "session_window_agg", "session_window_stream", "repair_plan",
+    "stream_static_enrich",
     # never driver-hash-checked as of r4 (registry grew past the window)
     "q34_dbref_rewrite", "q33_delta_nested", "q28_tunnel_roundtrip",
     "q29_ddl_ns_filter", "q31_txn_crossbatch", "q32_socket_tunnel",
