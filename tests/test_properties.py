@@ -581,3 +581,36 @@ def test_zorder_key_matches_serial_interleave(spark, pairs):
     assert sorted(got) == sorted(want)
     # bijection: distinct inputs -> distinct z
     assert len(set(want)) == len(set(pairs))
+
+
+# -- verify -> repair law -----------------------------------------------------
+
+@given(
+    st.lists(st.tuples(st.integers(0, 40), st.sampled_from("abcd")),
+             min_size=1, max_size=30, unique_by=lambda t: t[0]),
+    st.sets(st.integers(0, 40), max_size=10),   # keys to drop from dst
+    st.sets(st.integers(0, 40), max_size=10),   # keys to mutate in dst
+    st.sets(st.integers(50, 60), max_size=5),   # stray keys only in dst
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_repair_always_heals_random_corruption(spark, rows, drops, mutations, strays):
+    """For ANY corruption (drops + mutations + strays), apply_repair(dst,
+    repair_ops(src, dst)) verifies clean against src — the healing law."""
+    from mongoshake_spark.plans.repair import apply_repair, repair_ops
+    from mongoshake_spark.plans.verify import verify_sync
+
+    schema = "k bigint, v string"
+    src = spark.createDataFrame(rows, schema)
+    dst_rows = [
+        (k, v + "_MUT" if k in mutations else v)
+        for k, v in rows
+        if k not in drops
+    ] + [(k, "stray") for k in strays]
+    dst = (
+        spark.createDataFrame(dst_rows, schema)
+        if dst_rows
+        else spark.createDataFrame([], schema)
+    )
+    ops = repair_ops(src, dst, "k", ["v"], n_buckets=8)
+    healed = apply_repair(dst, ops, "k")
+    assert verify_sync(src, healed, "k", ["v"], n_buckets=8).count() == 0
