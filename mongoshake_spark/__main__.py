@@ -199,12 +199,13 @@ def main(argv: list[str] | None = None) -> int:
             "embeddings": "vec_id",
         }
 
+        # Hadoop FS, not os.path: verify roots can be hdfs://s3a://
+        # like every other plane — reuse full_sync's helper so FS
+        # bootstrap fixes land in one place
+        from mongoshake_spark.plans.full_sync import _marker_fs
+
         def _hfs(path_str: str):
-            # Hadoop FS, not os.path: verify roots can be hdfs://s3a://
-            # like every other plane (full_sync's markers already are)
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(path_str)
-            return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+            return _marker_fs(spark, path_str)
 
         def _path(root: str, table: str):
             d = f"{root}/{table}"

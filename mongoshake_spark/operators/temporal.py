@@ -61,9 +61,9 @@ def asof_join(
     left_only = [c for c in left.columns if c not in on and c != ts_col]
     # internal/output name collisions would silently overwrite caller data
     # (the operators/prefix.running_total precedent): fail loudly instead
-    clash = ({"_side", "_vrow"} | {f"{out_prefix}{c}" for c in value_cols}) & set(
-        left.columns
-    )
+    clash = (
+        {"_side", "_vrow", "_fill"} | {f"{out_prefix}{c}" for c in value_cols}
+    ) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: left columns collide with internals: {clash}")
     ltypes = dict(left.dtypes)
@@ -74,13 +74,14 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_vrow"),
     )
-    vrow_type = ru.schema["_vrow"].dataType.simpleString()
+    # cast via the DataType OBJECT — a DDL string would embed the value
+    # column NAMES, which fails to parse for any non-bare-identifier name
     lu = left.select(
         *on,
         ts_col,
         *left_only,
         F.lit(1).alias("_side"),
-        F.lit(None).cast(vrow_type).alias("_vrow"),
+        F.lit(None).cast(ru.schema["_vrow"].dataType).alias("_vrow"),
     )
     w = (
         Window.partitionBy(*on)

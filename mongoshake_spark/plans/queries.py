@@ -77,7 +77,11 @@ def _stream_tmpdir(prefix: str) -> str:
     """Temp tree for a streaming harness: under one parent so stale trees
     from earlier invocations (the returned DataFrame must keep reading
     its sink, so a run cannot delete its own) are swept once they are an
-    hour old — bounded accumulation instead of a leak per call."""
+    hour old — bounded accumulation instead of a leak per call. Trees
+    are pid-tagged and the sweep NEVER touches the current process's:
+    a lazily re-evaluated result from an earlier query in a long session
+    (the driver re-scans sinks when it collects) must not lose its
+    files, however old its tree is."""
     import os
     import shutil
     import tempfile
@@ -85,15 +89,18 @@ def _stream_tmpdir(prefix: str) -> str:
 
     base = os.path.join(tempfile.gettempdir(), "mongoshake_stream_q")
     os.makedirs(base, exist_ok=True)
+    mine = f"pid{os.getpid()}_"
     now = time.time()
     for d in os.listdir(base):
+        if d.startswith(mine):
+            continue
         p = os.path.join(base, d)
         try:
             if now - os.path.getmtime(p) > 3600:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=mine + prefix, dir=base)
 
 
 # ---------------------------------------------------------------------------
@@ -3056,7 +3063,10 @@ def session_window_stream_q(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a wedged drain must not be read as a (short) result
+            q.stop()
+            raise RuntimeError("session_window_stream: drain timed out")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (

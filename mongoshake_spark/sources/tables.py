@@ -41,7 +41,32 @@ TABLES = (
 #: applicationId clears the previous app's plans, so stopped contexts
 #: are never pinned and growth is bounded by the table count.
 _TABLE_CACHE: dict = {}
-CACHEABLE_ROOTS: tuple = ("/root/testdata/",)
+_CACHE_LOCK = None  # created lazily; plain dict get/set are atomic, but
+# the miss path iterates + deletes (eviction) and MUST NOT race the
+# pooled bench's concurrent inserts ('dictionary changed size during
+# iteration' would surface as a phantom query failure)
+
+
+def _cache_lock():
+    global _CACHE_LOCK
+    if _CACHE_LOCK is None:
+        import threading
+
+        _CACHE_LOCK = threading.Lock()
+    return _CACHE_LOCK
+
+
+def _cacheable_roots() -> tuple:
+    """Immutable roots whose scans may be plan-cached. The fixture root is
+    the built-in default; deployments extend/replace it via the
+    SPARK_GRAFT_CACHE_ROOTS env var (os.pathsep-separated prefixes) —
+    a configuration decision, not a hardcoded host path."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_CACHE_ROOTS")
+    if env:
+        return tuple(p for p in env.split(os.pathsep) if p)
+    return ("/root/testdata/",)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,15 +79,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the fixture values are whole microseconds, so this is lossless.
     """
     path = f"{sf_dir}/{name}.parquet"
-    cacheable = any(path.startswith(r) for r in CACHEABLE_ROOTS)
+    cacheable = any(path.startswith(r) for r in _cacheable_roots())
     key = (spark.sparkContext.applicationId, id(spark), path)
     if cacheable:
-        cached = _TABLE_CACHE.get(key)
-        if cached is not None:
-            return cached
-        stale = [k for k in _TABLE_CACHE if k[0] != key[0]]
-        for k in stale:
-            del _TABLE_CACHE[k]
+        with _cache_lock():
+            cached = _TABLE_CACHE.get(key)
+            if cached is not None:
+                return cached
+            for k in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+                del _TABLE_CACHE[k]
     # Runtime-settable; required so this works on ANY caller session (the
     # driver's verify creates its own), not just ours from get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -73,7 +98,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
     if cacheable:
-        _TABLE_CACHE[key] = df
+        with _cache_lock():
+            _TABLE_CACHE[key] = df
     return df
 
 
