@@ -78,8 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-dir", help="target root for full/incr state")
     p.add_argument("--feed-dir", help="replayable oplog feed dir (incr/all)")
     p.add_argument("--checkpoint-dir", help="stream checkpoint location (incr/all)")
-    p.add_argument("--sync-mode", choices=("full", "incr", "all", "verify"),
-                   help="override the conf's sync_mode; 'verify' runs the post-sync check")
+    p.add_argument("--sync-mode", choices=("full", "incr", "all", "verify", "repair"),
+                   help="override the conf's sync_mode; 'verify' runs the "
+                        "post-sync check, 'repair' applies plans written "
+                        "by verify --repair-dir to the target")
     p.add_argument("--resume", action="store_true",
                    help="full sync: skip namespaces with completion markers")
     p.add_argument("--verify-table", default="customer",
@@ -128,7 +130,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(plan, indent=1))
         return 0
 
-    missing = [n for n in ("source_dir", "target_dir") if not getattr(args, n)]
+    if mode == "repair":
+        # the plan is self-describing (op, key, payloads) — no source dir
+        missing = [n for n in ("target_dir", "repair_dir") if not getattr(args, n)]
+    else:
+        missing = [n for n in ("source_dir", "target_dir") if not getattr(args, n)]
     if mode in ("incr", "all"):
         missing += [n for n in ("feed_dir", "checkpoint_dir") if not getattr(args, n)]
     if missing:
@@ -181,6 +187,60 @@ def main(argv: list[str] | None = None) -> int:
             args.target_dir + "/stream", args.checkpoint_dir,
         )
         print(json.dumps({"mode": mode, **out}))
+    elif mode == "repair":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mongoshake_spark.plans.repair import apply_repair
+
+        report = {}
+        for table in sorted(os.listdir(args.repair_dir)):
+            plan_path = os.path.join(args.repair_dir, table)
+            if not os.path.isdir(plan_path):
+                continue
+            ops = spark.read.parquet(plan_path)
+            key = ops.columns[1]  # plans are self-describing: (op, key, ...)
+            tdir = f"{args.target_dir}/{table}"
+            target = spark.read.parquet(tdir)
+            if key == "_vkey" and "_mult" in ops.columns:
+                # MULTISET plan (keyless table): content columns + the
+                # multiplicity. Remove every target row whose content
+                # hash is touched, then rebuild each surviving op's
+                # content exactly _mult times.
+                content = [c for c in ops.columns if c not in ("op", "_vkey", "_mult")]
+                rendered = F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content],
+                )
+                kept = (
+                    target.withColumn("_vkey", F.xxhash64(rendered))
+                    .join(ops.select("_vkey"), "_vkey", "left_anti")
+                    .drop("_vkey")
+                )
+                inserts = (
+                    ops.filter(F.col("op") != "d")
+                    .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
+                    .select(*content)
+                )
+                healed = kept.unionByName(inserts)
+            else:
+                healed = apply_repair(target, ops, key)
+            # localCheckpoint detaches lineage from the files being
+            # overwritten (the read-then-overwrite-same-path pattern)
+            healed.localCheckpoint(eager=True).write.mode("overwrite").parquet(tdir)
+            report[table] = {
+                "ops_applied": ops.count(),
+                "rows_after": spark.read.parquet(tdir).count(),
+            }
+        if not report:
+            print(
+                f"conf error: no repair plan found under {args.repair_dir!r}",
+                file=sys.stderr,
+            )
+            return 2
+        print(json.dumps({"mode": mode, "tables": report}))
+        return 0
     else:  # verify
         import os
 
@@ -188,13 +248,19 @@ def main(argv: list[str] | None = None) -> int:
 
         from mongoshake_spark.plans.verify import verify_sync
 
-        #: per-table verification keys; a list means a composite key
-        #: (rendered into one derived column, the comparison key)
+        #: per-table verification keys. MULTISET marks a table with NO
+        #: unique key (the synthetic lineitem is not even unique on
+        #: (l_orderkey, l_linenumber) — up to 5 copies per pair): it is
+        #: verified at content granularity — group by the FULL row,
+        #: compare (content-hash -> multiplicity) — which is the only
+        #: sound diff model for a keyless multiset (any pseudo-key would
+        #: cross-pair duplicates and fabricate diffs).
+        MULTISET = "__multiset__"
         _VERIFY_KEYS = {
             "region": "r_regionkey", "nation": "n_nationkey",
             "customer": "c_custkey", "supplier": "s_suppkey",
             "part": "p_partkey", "orders": "o_orderkey",
-            "lineitem": ["l_orderkey", "l_linenumber"],
+            "lineitem": MULTISET,
             "events": "event_id", "documents": "doc_id",
             "embeddings": "vec_id",
         }
@@ -229,21 +295,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
+        def _multiset_form(df):
+            """Keyless-table canonical form: one row per distinct CONTENT
+            with its multiplicity, keyed by a numeric hash of the full
+            rendering (unique by construction AFTER the group-by; xxhash64
+            collisions across ~2^64 are the accepted residual, the same
+            bound as any content-addressed diff)."""
+            cols = df.columns
+            rendered = F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+            )
+            return (
+                df.groupBy(*cols)
+                .agg(F.count("*").alias("_mult"))
+                .withColumn("_vkey", F.xxhash64(rendered))
+            )
+
         def _verify_one(table: str, key) -> dict:
             src = spark.read.parquet(_path(args.source_dir, table))
             dst = spark.read.parquet(_path(args.target_dir, table))
-            if isinstance(key, list):
-                # composite key -> one derived NUMERIC comparison column
-                # (the bucket hash requires a numeric key — its ANSI cast
-                # crashes on strings by design). Exact injective packing:
-                # l_linenumber is 1..7 per TPC-H, so orderkey*8+linenumber
-                # collides never, unlike a 64-bit hash of the rendering
-                # (whose collision would silently MERGE two keys — the one
-                # failure mode a verifier must not have).
-                assert key == ["l_orderkey", "l_linenumber"]
-                kcol = F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
-                src = src.withColumn("_vkey", kcol)
-                dst = dst.withColumn("_vkey", kcol)
+            if key == MULTISET:
+                src = _multiset_form(src)
+                dst = _multiset_form(dst)
                 key = "_vkey"
             names = [c for c in src.columns if c != key]
             sig_cols = [F.col(c).cast("string") for c in names]
@@ -274,18 +347,9 @@ def main(argv: list[str] | None = None) -> int:
                     [(r[0], r[1]) for r in diffs],
                     src.select(key).schema.add("status", "string"),
                 )
+                # multiset plans carry the content columns + _mult as the
+                # payload, so apply can rebuild the exact multiplicity
                 plan = repair_ops(src, dst, key, sig_cols, diffs=diff_rows)
-                if key == "_vkey":
-                    # decode the packed composite so 'd' rows (NULL
-                    # payloads) still carry locatable key parts, and any
-                    # consumer can re-derive _vkey on the target
-                    plan = plan.withColumn(
-                        "l_orderkey",
-                        F.coalesce(F.col("l_orderkey"), F.expr("_vkey div 8")),
-                    ).withColumn(
-                        "l_linenumber",
-                        F.coalesce(F.col("l_linenumber"), F.expr("_vkey % 8")),
-                    )
                 plan.write.mode("overwrite").parquet(plan_path)
                 res["repair_plan"] = plan_path
             return res

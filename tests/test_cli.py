@@ -294,3 +294,47 @@ def test_cli_verify_known_table_uses_own_key(spark, sf_dir, tmp_path, capsys):
     assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
                  "--target-dir", target, "--verify-table", "orders"]) == 0
     assert json.loads(capsys.readouterr().out)["in_sync"] is True
+
+
+def test_cli_repair_mode_closes_the_loop(spark, sf_dir, tmp_path, capsys):
+    """full -> corrupt two tables (one composite-key) -> verify --repair-dir
+    -> sync-mode repair -> verify clean. The whole operator loop through
+    the CLI, no Python API required."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    cust = spark.read.parquet(f"{target}/customer")
+    cust.filter("c_custkey % 11 != 3").localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(f"{target}/customer")
+    li = spark.read.parquet(f"{target}/lineitem")
+    li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 17 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{target}/lineitem"
+    )
+    repair_dir = str(tmp_path / "repair")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all",
+                 "--repair-dir", repair_dir]) == 1
+    capsys.readouterr()
+    assert main(["--sync-mode", "repair", "--target-dir", target,
+                 "--repair-dir", repair_dir]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert set(rep["tables"]) == {"customer", "lineitem"}
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all"]) == 0
+    assert json.loads(capsys.readouterr().out)["in_sync"] is True
+    # repair with an empty plan dir is a conf error, not a silent pass
+    import os
+
+    empty = str(tmp_path / "noplans")
+    os.makedirs(empty)
+    assert main(["--sync-mode", "repair", "--target-dir", target,
+                 "--repair-dir", empty]) == 2
