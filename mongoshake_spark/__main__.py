@@ -86,13 +86,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="full sync: skip namespaces with completion markers")
     p.add_argument("--verify-table", default="customer",
                    help="verify mode: table under both roots to compare, "
-                        "or 'all' for every known table (per-table keys, "
-                        "composite for lineitem)")
+                        "or 'all' for every known table (per-table keys; "
+                        "keyless lineitem verifies as a content MULTISET)")
     p.add_argument("--verify-key", default=None,
                    help="verify mode: key column override; when omitted, "
-                        "known tables use their own key (composite for "
-                        "lineitem) and unknown tables default to "
-                        "c_custkey")
+                        "known tables use their own key (content-multiset "
+                        "for keyless lineitem) and unknown tables default "
+                        "to c_custkey")
     p.add_argument("--verify-sample", metavar="NUM/DEN",
                    help="verify mode: deterministic sample cut, e.g. 1/100 "
                         "(the comparisonMode=sample analog, but reproducible)")
@@ -192,38 +192,46 @@ def main(argv: list[str] | None = None) -> int:
 
         from pyspark.sql import functions as F
 
-        from mongoshake_spark.plans.repair import apply_repair
+        from mongoshake_spark.plans.full_sync import _marker_fs, _marker_read
+        from mongoshake_spark.plans.repair import (
+            apply_multiset_repair,
+            apply_repair,
+        )
 
+        # the manifest scopes repair to ONE verify run's plans (a stale
+        # plan dir from an earlier run must never regress current data);
+        # Hadoop-FS reads, so hdfs://s3a:// plan roots work like the
+        # verify side that wrote them
+        manifest = _marker_read(
+            spark, os.path.join(args.repair_dir, "_manifest.json")
+        )
+        if manifest is None or not manifest.get("tables"):
+            print(
+                f"conf error: no repair manifest under {args.repair_dir!r} "
+                f"— run verify --repair-dir first (an unmanifested plan "
+                f"directory is not applied)",
+                file=sys.stderr,
+            )
+            return 2
         report = {}
-        for table in sorted(os.listdir(args.repair_dir)):
+        for table in manifest["tables"]:
             plan_path = os.path.join(args.repair_dir, table)
-            if not os.path.isdir(plan_path):
-                continue
             ops = spark.read.parquet(plan_path)
             key = ops.columns[1]  # plans are self-describing: (op, key, ...)
             tdir = f"{args.target_dir}/{table}"
-            target = spark.read.parquet(tdir)
-            if key == "_vkey" and "_mult" in ops.columns:
-                # MULTISET plan (keyless table): content columns + the
-                # multiplicity. Remove every target row whose content
-                # hash is touched, then rebuild each surviving op's
-                # content exactly _mult times.
-                content = [c for c in ops.columns if c not in ("op", "_vkey", "_mult")]
-                rendered = F.concat_ws(
-                    "\x1f",
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content],
-                )
-                kept = (
-                    target.withColumn("_vkey", F.xxhash64(rendered))
-                    .join(ops.select("_vkey"), "_vkey", "left_anti")
-                    .drop("_vkey")
-                )
-                inserts = (
-                    ops.filter(F.col("op") != "d")
-                    .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
-                    .select(*content)
-                )
-                healed = kept.unionByName(inserts)
+            fs, tpath = _marker_fs(spark, tdir)
+            multiset = key == "_vkey" and "_mult" in ops.columns
+            if fs.exists(tpath):
+                target = spark.read.parquet(tdir)
+            else:
+                # table absent from the target: the plan recreates it
+                content = [
+                    c for c in ops.columns
+                    if c not in ("op", "_vkey", "_mult")
+                ] if multiset else list(ops.columns[1:])
+                target = ops.select(*content).limit(0)
+            if multiset:
+                healed = apply_multiset_repair(target, ops)
             else:
                 healed = apply_repair(target, ops, key)
             # localCheckpoint detaches lineage from the files being
@@ -233,12 +241,6 @@ def main(argv: list[str] | None = None) -> int:
                 "ops_applied": ops.count(),
                 "rows_after": spark.read.parquet(tdir).count(),
             }
-        if not report:
-            print(
-                f"conf error: no repair plan found under {args.repair_dir!r}",
-                file=sys.stderr,
-            )
-            return 2
         print(json.dumps({"mode": mode, "tables": report}))
         return 0
     else:  # verify
@@ -295,28 +297,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
-        def _multiset_form(df):
-            """Keyless-table canonical form: one row per distinct CONTENT
-            with its multiplicity, keyed by a numeric hash of the full
-            rendering (unique by construction AFTER the group-by; xxhash64
-            collisions across ~2^64 are the accepted residual, the same
-            bound as any content-addressed diff)."""
-            cols = df.columns
-            rendered = F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-            )
-            return (
-                df.groupBy(*cols)
-                .agg(F.count("*").alias("_mult"))
-                .withColumn("_vkey", F.xxhash64(rendered))
-            )
+        from mongoshake_spark.plans.repair import multiset_form
 
         def _verify_one(table: str, key) -> dict:
             src = spark.read.parquet(_path(args.source_dir, table))
             dst = spark.read.parquet(_path(args.target_dir, table))
             if key == MULTISET:
-                src = _multiset_form(src)
-                dst = _multiset_form(dst)
+                src = multiset_form(src)
+                # canonicalize the column ORDER through the source's: the
+                # content rendering is name-sorted inside multiset_form,
+                # and this keeps schema comparison order-insensitive too
+                dst = multiset_form(dst.select(*spark.read.parquet(
+                    _path(args.source_dir, table)).columns))
                 key = "_vkey"
             names = [c for c in src.columns if c != key]
             sig_cols = [F.col(c).cast("string") for c in names]
@@ -352,8 +344,39 @@ def main(argv: list[str] | None = None) -> int:
                 plan = repair_ops(src, dst, key, sig_cols, diffs=diff_rows)
                 plan.write.mode("overwrite").parquet(plan_path)
                 res["repair_plan"] = plan_path
+                plans_written.append(table)
             return res
 
+        def _full_insert_plan(table: str, key) -> None:
+            """Plan recreating a table MISSING from the target: every
+            source row (or content group) as an 'i' op."""
+            src = spark.read.parquet(_path(args.source_dir, table))
+            if key == MULTISET:
+                g = multiset_form(src)
+                payloads = [c for c in g.columns if c != "_vkey"]
+                plan = g.select(F.lit("i").alias("op"), "_vkey", *payloads)
+            else:
+                payloads = [c for c in src.columns if c != key]
+                plan = src.select(F.lit("i").alias("op"), F.col(key), *payloads)
+            plan.write.mode("overwrite").parquet(
+                os.path.join(args.repair_dir, table)
+            )
+            plans_written.append(table)
+
+        def _write_manifest() -> None:
+            """The plan set is ONE verify run's output: the manifest names
+            exactly the tables this run planned, and the repair arm
+            applies only manifest entries — a stale plan directory from an
+            earlier run can never silently regress a now-current table."""
+            from mongoshake_spark.plans.full_sync import _marker_write
+
+            _marker_write(
+                spark,
+                os.path.join(args.repair_dir, "_manifest.json"),
+                {"tables": sorted(plans_written)},
+            )
+
+        plans_written: list = []
         if args.verify_table == "all":
             # every known table present on the SOURCE side must verify; a
             # table missing on the target side is itself a divergence
@@ -363,6 +386,13 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if not _exists(args.target_dir, table):
                     report[table] = {"in_sync": False, "missing_table": True}
+                    if args.repair_dir:
+                        # a dropped table is repairable too: plan a full
+                        # recreation from the source
+                        _full_insert_plan(table, key)
+                        report[table]["repair_plan"] = os.path.join(
+                            args.repair_dir, table
+                        )
                     ok = False
                     continue
                 res = _verify_one(table, key)
@@ -379,6 +409,8 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if args.repair_dir:
+                _write_manifest()
             print(json.dumps({"mode": mode, "in_sync": ok, "tables": report}))
             return 0 if ok else 1
         # explicit --verify-key overrides; otherwise known tables use
@@ -386,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
         key = args.verify_key if args.verify_key is not None else \
             _VERIFY_KEYS.get(args.verify_table, "c_custkey")
         out = _verify_one(args.verify_table, key)
+        if args.repair_dir:
+            _write_manifest()
         print(json.dumps({"mode": mode, **out}))
         return 0 if out["in_sync"] else 1
     return 0

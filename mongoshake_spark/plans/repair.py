@@ -99,3 +99,60 @@ def apply_repair(dst: DataFrame, ops: DataFrame, key_col: str) -> DataFrame:
             touched, F.col(key_col).eqNullSafe(F.col("_touched_key")), "left_anti"
         ).unionByName(replacements)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (keyless-table) form — shared by the CLI verify and repair arms
+# ---------------------------------------------------------------------------
+
+#: NULL marker distinct from every real string rendering (coalescing NULL
+#: to '' would merge a NULL-valued group with an empty-string-valued one
+#: into a single content key — not a hash collision, a rendering defect)
+_NULL_MARK = "\x00N"
+
+
+def _render_content(cols: list[str]):
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.when(F.col(c).isNull(), F.lit(_NULL_MARK)).otherwise(
+                F.col(c).cast("string")
+            )
+            for c in cols
+        ],
+    )
+
+
+def multiset_form(df: DataFrame) -> DataFrame:
+    """Canonical form of a KEYLESS table: one row per distinct content
+    with its multiplicity (``_mult``) and a numeric content key
+    (``_vkey``). The rendering runs over NAME-SORTED columns, so two
+    physically different column orders of the same table produce
+    identical keys; NULLs render with a reserved marker so NULL and ''
+    are distinct groups. ``_vkey`` is unique per group by construction
+    up to xxhash64 collisions (~2^-64 per pair — the accepted residual
+    of any content-addressed diff)."""
+    return (
+        df.groupBy(*df.columns)
+        .agg(F.count("*").alias("_mult"))
+        .withColumn("_vkey", F.xxhash64(_render_content(sorted(df.columns))))
+    )
+
+
+def apply_multiset_repair(target: DataFrame, ops: DataFrame) -> DataFrame:
+    """Apply a multiset plan: drop every target row whose content key is
+    touched, then rebuild each surviving op's content exactly ``_mult``
+    times. Hashing uses the same name-sorted rendering as
+    ``multiset_form``, so target column order is irrelevant."""
+    content = [c for c in ops.columns if c not in ("op", "_vkey", "_mult")]
+    kept = (
+        target.withColumn("_vkey", F.xxhash64(_render_content(sorted(content))))
+        .join(ops.select("_vkey"), "_vkey", "left_anti")
+        .drop("_vkey")
+    )
+    inserts = (
+        ops.filter(F.col("op") != "d")
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
+        .select(*content)
+    )
+    return kept.unionByName(inserts)

@@ -28,7 +28,8 @@ def main() -> int:
     # case-insensitive — the operator tables cite the classic queries
     # that way
     covered_nums = set()
-    for m in re.finditer(r"\b[qQ](\d+)(?:\s*-\s*[qQ](\d+))?\b", text):
+    table_text = "\n".join(l for l in text.splitlines() if l.startswith("|"))
+    for m in re.finditer(r"\b[qQ](\d+)(?:\s*-\s*[qQ](\d+))?\b", table_text):
         lo = int(m.group(1))
         hi = int(m.group(2)) if m.group(2) else lo
         covered_nums.update(range(lo, hi + 1))

@@ -338,3 +338,46 @@ def test_cli_repair_mode_closes_the_loop(spark, sf_dir, tmp_path, capsys):
     os.makedirs(empty)
     assert main(["--sync-mode", "repair", "--target-dir", target,
                  "--repair-dir", empty]) == 2
+
+
+def test_cli_repair_recreates_dropped_table_and_ignores_stale_plans(
+    spark, sf_dir, tmp_path, capsys
+):
+    """A table dropped from the target gets a full-recreation plan; and
+    the repair arm applies ONLY the manifest's tables, so a stale plan
+    from an earlier verify run cannot regress a now-current table."""
+    import shutil
+
+    target = str(tmp_path / "t")
+    assert main(["--sync-mode", "full", "--source-dir", sf_dir,
+                 "--target-dir", target]) == 0
+    capsys.readouterr()
+    repair_dir = str(tmp_path / "repair")
+    # run 1: corrupt customer -> plan written for customer
+    cust = spark.read.parquet(f"{target}/customer")
+    cust.filter("c_custkey % 5 != 0").localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(f"{target}/customer")
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all",
+                 "--repair-dir", repair_dir]) == 1
+    capsys.readouterr()
+    # operator fixes customer out-of-band (fresh copy) but leaves the
+    # stale customer plan on disk, then drops region entirely
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{target}/customer")
+    shutil.rmtree(f"{target}/region")
+    # run 2: only region diverges -> manifest lists ONLY region
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all",
+                 "--repair-dir", repair_dir]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["tables"]["region"]["repair_plan"]
+    assert out["tables"]["customer"]["in_sync"] is True
+    assert main(["--sync-mode", "repair", "--target-dir", target,
+                 "--repair-dir", repair_dir]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert set(rep["tables"]) == {"region"}  # stale customer plan ignored
+    assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
+                 "--target-dir", target, "--verify-table", "all"]) == 0

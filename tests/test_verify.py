@@ -282,3 +282,35 @@ def test_repair_heals_null_key_divergence(spark):
     assert sorted((r["c_name"], r["c_mktsegment"]) for r in again.collect()) == got
     # in-sync NULL keys produce no ops at all
     assert repair_ops(src, src, "c_custkey", SIG, n_buckets=8).count() == 0
+
+
+def test_multiset_form_distinguishes_null_from_empty_and_ignores_column_order(spark):
+    """NULL and '' are distinct content groups (reserved NULL marker, not
+    a coalesce), and the content key is column-order independent
+    (name-sorted rendering) — the two defects that would make a
+    content-addressed diff cross-pair or fabricate 100% divergence."""
+    from mongoshake_spark.plans.repair import apply_multiset_repair, multiset_form
+
+    a = spark.createDataFrame([(1, None), (1, "")], "x bigint, y string")
+    g = multiset_form(a)
+    assert g.count() == 2  # NULL group and '' group stay separate
+    assert g.select("_vkey").distinct().count() == 2
+
+    b = spark.createDataFrame([("v", 7)], "y string, x bigint")  # reordered
+    ka = multiset_form(spark.createDataFrame([(7, "v")], "x bigint, y string"))
+    kb = multiset_form(b)
+    assert ka.select("_vkey").collect() == kb.select("_vkey").collect()
+
+    # and a column-reordered target still heals
+    src = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "x bigint, y string")
+    dst_reordered = spark.createDataFrame([("a", 1), ("STALE", 9)], "y string, x bigint")
+    from mongoshake_spark.plans.repair import repair_ops
+
+    g_src, g_dst = multiset_form(src), multiset_form(
+        dst_reordered.select("x", "y")
+    )
+    sig = [F.col(c).cast("string") for c in g_src.columns if c != "_vkey"]
+    ops = repair_ops(g_src, g_dst, "_vkey", sig, n_buckets=8)
+    healed = apply_multiset_repair(dst_reordered.select("x", "y"), ops)
+    got = sorted((r["x"], r["y"]) for r in healed.collect())
+    assert got == [(1, "a"), (1, "a"), (2, "b")]
