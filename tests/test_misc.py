@@ -127,3 +127,36 @@ def test_semantic_decontaminate_includes_zero_hit_rows(spark):
            for r in semantic_decontaminate(corpus, ev, 9, 10).collect()}
     # cos(1,ev)=1 -> hit; cos(2,ev)=0 and cos(3,ev)=-1 -> clean but PRESENT
     assert got == {1: (1, True), 2: (0, False), 3: (0, False)}
+
+
+def test_stream_tmpdir_sweeps_only_other_processes_stale_trees(tmp_path, monkeypatch):
+    """The harness tmp sweep must never delete the CURRENT process's
+    trees (a lazily re-evaluated sink may still need its files, however
+    old), and must remove other processes' trees once stale."""
+    import os
+    import time
+
+    import mongoshake_spark.plans.queries as q
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        base = os.path.join(str(tmp_path), "mongoshake_stream_q")
+        os.makedirs(base)
+        mine_old = os.path.join(base, f"pid{os.getpid()}_old")
+        other_old = os.path.join(base, "pid99999_old")
+        other_new = os.path.join(base, "pid99999_new")
+        for d in (mine_old, other_old, other_new):
+            os.makedirs(d)
+        two_hours_ago = time.time() - 7200
+        os.utime(mine_old, (two_hours_ago, two_hours_ago))
+        os.utime(other_old, (two_hours_ago, two_hours_ago))
+        fresh = q._stream_tmpdir("t_")
+        assert os.path.isdir(mine_old)        # own tree survives any age
+        assert not os.path.isdir(other_old)   # foreign stale tree swept
+        assert os.path.isdir(other_new)       # foreign fresh tree kept
+        assert os.path.isdir(fresh) and f"pid{os.getpid()}_" in os.path.basename(fresh)
+    finally:
+        tempfile.tempdir = None
