@@ -170,8 +170,24 @@ def main() -> None:
         json.dump(full, f, indent=1)
     line = dict(full)
     del line["serial_queries"]
+    # Failures must survive compaction: a -1.0 sentinel is the SMALLEST
+    # span, so the old drop-smallest-first heuristic evicted failure
+    # markers before any real timing and a stdout-only consumer saw a
+    # clean run. Failed names go to a dedicated never-truncated field;
+    # only non-negative real spans participate in the drop heuristic.
+    failed = sorted(
+        set(
+            [k for k, v in serial_timings.items() if v < 0]
+            + [k for k, v in timings.items() if v < 0]
+        )
+    )
+    if failed:
+        line["failed"] = failed
     line["queries"] = dict(
-        sorted(serial_timings.items(), key=lambda kv: -kv[1])
+        sorted(
+            ((k, v) for k, v in serial_timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )
     )
     line["queries_note"] = "serial spans; pooled per-query in BENCH_FULL.json"
     omitted = 0.0
@@ -179,7 +195,7 @@ def main() -> None:
     while len(json.dumps(line, separators=(",", ":"))) > 1800 and line["queries"]:
         name, span = min(line["queries"].items(), key=lambda kv: kv[1])
         del line["queries"][name]
-        omitted += max(span, 0.0)
+        omitted += span
         n_omitted += 1
         line["queries_omitted"] = n_omitted
         line["queries_omitted_sec"] = round(omitted, 3)

@@ -317,31 +317,35 @@ def main(argv: list[str] | None = None) -> int:
                 sample_num=sample_num, sample_den=sample_den,
                 attribute_columns=args.verify_attribute, sig_col_names=names,
             )
-            diffs = diffs_df.collect()
+            # The diff stays a DataFrame end-to-end: for a heavily
+            # diverged table it is O(|table|), so collecting it makes
+            # driver memory the bound. localCheckpoint materializes it
+            # ONCE on the executors (truncating the two-phase verify
+            # lineage so neither the count, the 100-row report, nor the
+            # repair plan recomputes it); the driver only ever holds the
+            # count and the first 100 rows.
+            diffs_df = diffs_df.localCheckpoint(eager=True)
+            n_diffs = diffs_df.count()
+            head = diffs_df.limit(100).collect()
             def _row(r):
                 out = {"key": r[0], "status": r[1]}
                 if args.verify_attribute and r[2] is not None:
                     out["diff_cols"] = list(r[2])
                 return out
             res = {
-                "in_sync": not diffs,
-                "n_diffs": len(diffs),  # full count — 'diffs' shows 100
-                "diffs": [_row(r) for r in diffs[:100]],
+                "in_sync": n_diffs == 0,
+                "n_diffs": n_diffs,  # full count — 'diffs' shows 100
+                "diffs": [_row(r) for r in head],
             }
-            if args.repair_dir and diffs:
+            if args.repair_dir and n_diffs:
                 from mongoshake_spark.plans.repair import repair_ops
 
                 plan_path = os.path.join(args.repair_dir, table)
-                # reuse the diff just computed (pass the collected rows
-                # back as a DataFrame) — repairing must not re-run the
-                # whole two-phase verification
-                diff_rows = spark.createDataFrame(
-                    [(r[0], r[1]) for r in diffs],
-                    src.select(key).schema.add("status", "string"),
-                )
-                # multiset plans carry the content columns + _mult as the
-                # payload, so apply can rebuild the exact multiplicity
-                plan = repair_ops(src, dst, key, sig_cols, diffs=diff_rows)
+                # reuse the checkpointed diff directly — repairing must
+                # not re-run the two-phase verification, and multiset
+                # plans carry the content columns + _mult as the payload
+                # so apply can rebuild the exact multiplicity
+                plan = repair_ops(src, dst, key, sig_cols, diffs=diffs_df)
                 plan.write.mode("overwrite").parquet(plan_path)
                 res["repair_plan"] = plan_path
                 plans_written.append(table)

@@ -56,18 +56,49 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_one(payload: bytes, decoder: str) -> tuple[int, int, int]:
-    """Stub decode: parse the fake header. A real deployment swaps this for
-    PIL/librosa/pyav — everything around it (batching, schema, pruning)
-    stays identical."""
+    """Decode dispatch. ``fake`` parses the fixture header (the
+    oracle-portable path — deterministic, library-free, what every
+    registry query uses). ``pil`` and ``soundfile`` are the REAL
+    decoders, availability-gated on their optional libraries: absent in
+    this sandbox (tests importorskip them), present on a real media
+    cluster, and everything around the dispatch — Arrow batching, schema,
+    binary pruning — is identical either way."""
     if decoder == "fake":
         if payload[:4] != b"FMI0" or len(payload) < 12:
             raise ValueError("bad magic")
         w = _struct.unpack(">i", payload[4:8])[0]
         h = _struct.unpack(">i", payload[8:12])[0]
         return w, h, 3
+    if decoder == "pil":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder 'pil' needs Pillow on the executors "
+                "(pip install Pillow); use decoder='fake' for the "
+                "library-free fixture path"
+            ) from e
+        import io
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.width, img.height, len(img.getbands())
+    if decoder == "soundfile":
+        try:
+            import soundfile
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder 'soundfile' needs soundfile on the executors "
+                "(pip install soundfile); use decoder='fake' for the "
+                "library-free fixture path"
+            ) from e
+        import io
+
+        with soundfile.SoundFile(io.BytesIO(payload)) as snd:
+            # audio maps onto the image-shaped schema: width=frames,
+            # height=samplerate, channels=channels
+            return snd.frames, snd.samplerate, snd.channels
     raise NotImplementedError(
-        f"decoder {decoder!r}: media libraries not available in this "
-        "environment — plug a real decoder into _decode_one"
+        f"decoder {decoder!r}: unknown — 'fake', 'pil', or 'soundfile'"
     )
 
 

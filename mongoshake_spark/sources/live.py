@@ -1,5 +1,6 @@
 """Live connector bindings — the production forms of S2 (MongoDB change
-stream source) and S8/S12 (Kafka tunnel sink/source).
+stream source), S7 (MongoDB write target) and S8/S12 (Kafka tunnel
+sink/source).
 
 This sandbox has neither the Spark-Mongo connector nor the
 spark-sql-kafka package, so these bindings are availability-gated: each
@@ -118,6 +119,111 @@ def read_change_stream(
         "documentKey", "updateDescription", "lsid", "txnNumber",
     )
     return event_to_oplog(events)
+
+
+def write_mongo_table(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    id_fields: tuple[str, ...] = ("_id",),
+    checkpoint_dir: str | None = None,
+    operation_type: str = "replace",
+):
+    """S7 production form, table flavor: write rows into a live MongoDB
+    collection through the Spark-Mongo connector — the full-sync bulk
+    target (collector/docsyncer writes via the same bulk upsert path the
+    incremental db_writer uses). Batch and streaming inputs both work; a
+    streaming input returns the started StreamingQuery.
+
+    ``operation_type='replace'`` with ``idFieldList`` makes every write an
+    upsert keyed on the id fields — idempotent, so an at-least-once replay
+    (stream checkpoint) or a re-run full sync converges instead of raising
+    dup-key, the same end-to-end argument the apply kernel makes for its
+    parquet MERGE target.
+    """
+    _require(df.sparkSession, "mongodb", "org.mongodb.spark:mongo-spark-connector_2.13")
+    opts = {
+        "spark.mongodb.connection.uri": uri,
+        "spark.mongodb.database": database,
+        "spark.mongodb.collection": collection,
+        "spark.mongodb.operationType": operation_type,
+        "spark.mongodb.idFieldList": ",".join(id_fields),
+    }
+    if df.isStreaming:
+        writer = df.writeStream.format("mongodb").options(**opts)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    df.write.format("mongodb").mode("append").options(**opts).save()
+    return None
+
+
+def mongo_ops_mirror(
+    uri: str,
+    database: str,
+    collection: str,
+    id_field: str = "_id",
+    bulk_size: int = 1000,
+):
+    """S7 production form, CDC flavor: a mirror callable for
+    ``ApplyKernel(mirror=...)`` that applies each committed batch's NET
+    per-key ops to a live MongoDB collection — the reference's bulk
+    writer (executor/db_writer.go:49-59, db_writer_bulk.go:23-116)
+    re-expressed as per-op-type bulk_write batches.
+
+    The connector's DataFrame writer cannot express deletes, so this path
+    goes executor-side pymongo: each partition opens one client and
+    issues ReplaceOne(upsert=True) / DeleteOne in ``bulk_size`` chunks —
+    the reference's bulk buffer (unordered: the kernel already reduced to
+    one net op per key, so there is no intra-key order to preserve, and
+    unordered bulks let mongos parallelize across shards). Idempotent by
+    construction (replace-by-id / delete-by-id), so batch replays under
+    the stream's at-least-once checkpoint converge.
+
+    Gated on pymongo at construction time (driver-side import) so a
+    missing dependency fails loudly at wiring, not inside an executor.
+    """
+    try:
+        import pymongo  # noqa: F401 — availability probe only
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "mongo_ops_mirror requires pymongo on driver and executors; "
+            "deploy it (pip install pymongo) to use the live CDC target"
+        ) from e
+
+    def mirror(net_ops: DataFrame, batch_id: int) -> None:
+        key, val, op = net_ops.columns[0], net_ops.columns[1], net_ops.columns[2]
+
+        def apply_partition(rows) -> None:
+            from pymongo import DeleteOne, MongoClient, ReplaceOne
+
+            client = MongoClient(uri)
+            try:
+                coll = client[database][collection]
+                buf = []
+                for r in rows:
+                    if r[op] == "d":
+                        buf.append(DeleteOne({id_field: r[key]}))
+                    else:
+                        buf.append(
+                            ReplaceOne(
+                                {id_field: r[key]},
+                                {id_field: r[key], "value": r[val]},
+                                upsert=True,
+                            )
+                        )
+                    if len(buf) >= bulk_size:
+                        coll.bulk_write(buf, ordered=False)
+                        buf = []
+                if buf:
+                    coll.bulk_write(buf, ordered=False)
+            finally:
+                client.close()
+
+        net_ops.foreachPartition(apply_partition)
+
+    return mirror
 
 
 def write_kafka_tunnel(

@@ -93,6 +93,15 @@ class ApplyKernel:
     # None keeps the record-only behavior (no catalog to mutate in oracle
     # fixtures); with an executor, each barrier statement really runs.
     ddl_executor: object | None = None
+    # S7 production form: optional live-target mirror, called AFTER each
+    # batch's flush commits with the batch's NET per-key ops
+    # ``(key, value, op)`` (op='d' = delete, else upsert) and the batch
+    # id. sources/live.mongo_ops_mirror builds one for a real MongoDB
+    # target (executor/db_writer.go:49-59); the parquet state stays the
+    # resumable source of truth either way. A mirror failure raises out
+    # of foreachBatch, so the stream retries the batch — mirrors must be
+    # idempotent (replace/delete by id is).
+    mirror: object | None = None
     ddl_log: list[tuple] = field(default_factory=list)
     _state: DataFrame | None = field(default=None, repr=False)
     _layout_checked: bool = field(default=False, repr=False)
@@ -363,6 +372,21 @@ class ApplyKernel:
                     self._apply_segment(crud)
                 self._apply_ddl(ddl_rows)
             self._flush(touched)
+            if self.mirror is not None and touched:
+                # net ops from COMMITTED state (replay-safe: a replayed
+                # batch re-reads the same converged rows), restricted to
+                # this batch's keys — O(batch) via the same bucket-pruned
+                # slice read _begin_batch uses, never O(state)
+                keys = crud.select(self.key).distinct()
+                committed = (
+                    self.spark.read.parquet(self.target_dir)
+                    .filter(F.col("_bucket").isin(touched))
+                    .drop("_bucket")
+                )
+                net = committed.join(keys, self.key, "leftsemi").select(
+                    self.key, self.val, "op"
+                )
+                self.mirror(net, batch_id)
             if batch_max is not None:
                 # advance AFTER the flush commits: a replay of this batch
                 # re-merges under the old (smaller) watermark, so its own

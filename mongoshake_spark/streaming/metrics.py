@@ -73,3 +73,71 @@ def attach(spark: SparkSession) -> MetricsListener:
     listener = MetricsListener()
     spark.streams.addListener(listener)
     return listener
+
+
+class MetricsServer:
+    """The reference's REST monitoring surface (collector/syncer.go:640-734
+    serves /repl, /worker, /progress over net/http): the same three
+    endpoints as JSON over ``http.server``, reading a live
+    ``MetricsListener`` — an operator watching a 100-TB sync curls the
+    port instead of scraping logs.
+
+    - ``/repl``     — the windowed-throughput payload (ReplMetrics.snapshot)
+    - ``/worker``   — per-recent-batch rows (the worker-queue analog: on
+      Spark the "workers" are executor tasks the scheduler owns, so the
+      per-batch feed IS the per-worker view)
+    - ``/progress`` — the recent-batch window verbatim
+
+    Daemon-threaded and bound to ``127.0.0.1`` (monitoring plane, not a
+    public service); ``port=0`` lets the OS pick — read ``.port``.
+    Handlers only READ the listener's fields (single attribute reads of
+    ints/floats and a bounded deque snapshot), so no lock is needed
+    against the listener thread's updates.
+    """
+
+    def __init__(self, listener: MetricsListener, port: int = 0) -> None:
+        import http.server
+        import json as _json
+        import threading
+
+        metrics = listener.metrics
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802
+                routes = {
+                    "/repl": metrics.snapshot,
+                    "/worker": lambda: {
+                        "batches": metrics.batches,
+                        "recent": list(metrics.progress)[-16:],
+                    },
+                    "/progress": lambda: list(metrics.progress),
+                }
+                fn = routes.get(self.path)
+                if fn is None:
+                    self.send_error(404)
+                    return
+                body = _json.dumps(fn()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # quiet monitoring plane
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def serve(listener: MetricsListener, port: int = 0) -> MetricsServer:
+    """Start the REST monitoring surface for an attached listener."""
+    return MetricsServer(listener, port=port)

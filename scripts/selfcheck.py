@@ -50,6 +50,34 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
+def driver_canon_gate(rows, cols):
+    """Replicate the round driver's canonicalization so any output it
+    cannot hash fails HERE first. The driver builds a pandas frame and
+    ``sort_values`` over every column sorted by name; array/map/struct
+    cells make pandas' lexsort raise ``unhashable type`` (this exact
+    failure shipped green in r5 because selfcheck's own canonicalizer
+    handles lists — CORRECTNESS_r05 vocab_encode / mm_features). Raises
+    on any non-driver-hashable output.
+    """
+    import pandas as pd
+
+    for i, c in enumerate(cols):
+        bad = next(
+            (r[i] for r in rows if isinstance(r[i], (list, tuple, dict, set))),
+            None,
+        )
+        if bad is not None:
+            raise TypeError(
+                f"driver-incompatible output: column {c!r} holds "
+                f"{type(bad).__name__} cells — the round driver's pandas "
+                "canonicalizer cannot sort them; project to a scalar "
+                "(e.g. array_join/to_json) in BOTH the query and the oracle"
+            )
+    if rows:
+        pdf = pd.DataFrame(rows, columns=list(cols))
+        pdf.sort_values(by=sorted(pdf.columns), inplace=True)  # driver's move
+
+
 def main():
     only = sys.argv[1].split(",") if len(sys.argv) > 1 and sys.argv[1] != "all" else None
     import __spark_entry__ as entry
@@ -76,10 +104,12 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             rec = {"spark_rows": len(srows), "sec": round(time.time() - t0, 2)}
+            driver_canon_gate(srows, scols)
             if name in oracles:
                 ores = con.execute(oracles[name])
                 ocols = [d[0] for d in ores.description]
                 orows = ores.fetchall()
+                driver_canon_gate(orows, ocols)
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)
                 rec["schema_match"] = sorted(scols) == sorted(ocols)

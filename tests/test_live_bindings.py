@@ -79,3 +79,92 @@ def test_change_stream_binding_live(spark, tmp_path):
     stream = live.read_change_stream(spark, MONGO_URI, "mshake_test", "c1")
     assert stream.isStreaming
     assert set(stream.columns) >= {"ts", "op", "ns", "o"}
+
+
+def test_missing_mongo_connector_gates_write_binding(spark, sf_dir):
+    if live.source_available(spark, "mongodb"):
+        pytest.skip("mongo connector present — gated error path not reachable")
+    from mongoshake_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "nation")
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        live.write_mongo_table(df, "mongodb://h/", "db0", "c1")
+
+
+def test_mongo_ops_mirror_gates_on_pymongo():
+    try:
+        import pymongo  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="pymongo"):
+            live.mongo_ops_mirror("mongodb://h/", "db0", "c1")
+    else:
+        mirror = live.mongo_ops_mirror("mongodb://h/", "db0", "c1")
+        assert callable(mirror)
+
+
+def test_apply_kernel_mirror_receives_net_ops(spark, tmp_path):
+    """S7 mirror wiring: the kernel hands each committed batch's NET
+    per-key (key, value, op) set to the mirror — upserts for live keys,
+    'd' for keys whose last writer was a delete — which is exactly the
+    bulk_write set mongo_ops_mirror would apply
+    (executor/db_writer.go:49-59)."""
+    import datetime
+
+    from mongoshake_spark.streaming.apply import ApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    seen: list[dict] = []
+
+    def mirror(net_ops, batch_id):
+        seen.append(
+            {
+                "batch": batch_id,
+                "ops": {
+                    r[0]: (r[1], r[2]) for r in net_ops.collect()
+                },
+            }
+        )
+
+    kernel = ApplyKernel(spark, str(tmp_path / "t"), mirror=mirror, n_buckets=4)
+    b0 = spark.createDataFrame(
+        [
+            (1, t0, 7, "i", "db0.c1", 1.0, "{}"),
+            (2, t0, 8, "i", "db0.c1", 2.0, "{}"),
+            (3, t0, 7, "u", "db0.c1", 3.0, "{}"),
+        ],
+        schema,
+    )
+    kernel.process_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [
+            (4, t0, 8, "d", "db0.c1", None, "{}"),
+            (5, t0, 9, "i", "db0.c1", 5.0, "{}"),
+        ],
+        schema,
+    )
+    kernel.process_batch(b1, 1)
+    assert seen[0]["batch"] == 0
+    assert seen[0]["ops"] == {7: (3.0, "u"), 8: (2.0, "i")}
+    # batch 1: key 8's net op is the delete; key 7 untouched -> absent
+    assert seen[1]["ops"][8][1] == "d"
+    assert seen[1]["ops"][9] == (5.0, "i")
+    assert 7 not in seen[1]["ops"]
+
+
+@pytest.mark.skipif(
+    not MONGO_URI, reason="set MONGOSHAKE_SPARK_TEST_MONGO_URI to run"
+)
+def test_mongo_write_binding_live(spark):
+    """Cluster-only: rows written through the real connector land in the
+    collection, and a re-run converges (upsert-by-id, not dup-key)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "_id long, value string")
+    live.write_mongo_table(df, MONGO_URI, "mshake_test", "wtarget")
+    live.write_mongo_table(df, MONGO_URI, "mshake_test", "wtarget")
+    import pymongo
+
+    coll = pymongo.MongoClient(MONGO_URI)["mshake_test"]["wtarget"]
+    assert coll.count_documents({}) == 2

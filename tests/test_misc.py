@@ -79,6 +79,33 @@ def test_metrics_listener_and_journal(spark, sf_dir, tmp_path):
         assert listener.metrics.rows_in == total
         assert listener.metrics.batches >= 1
         assert listener.metrics.snapshot()["rows_in"] == total
+        # A2 REST surface: the reference's /repl /worker /progress
+        # endpoints (collector/syncer.go:640-734), observable
+        # OUT-OF-PROCESS over HTTP — not just via the Python object
+        import json
+        import urllib.error
+        import urllib.request
+
+        server = metrics.serve(listener)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+
+            def fetch(path):
+                with urllib.request.urlopen(base + path, timeout=10) as r:
+                    return json.loads(r.read())
+
+            assert fetch("/repl")["rows_in"] == total
+            worker = fetch("/worker")
+            assert worker["batches"] == listener.metrics.batches
+            progress = fetch("/progress")
+            assert sum(p["numInputRows"] for p in progress) == total
+            try:
+                fetch("/nope")
+                raise AssertionError("unknown route must 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.close()
     finally:
         spark.streams.removeListener(listener)
 
@@ -129,11 +156,13 @@ def test_semantic_decontaminate_includes_zero_hit_rows(spark):
     assert got == {1: (1, True), 2: (0, False), 3: (0, False)}
 
 
-def test_stream_tmpdir_sweeps_only_other_processes_stale_trees(tmp_path, monkeypatch):
-    """The harness tmp sweep must never delete the CURRENT process's
-    trees (a lazily re-evaluated sink may still need its files, however
-    old), and must remove other processes' trees once stale."""
+def test_stream_tmpdir_sweeps_only_dead_owners_stale_trees(tmp_path, monkeypatch):
+    """The harness tmp sweep must never delete a LIVE process's trees —
+    the current process's OR a concurrent session's (either may hold a
+    lazily re-evaluated sink, however old the tree) — and must remove a
+    DEAD owner's trees once stale."""
     import os
+    import subprocess
     import time
 
     import mongoshake_spark.plans.queries as q
@@ -145,18 +174,42 @@ def test_stream_tmpdir_sweeps_only_other_processes_stale_trees(tmp_path, monkeyp
     try:
         base = os.path.join(str(tmp_path), "mongoshake_stream_q")
         os.makedirs(base)
+        # a pid that is guaranteed dead: a subprocess that already exited
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        dead_pid = proc.pid
         mine_old = os.path.join(base, f"pid{os.getpid()}_old")
-        other_old = os.path.join(base, "pid99999_old")
-        other_new = os.path.join(base, "pid99999_new")
-        for d in (mine_old, other_old, other_new):
+        dead_old = os.path.join(base, f"pid{dead_pid}_old")
+        dead_new = os.path.join(base, f"pid{dead_pid}_new")
+        alive_old = os.path.join(base, "pid1_old")  # pid 1 is always alive
+        for d in (mine_old, dead_old, dead_new, alive_old):
             os.makedirs(d)
         two_hours_ago = time.time() - 7200
-        os.utime(mine_old, (two_hours_ago, two_hours_ago))
-        os.utime(other_old, (two_hours_ago, two_hours_ago))
+        for d in (mine_old, dead_old, alive_old):
+            os.utime(d, (two_hours_ago, two_hours_ago))
         fresh = q._stream_tmpdir("t_")
         assert os.path.isdir(mine_old)        # own tree survives any age
-        assert not os.path.isdir(other_old)   # foreign stale tree swept
-        assert os.path.isdir(other_new)       # foreign fresh tree kept
+        assert not os.path.isdir(dead_old)    # dead owner's stale tree swept
+        assert os.path.isdir(dead_new)        # dead owner's fresh tree kept
+        assert os.path.isdir(alive_old)       # LIVE owner's tree kept, any age
         assert os.path.isdir(fresh) and f"pid{os.getpid()}_" in os.path.basename(fresh)
     finally:
         tempfile.tempdir = None
+
+
+def test_selfcheck_driver_canon_gate_rejects_arrays():
+    """The r5 escape (array-typed outputs shipped green through selfcheck
+    then ERRed in the driver's pandas canonicalizer) must be impossible:
+    the gate fails on array cells and passes scalar-only outputs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pytest as _pytest
+    from scripts.selfcheck import driver_canon_gate
+
+    driver_canon_gate([(1, "a"), (2, "b")], ["id", "s"])  # scalars pass
+    driver_canon_gate([], ["id"])  # empty result passes
+    with _pytest.raises(TypeError, match="driver-incompatible"):
+        driver_canon_gate([(1, [1, 2])], ["id", "ids"])
+    with _pytest.raises(TypeError, match="driver-incompatible"):
+        driver_canon_gate([(1, {"k": 1})], ["id", "m"])

@@ -171,13 +171,68 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert decoded.count() == docs.count()
 
 
-def test_multimodal_unimplemented_decoder(spark, sf_dir):
+def test_multimodal_unavailable_decoder_raises_clearly(spark, sf_dir):
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("Pillow present — the gated error path is not reachable")
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    media = multimodal.attach_fake_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|needs Pillow"):
+        multimodal.decode_media(media, decoder="pil").collect()
+
+
+def test_multimodal_unknown_decoder_raises(spark, sf_dir):
     import pytest
 
     docs = load_table(spark, sf_dir, "documents").limit(2)
     media = multimodal.attach_fake_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        multimodal.decode_media(media, decoder="pil").collect()
+    with pytest.raises(Exception, match="NotImplementedError|unknown"):
+        multimodal.decode_media(media, decoder="no_such").collect()
+
+
+def test_multimodal_pil_real_decode(spark):
+    """Cluster-only (importorskip): a REAL PNG decodes through the same
+    mapInPandas plumbing the fake path uses — proving the decoder swap
+    is the only difference."""
+    import io
+
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()), ("f.png", 37, 21))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_media(media, decoder="pil").collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (37, 21, 3)
+
+
+def test_multimodal_soundfile_real_decode(spark):
+    """Cluster-only (importorskip): a real WAV through the same plumbing;
+    audio maps onto (frames, samplerate, channels)."""
+    import io
+
+    import pytest
+
+    sf_mod = pytest.importorskip("soundfile")
+    np = pytest.importorskip("numpy")
+
+    buf = io.BytesIO()
+    sf_mod.write(buf, np.zeros((800, 2)), 16000, format="WAV")
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(buf.getvalue()), ("f.wav", 0, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_media(media, decoder="soundfile").collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (800, 16000, 2)
 
 
 def test_resize_plan(spark, sf_dir):
