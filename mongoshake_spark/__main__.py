@@ -43,6 +43,10 @@ _CONF_KEYS = {
 #: recognized but engine-mapped elsewhere (tunnel routing, not SyncConfig)
 _TUNNEL_KEYS = ("tunnel", "tunnel.address")
 
+#: the reference's REST monitoring ports (conf/collector.conf:30-34);
+#: incr_sync.http_port starts streaming/metrics.MetricsServer for the run
+_HTTP_KEYS = ("incr_sync.http_port", "full_sync.http_port", "system_profile_port")
+
 
 def parse_conf(path: str) -> tuple[SyncConfig, dict]:
     """Parse the reference's conf dialect: ``key = value`` lines, ``#``
@@ -52,6 +56,7 @@ def parse_conf(path: str) -> tuple[SyncConfig, dict]:
     threads) intentionally have no Spark analog."""
     fields: dict = {}
     tunnel: dict = {}
+    http: dict = {}
     unknown: list[str] = []
     with open(path) as f:
         for line in f:
@@ -65,10 +70,15 @@ def parse_conf(path: str) -> tuple[SyncConfig, dict]:
                 fields[name] = conv(value)
             elif key in _TUNNEL_KEYS:
                 tunnel[key] = value
+            elif key in _HTTP_KEYS:
+                try:
+                    http[key] = int(value)
+                except ValueError as e:
+                    raise ConfigError(f"{key} must be an integer port: {e}")
             elif value:
                 unknown.append(key)
     cfg = SyncConfig(**fields).validate()
-    return cfg, {"tunnel": tunnel, "unknown": unknown}
+    return cfg, {"tunnel": tunnel, "http": http, "unknown": unknown}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -110,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     try:
-        cfg, extra = parse_conf(args.conf) if args.conf else (SyncConfig().validate(), {"tunnel": {}, "unknown": []})
+        cfg, extra = parse_conf(args.conf) if args.conf else (SyncConfig().validate(), {"tunnel": {}, "http": {}, "unknown": []})
     except (ConfigError, OSError) as e:
         print(f"conf error: {e}", file=sys.stderr)
         return 2
@@ -120,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         "mode": mode,
         "config": {k: (list(v) if isinstance(v, tuple) else v) for k, v in vars(cfg).items()},
         "tunnel": extra["tunnel"],
+        "http": extra.get("http", {}),
         "ignored_conf_keys": extra["unknown"],
         "source_dir": args.source_dir,
         "target_dir": args.target_dir,
@@ -174,11 +185,60 @@ def main(argv: list[str] | None = None) -> int:
     elif mode == "incr":
         from mongoshake_spark.streaming.apply import run_incr_sync
 
-        kernel = run_incr_sync(
-            spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
-            max_files_per_trigger=cfg.files_per_trigger,
-        )
-        print(json.dumps({"mode": mode, "ddl_applied": len(kernel.ddl_log)}))
+        # tunnel = direct with a mongodb:// address mirrors each committed
+        # batch's net ops into the live target (S7 production form,
+        # executor/db_writer.go:49-59). The address carries the namespace
+        # as its path: mongodb://host[:port]/db.coll — the kernel syncs
+        # ONE logical table, so the ns is fixed per run (per-ns fanout is
+        # the DBTransform operator's job upstream).
+        mirror = None
+        t = extra["tunnel"]
+        if t.get("tunnel") == "direct" and str(
+            t.get("tunnel.address", "")
+        ).startswith("mongodb://"):
+            from mongoshake_spark.sources.live import mongo_ops_mirror
+
+            addr = t["tunnel.address"]
+            host, _, ns = addr[len("mongodb://"):].partition("/")
+            base = "mongodb://" + host
+            if "." not in ns:
+                print(
+                    "conf error: tunnel.address for tunnel=direct must "
+                    "end in /db.coll (the target namespace), got "
+                    f"{addr!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            db, _, coll = ns.partition(".")
+            try:
+                mirror = mongo_ops_mirror(base + "/", db, coll)
+            except RuntimeError as e:  # pymongo absent: fail at wiring
+                print(f"conf error: {e}", file=sys.stderr)
+                return 2
+        # incr_sync.http_port serves /repl /worker /progress for the run
+        # (collector.conf:31; syncer.go:640-734)
+        listener = server = None
+        port = extra.get("http", {}).get("incr_sync.http_port")
+        if port is not None:  # 0 = OS-assigned is valid
+            from mongoshake_spark.streaming import metrics as metrics_mod
+
+            listener = metrics_mod.attach(spark)
+            server = metrics_mod.serve(listener, port=port)
+        try:
+            kernel = run_incr_sync(
+                spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
+                max_files_per_trigger=cfg.files_per_trigger,
+                mirror=mirror,
+            )
+        finally:
+            if server is not None:
+                server.close()
+            if listener is not None:
+                spark.streams.removeListener(listener)
+        out = {"mode": mode, "ddl_applied": len(kernel.ddl_log)}
+        if listener is not None:
+            out["metrics"] = listener.metrics.snapshot()
+        print(json.dumps(out))
     elif mode == "all":
         from mongoshake_spark.plans.full_sync import sync_all
 

@@ -720,3 +720,129 @@ def quality_deciles(
         )
         .drop("_rank", "_total")
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the fixed-size-broadcast variant of
+    ``decontaminate``. The eval side compresses to an ``m_bits``-position
+    Bloom filter (``k`` dialect-portable polynomial hash positions per
+    distinct n-gram); the corpus side is checked entirely IN-ROW against
+    the broadcast filter.
+
+    Why it exists at 100 TB: ``decontaminate`` broadcasts the eval gram
+    SET, whose size grows with the eval suite; here the broadcast is
+    ``m_bits`` regardless (choose m for the target false-positive rate
+    ``(1-e^{-k·g/m})^k``), and the corpus plan has NO join, aggregate, or
+    shuffle at all — gram extraction, probing, and the per-doc verdict
+    are one map-only projection over the scan. The error is one-sided:
+    false POSITIVES only (a clean doc may flag; a contaminated doc never
+    escapes), which is the safe direction for decontamination — you only
+    ever over-drop.
+
+    Deterministic end to end: position ``i`` of gram g is
+    ``(poly(g)·(2i+1) + 7919·i) mod m_bits`` with the texthash
+    polynomial, so a DuckDB oracle reproduces the filter bit-for-bit —
+    including which false positives fire.
+
+    Returns ``(id_col, n_grams, n_flagged, contaminated)`` with the same
+    every-document contract as ``decontaminate`` (short docs have
+    ``n_grams = 0`` and are never contaminated).
+
+    The filter is represented as a one-row ``map<int,boolean>`` (hash
+    lookup per probe); a production build would pack it to ``m/64``
+    longs, which changes constants, not shape — the broadcast is O(m)
+    and the probe O(1) either way.
+    """
+    from mongoshake_spark.functions.texthash import poly_hash_spark
+
+    ph = poly_hash_spark("gram")
+    eval_grams = _doc_ngrams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    pos = eval_grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"CAST((({ph}) * {2 * i + 1} + {7919 * i}) % {int(m_bits)} AS INT)"
+                    )
+                    for i in range(int(k))
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    bloom_row = pos.agg(F.collect_list("p").alias("_ps")).select(
+        F.when(
+            F.size("_ps") > 0,
+            F.map_from_arrays("_ps", F.transform("_ps", lambda _: F.lit(True))),
+        )
+        .otherwise(
+            F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<boolean>")
+            )
+        )
+        .alias("_bloom")
+    )
+    gh = poly_hash_spark("g")
+    hit = " AND ".join(
+        f"element_at(_bloom, CAST(((h * {2 * i + 1} + {7919 * i}) % {int(m_bits)}) AS INT)) IS NOT NULL"
+        for i in range(int(k))
+    )
+    return (
+        fan_out_scan(corpus)  # gram explode + k probes are CPU-bound
+        .crossJoin(F.broadcast(bloom_row))
+        .withColumn(
+            "_grams", F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))
+        )
+        .withColumn("_hashes", F.expr(f"transform(_grams, g -> {gh})"))
+        .select(
+            F.col(id_col),
+            F.size("_hashes").cast("bigint").alias("n_grams"),
+            F.expr(f"CAST(size(filter(_hashes, h -> {hit})) AS BIGINT)").alias(
+                "n_flagged"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_flagged") > 0)
+    )
+
+
+def assign_splits(
+    docs: DataFrame,
+    fractions: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/validation/test split assignment: bucket =
+    ``knuth_u32(id, seed) mod total_weight`` mapped through cumulative
+    integer weight ranges. ``fractions`` maps split name -> INTEGER
+    weight (default ``{"train": 90, "val": 5, "test": 5}``), so the
+    contract is exact integer arithmetic — no float thresholds to
+    diverge between engines — and the assignment is a pure per-row
+    projection: no shuffle, no RNG state, reproducible for the same ids
+    under any partitioning or re-run (the property a training pipeline
+    needs so a re-materialized corpus never leaks val docs into train).
+
+    Names are assigned in INSERTION order of ``fractions`` — the caller's
+    dict order is the range order.
+    """
+    if fractions is None:
+        fractions = {"train": 90, "val": 5, "test": 5}
+    if not fractions or any(
+        (not isinstance(w, int)) or w <= 0 for w in fractions.values()
+    ):
+        raise ValueError("fractions must map names to positive integer weights")
+    total = sum(fractions.values())
+    bucket = F.pmod(knuth_u32(id_col, seed=seed), F.lit(total))
+    expr = None
+    cum = 0
+    for name, w in fractions.items():
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.withColumn("split", expr)

@@ -939,3 +939,48 @@ def normalized_exact_groups(
     return docs.groupBy(F.md5(normalize_text(text_col)).alias("text_hash")).agg(
         F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
     )
+
+
+def source_duplicate_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplicate governance rollup from exact content matches —
+    the corpus-curation dashboard number behind "which crawl/source is
+    feeding us duplicates, and is it copying the others?".
+
+    For each source: ``n_docs``, ``n_dup_docs`` (docs whose exact text
+    occurs more than once anywhere in the corpus), and
+    ``n_cross_source_dup_docs`` (docs whose text also occurs under a
+    DIFFERENT source — cross-source contamination, the signal that one
+    source mirrors another and should be down-weighted rather than
+    deduped doc-by-doc).
+
+    Scale shape: two hash aggregates and one equi-join, all keyed on the
+    content hash (md5 — dialect-portable for the oracle; swap xxhash64
+    for production). groupBy(hash, source) runs with map-side partial
+    aggregation, its output is one row per (content, source) — already
+    far smaller than the corpus — and the group-total join is
+    hash-keyed (AQE-safe). Nothing rejoins the full corpus and no
+    per-doc rows survive past the first aggregate.
+    """
+    h = F.md5(F.col(text_col))
+    per_src = docs.select(h.alias("_h"), F.col(source_col)).groupBy(
+        "_h", source_col
+    ).agg(F.count("*").alias("_cnt_src"))
+    totals = per_src.groupBy("_h").agg(F.sum("_cnt_src").alias("_n"))
+    return (
+        per_src.join(totals, "_h")
+        .groupBy(source_col)
+        .agg(
+            F.sum("_cnt_src").alias("n_docs"),
+            F.sum(F.when(F.col("_n") > 1, F.col("_cnt_src")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum(
+                F.when(F.col("_n") > F.col("_cnt_src"), F.col("_cnt_src")).otherwise(0)
+            ).alias("n_cross_source_dup_docs"),
+        )
+    )

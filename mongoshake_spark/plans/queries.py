@@ -3219,6 +3219,109 @@ def stream_static_enrich_q(spark, sf_dir):
     )
 
 
+_BLOOM_M = 262144
+_PH_GRAM = poly_hash_duckdb("gram")
+_PH_G = poly_hash_duckdb("g")
+_BLOOM_POS = (
+    f"[CAST(h % {_BLOOM_M} AS INT), CAST((h * 3 + 7919) % {_BLOOM_M} AS INT), "
+    f"CAST((h * 5 + 15838) % {_BLOOM_M} AS INT)]"
+)
+
+
+@_q(
+    "decontaminate_bloom",
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+eg AS (SELECT DISTINCT unnest(list_distinct({_G5})) AS gram
+       FROM toks WHERE doc_id % 20 = 0),
+ph AS (SELECT {_PH_GRAM} AS h FROM eg),
+pos AS (SELECT DISTINCT unnest({_BLOOM_POS}) AS p FROM ph),
+plist AS (SELECT list(p) AS ps FROM pos),
+corp AS (SELECT doc_id, list_distinct({_G5}) AS gs FROM toks WHERE doc_id % 20 != 0),
+gh AS (SELECT doc_id, list_transform(gs, g -> {_PH_G}) AS hs FROM corp),
+flags AS (
+  SELECT doc_id,
+         CAST(len(hs) AS BIGINT) AS n_grams,
+         CAST(len(list_filter(hs, h -> list_has_all(ps, {_BLOOM_POS})))
+              AS BIGINT) AS n_flagged
+  FROM gh CROSS JOIN plist)
+SELECT doc_id, n_grams, n_flagged, n_flagged > 0 AS contaminated
+FROM flags ORDER BY doc_id""",
+    "Bloom-filter decontamination (m=2^18 bits, k=3 polynomial hashes — "
+    "at sf0.1 the fill ratio still yields real false positives, and "
+    "both engines agree on exactly which): the eval grams compress to an "
+    "m-position filter broadcast as ONE row, and the corpus verdict is a "
+    "single map-only projection — no corpus-side join, aggregate, or "
+    "shuffle at all, and the broadcast is O(m) however large the eval "
+    "suite grows (functions/curation.decontaminate_bloom). One-sided "
+    "error: over-drop only, never a missed contamination.",
+)
+def decontaminate_bloom_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate_bloom(
+        corpus, eval_docs, n=5, m_bits=_BLOOM_M, k=3
+    ).orderBy("doc_id")
+
+
+@_q(
+    "split_assign",
+    """SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+    "Deterministic train/val/test assignment (90/5/5 integer weights): "
+    "bucket = knuth multiplicative hash of the id mod the weight total, "
+    "mapped through cumulative ranges — a pure per-row projection with "
+    "no shuffle and no RNG state, so re-materializing the corpus under "
+    "any partitioning reproduces the identical split (no val->train "
+    "leakage across runs) (functions/curation.assign_splits).",
+)
+def split_assign_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+@_q(
+    "source_dup_stats",
+    """WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+per AS (SELECT md5(text) AS h, source, count(*) AS c FROM corpus GROUP BY 1, 2),
+tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY h)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN n > c THEN c ELSE 0 END) AS BIGINT)
+         AS n_cross_source_dup_docs
+FROM per JOIN tot USING (h) GROUP BY source ORDER BY source""",
+    "Per-source duplicate governance rollup (which source feeds us "
+    "duplicates, and is it mirroring another?): the fixture corpus is "
+    "unioned with a shifted 'mirror' source so the cross-source path "
+    "really fires. Two content-hash aggregates + one hash-keyed join; "
+    "per-doc rows die at the first map-side-combined aggregate "
+    "(functions/dedup.source_duplicate_stats).",
+)
+def source_dup_stats_q(spark, sf_dir):
+    from mongoshake_spark.functions.dedup import source_duplicate_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    return source_duplicate_stats(corpus).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -450,15 +450,19 @@ def run_incr_sync(
     max_files_per_trigger: int = 1,
     strict_barriers: bool = False,
     timeout_sec: float = 300.0,
+    mirror: object | None = None,
 ) -> ApplyKernel:
     """Entry point 1 (SURVEY §3.1) end-to-end: stream the replay feed
     through the apply kernel until the feed is drained (availableNow
     trigger = run to current end, then stop — the exit-point semantics of
-    B6 for a bounded run). checkpointLocation gives resume (S13)."""
+    B6 for a bounded run). checkpointLocation gives resume (S13).
+    ``mirror`` passes through to ``ApplyKernel.mirror`` (the live-target
+    hook, e.g. sources/live.mongo_ops_mirror for tunnel=direct)."""
     from mongoshake_spark.streaming.replay import read_oplog_stream
 
     kernel = ApplyKernel(
-        spark, target_dir, dead_letter_dir, strict_barriers=strict_barriers
+        spark, target_dir, dead_letter_dir, strict_barriers=strict_barriers,
+        mirror=mirror,
     )
     stream = read_oplog_stream(spark, feed_dir, max_files_per_trigger)
     q = (

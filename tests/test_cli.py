@@ -381,3 +381,58 @@ def test_cli_repair_recreates_dropped_table_and_ignores_stale_plans(
     assert set(rep["tables"]) == {"region"}  # stale customer plan ignored
     assert main(["--sync-mode", "verify", "--source-dir", sf_dir,
                  "--target-dir", target, "--verify-table", "all"]) == 0
+
+
+def test_cli_http_port_keys_parse_and_reject_garbage(tmp_path):
+    p = tmp_path / "c.conf"
+    p.write_text("sync_mode = incr\nincr_sync.http_port = 9100\n"
+                 "full_sync.http_port = 9101\nsystem_profile_port = 9200\n")
+    _, extra = parse_conf(str(p))
+    assert extra["http"] == {
+        "incr_sync.http_port": 9100,
+        "full_sync.http_port": 9101,
+        "system_profile_port": 9200,
+    }
+    p.write_text("incr_sync.http_port = lots\n")
+    with pytest.raises(ConfigError, match="integer port"):
+        parse_conf(str(p))
+
+
+def test_cli_incr_mode_serves_metrics(spark, sf_dir, tmp_path, capsys):
+    """incr_sync.http_port (collector.conf:31): the incr arm serves the
+    /repl surface for the duration of the run and reports the final
+    snapshot in its JSON output."""
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=2000)
+    conf = tmp_path / "c.conf"
+    # port 0 = OS-assigned: the test only needs the wiring, not a fixed port
+    conf.write_text("sync_mode = incr\nincr_sync.http_port = 0\n")
+    rc = main([
+        "--conf", str(conf),
+        "--source-dir", sf_dir, "--target-dir", str(tmp_path / "state"),
+        "--feed-dir", feed, "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["metrics"]["rows_in"] > 0 and out["metrics"]["batches"] >= 1
+
+
+def test_cli_direct_tunnel_address_must_carry_namespace(spark, sf_dir, tmp_path, capsys):
+    """tunnel=direct needs mongodb://host/db.coll — a bare host address
+    cannot name the target namespace and must fail at wiring, not in an
+    executor."""
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        "sync_mode = incr\ntunnel = direct\n"
+        "tunnel.address = mongodb://127.0.0.1:27017\n"
+    )
+    rc = main([
+        "--conf", str(conf),
+        "--source-dir", sf_dir, "--target-dir", str(tmp_path / "state"),
+        "--feed-dir", str(tmp_path / "feed"), "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "db.coll" in err

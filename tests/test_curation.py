@@ -398,3 +398,69 @@ def test_temperature_rebalance_null_stratum_is_its_own_group(spark):
     kept = temperature_rebalance(docs, alpha=1.0)  # keep_frac == 1 everywhere
     assert kept.count() == 60  # nothing dropped, NULL stratum included
     assert kept.filter(F.col("lang").isNull()).count() == 10
+
+
+def test_decontaminate_bloom_one_sided_error(spark, sf_dir):
+    """Bloom decontamination must be a SUPERSET of the exact overlap set
+    (false positives allowed, false negatives never) and converge to the
+    exact set as m grows."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions.curation import decontaminate, decontaminate_bloom
+    from mongoshake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = {
+        r["doc_id"] for r in decontaminate(corpus, ev).filter("contaminated").collect()
+    }
+    # tiny filter: saturated, everything superset holds trivially but FN=0
+    small = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, ev, m_bits=1 << 10)
+        .filter("contaminated")
+        .collect()
+    }
+    assert exact <= small
+    # big filter: FP rate ~0 -> equals the exact set
+    big = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, ev, m_bits=1 << 24)
+        .filter("contaminated")
+        .collect()
+    }
+    assert exact <= big
+    assert len(big - exact) <= len(small - exact)
+    # every-document contract: one output row per corpus doc
+    assert decontaminate_bloom(corpus, ev, m_bits=1 << 12).count() == corpus.count()
+
+
+def test_assign_splits_deterministic_and_exhaustive(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions.curation import assign_splits
+    from mongoshake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in assign_splits(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_splits(docs).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == docs.count()  # every doc assigned once
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+    # a different seed reshuffles membership
+    c = {r["doc_id"]: r["split"] for r in assign_splits(docs, seed=7).collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="positive integer"):
+        assign_splits(docs, fractions={"train": 0})
+    with pytest.raises(ValueError, match="positive integer"):
+        assign_splits(docs, fractions={"train": 0.9})

@@ -319,3 +319,58 @@ def test_simhash_max_hamming_guard(spark):
         simhash_pairs(docs, max_hamming=4)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs64(docs, max_hamming=4)
+
+
+def test_dedup_scale_proof_invariants(spark, sf_dir):
+    """The BASELINE.md dedup scale proof (scripts/dedup_scale_proof.py)
+    must stay reproducible: on the skewed fixture, max_df collapses the
+    inverted-index candidate-pair term, the simhash hot-bucket census
+    engages, and identical-fingerprint pairs survive the re-split."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import scripts.dedup_scale_proof as proof
+    from pyspark.sql import functions as F
+
+    corpus = proof.skewed_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    sh = dedup.shingle_rows(corpus, "text").localCheckpoint(eager=True)
+    cand_raw, maxdf_raw, _ = proof.posting_stats(sh)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_cap = sh.join(
+        df_counts.filter(F.col("df") <= proof.MAX_DF).select("shingle"), "shingle"
+    )
+    cand_cap, maxdf_cap, _ = proof.posting_stats(sh_cap)
+    assert maxdf_raw >= proof.BOILER_DOCS  # the skew is really there
+    assert maxdf_cap <= proof.MAX_DF
+    assert cand_cap < cand_raw / 10  # the quadratic term collapsed
+
+    sims = dedup.simhash_values64(corpus, "text").localCheckpoint(eager=True)
+    keyed = dedup.simhash_band_keys(sims)
+    census = keyed.groupBy("k", "band_val").agg(F.count("*").alias("n"))
+    assert census.filter(F.col("n") > proof.BUCKET_CAP).count() > 0
+    pairs_capped = dedup.simhash_pairs64(
+        corpus, sims=sims, bucket_cap=proof.BUCKET_CAP
+    )
+    ident = (
+        sims.groupBy("simhash").agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p")).first()["p"]
+    )
+    assert pairs_capped.filter(F.col("hamming") == 0).count() == int(ident or 0)
+
+
+def test_source_duplicate_stats_known_case(spark):
+    """Hand-checkable: srcA has 3 docs (one duplicated within srcA, one
+    copied by srcB); srcB has 2 docs (the copy + a unique one)."""
+    rows = [
+        (1, "aaa", "srcA"),
+        (2, "aaa", "srcA"),   # within-source dup of 1
+        (3, "bbb", "srcA"),   # copied by srcB
+        (4, "bbb", "srcB"),   # cross-source dup of 3
+        (5, "ccc", "srcB"),   # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_cross_source_dup_docs"])
+        for r in dedup.source_duplicate_stats(docs).collect()
+    }
+    assert got == {"srcA": (3, 3, 1), "srcB": (2, 1, 1)}
