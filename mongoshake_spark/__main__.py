@@ -71,10 +71,11 @@ def parse_conf(path: str) -> tuple[SyncConfig, dict]:
             elif key in _TUNNEL_KEYS:
                 tunnel[key] = value
             elif key in _HTTP_KEYS:
-                try:
-                    http[key] = int(value)
-                except ValueError as e:
-                    raise ConfigError(f"{key} must be an integer port: {e}")
+                if value:  # blank = disabled, like every other blank key
+                    try:
+                        http[key] = int(value)
+                    except ValueError as e:
+                        raise ConfigError(f"{key} must be an integer port: {e}")
             elif value:
                 unknown.append(key)
     cfg = SyncConfig(**fields).validate()
@@ -199,19 +200,23 @@ def main(argv: list[str] | None = None) -> int:
             from mongoshake_spark.sources.live import mongo_ops_mirror
 
             addr = t["tunnel.address"]
-            host, _, ns = addr[len("mongodb://"):].partition("/")
-            base = "mongodb://" + host
+            # mongodb://[user:pw@]host[:port]/db.coll[?options] — the path
+            # names the target namespace; client options (authSource etc.)
+            # must SURVIVE onto the client URI, not leak into the coll name
+            host, _, path = addr[len("mongodb://"):].partition("/")
+            ns, _, opts = path.partition("?")
+            base = "mongodb://" + host + "/" + (("?" + opts) if opts else "")
             if "." not in ns:
                 print(
                     "conf error: tunnel.address for tunnel=direct must "
-                    "end in /db.coll (the target namespace), got "
-                    f"{addr!r}",
+                    "carry a /db.coll namespace path (options may follow "
+                    f"after '?'), got {addr!r}",
                     file=sys.stderr,
                 )
                 return 2
             db, _, coll = ns.partition(".")
             try:
-                mirror = mongo_ops_mirror(base + "/", db, coll)
+                mirror = mongo_ops_mirror(base, db, coll)
             except RuntimeError as e:  # pymongo absent: fail at wiring
                 print(f"conf error: {e}", file=sys.stderr)
                 return 2
@@ -379,12 +384,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             # The diff stays a DataFrame end-to-end: for a heavily
             # diverged table it is O(|table|), so collecting it makes
-            # driver memory the bound. localCheckpoint materializes it
-            # ONCE on the executors (truncating the two-phase verify
-            # lineage so neither the count, the 100-row report, nor the
-            # repair plan recomputes it); the driver only ever holds the
-            # count and the first 100 rows.
-            diffs_df = diffs_df.localCheckpoint(eager=True)
+            # driver memory the bound. persist + count materializes it
+            # ONCE on the executors (MEMORY_AND_DISK spills rather than
+            # evicts, so neither the count, the 100-row report, nor the
+            # repair plan recomputes the two-phase verify); the driver
+            # only ever holds the count and the first 100 rows, and the
+            # blocks are RELEASED at the end of this call — a
+            # --verify-table all run over many diverged tables must not
+            # accumulate one pinned diff per table for the session's life
+            # (localCheckpoint blocks would only free on GC).
+            diffs_df = diffs_df.persist()
             n_diffs = diffs_df.count()
             head = diffs_df.limit(100).collect()
             def _row(r):
@@ -401,7 +410,7 @@ def main(argv: list[str] | None = None) -> int:
                 from mongoshake_spark.plans.repair import repair_ops
 
                 plan_path = os.path.join(args.repair_dir, table)
-                # reuse the checkpointed diff directly — repairing must
+                # reuse the persisted diff directly — repairing must
                 # not re-run the two-phase verification, and multiset
                 # plans carry the content columns + _mult as the payload
                 # so apply can rebuild the exact multiplicity
@@ -409,6 +418,7 @@ def main(argv: list[str] | None = None) -> int:
                 plan.write.mode("overwrite").parquet(plan_path)
                 res["repair_plan"] = plan_path
                 plans_written.append(table)
+            diffs_df.unpersist()  # every consumer above has materialized
             return res
 
         def _full_insert_plan(table: str, key) -> None:

@@ -765,18 +765,24 @@ def decontaminate_bloom(
 
     ph = poly_hash_spark("gram")
     eval_grams = _doc_ngrams(eval_docs, n, text_col, id_col).select("gram").distinct()
-    pos = eval_grams.select(
-        F.explode(
-            F.array(
-                *[
-                    F.expr(
-                        f"CAST((({ph}) * {2 * i + 1} + {7919 * i}) % {int(m_bits)} AS INT)"
-                    )
-                    for i in range(int(k))
-                ]
-            )
-        ).alias("p")
-    ).distinct()
+    # hash once per gram, THEN derive the k positions — the character-fold
+    # aggregate is O(len(gram)) and must not run k times per gram
+    pos = (
+        eval_grams.select(F.expr(ph).alias("_h"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"CAST(((_h * {2 * i + 1} + {7919 * i}) % {int(m_bits)}) AS INT)"
+                        )
+                        for i in range(int(k))
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
     bloom_row = pos.agg(F.collect_list("p").alias("_ps")).select(
         F.when(
             F.size("_ps") > 0,

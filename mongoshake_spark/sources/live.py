@@ -206,10 +206,13 @@ def mongo_ops_mirror(
                     if r[op] == "d":
                         buf.append(DeleteOne({id_field: r[key]}))
                     else:
+                        # document field named after the kernel's value
+                        # COLUMN — a kernel configured with val='amount'
+                        # must not silently write under 'value'
                         buf.append(
                             ReplaceOne(
                                 {id_field: r[key]},
-                                {id_field: r[key], "value": r[val]},
+                                {id_field: r[key], val: r[val]},
                                 upsert=True,
                             )
                         )

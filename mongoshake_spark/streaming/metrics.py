@@ -12,6 +12,7 @@ this listener covers the *operational* plane (pipeline throughput).
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -32,6 +33,15 @@ class ReplMetrics:
     # hundreds of thousands of dicts on the driver; the aggregates above
     # carry the totals, this deque keeps only the recent window
     progress: deque = field(default_factory=lambda: deque(maxlen=1024))
+    # guards ITERATION of `progress` against the listener thread's
+    # appends (scalar field reads are safe unlocked; listing a deque
+    # while another thread appends raises "mutated during iteration")
+    lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def recent(self, n: int | None = None) -> list:
+        with self.lock:
+            items = list(self.progress)
+        return items if n is None else items[-n:]
 
     def snapshot(self) -> dict:
         return {
@@ -58,9 +68,10 @@ class MetricsListener(StreamingQueryListener):
         self.metrics.rows_in += p.numInputRows
         self.metrics.last_rows_per_sec = p.processedRowsPerSecond or 0.0
         self.metrics.last_batch_ms = (p.durationMs or {}).get("triggerExecution", 0)
-        self.metrics.progress.append(
-            {"batchId": p.batchId, "numInputRows": p.numInputRows}
-        )
+        with self.metrics.lock:
+            self.metrics.progress.append(
+                {"batchId": p.batchId, "numInputRows": p.numInputRows}
+            )
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
@@ -90,9 +101,9 @@ class MetricsServer:
 
     Daemon-threaded and bound to ``127.0.0.1`` (monitoring plane, not a
     public service); ``port=0`` lets the OS pick — read ``.port``.
-    Handlers only READ the listener's fields (single attribute reads of
-    ints/floats and a bounded deque snapshot), so no lock is needed
-    against the listener thread's updates.
+    Scalar field reads are safe unlocked; the recent-batch window is
+    listed through ``ReplMetrics.recent`` (lock shared with the listener
+    thread's appends — iterating a deque during an append raises).
     """
 
     def __init__(self, listener: MetricsListener, port: int = 0) -> None:
@@ -108,9 +119,9 @@ class MetricsServer:
                     "/repl": metrics.snapshot,
                     "/worker": lambda: {
                         "batches": metrics.batches,
-                        "recent": list(metrics.progress)[-16:],
+                        "recent": metrics.recent(16),
                     },
-                    "/progress": lambda: list(metrics.progress),
+                    "/progress": metrics.recent,
                 }
                 fn = routes.get(self.path)
                 if fn is None:

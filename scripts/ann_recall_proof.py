@@ -1,0 +1,153 @@
+"""Scale-proof experiment for the ANN plane's recall/cost trade.
+
+Mirrors scripts/scale_proof.py and scripts/dedup_scale_proof.py: one
+measured A/B per claimed bound, one JSON line, numbers recorded in
+BASELINE.md — so "IVF probes n_probe cells instead of the corpus" is an
+audited recall-vs-scan-fraction curve, not a docstring assertion.
+
+Claims under test:
+
+A. ``ivf_topk(n_probe=p)`` scores only the probed cells' vectors —
+   reported as the hard scan bound (the p biggest cells / corpus) — and
+   its recall@k against the exact ``brute_topk`` ground truth (i) rises
+   monotonically in p, (ii) BEATS the scanned fraction by >=2x (the
+   index concentrates true neighbors into probed cells better than a
+   random same-sized scan — the claim that makes an index worth having),
+   and (iii) converges to recall 1.0 at p = #cells (exactness by
+   construction). Absolute recall at small p depends on how clustered
+   the data is; the fixture's near-isotropic vectors are the WORST case,
+   so the 2x concentration factor here is a floor, not a ceiling.
+
+B. ``lsh_buckets``'s candidate restriction: vectors sharing a bucket
+   with the query are the only candidates, so the mean candidate
+   fraction is the cost bound; recall@k is reported next to it.
+
+Run: ``python scripts/ann_recall_proof.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mongoshake_spark.functions import similarity  # noqa: E402
+from mongoshake_spark.session import get_spark  # noqa: E402
+from mongoshake_spark.sources.tables import load_table  # noqa: E402
+
+K = 10
+N_QUERIES = 50
+CENTROID_MOD = 29
+PROBES = (1, 2, 4, 8)
+
+
+def topk_sets(df) -> dict[int, frozenset]:
+    rows = df.select("query_id", "neighbor_id").collect()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return {q: frozenset(s) for q, s in out.items()}
+
+
+def recall(approx: dict[int, frozenset], exact: dict[int, frozenset]) -> float:
+    hit = sum(len(approx.get(q, frozenset()) & s) for q, s in exact.items())
+    total = sum(len(s) for s in exact.values())
+    return round(hit / total, 4) if total else 1.0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("ann_recall_proof")
+    vecs = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    n_corpus = vecs.count()
+    query_ids = [r["vec_id"] for r in vecs.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
+
+    t0 = time.perf_counter()
+    exact = topk_sets(similarity.brute_topk(vecs, query_ids, k=K))
+    t_brute = round(time.perf_counter() - t0, 2)
+
+    # cell census: how many corpus vectors live in each IVF cell (same
+    # deterministic centroid sample ivf_topk uses)
+    centroids = vecs.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(vecs, centroids)
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    n_cells = len(cell_sizes)
+
+    ivf_curve = []
+    for p in PROBES:
+        t0 = time.perf_counter()
+        approx = topk_sets(
+            similarity.ivf_topk(
+                vecs, query_ids, k=K, n_probe=p, centroid_mod=CENTROID_MOD
+            )
+        )
+        sec = round(time.perf_counter() - t0, 2)
+        # probed-cell fraction: which cells each query probes is internal,
+        # but it is bounded above by p/n_cells of the corpus on average
+        # for balanced cells; report the hard upper bound from the census
+        biggest = sorted(cell_sizes.values(), reverse=True)[:p]
+        ivf_curve.append(
+            {
+                "n_probe": p,
+                "recall_at_k": recall(approx, exact),
+                "scan_bound_frac": round(sum(biggest) / n_corpus, 4),
+                "sec": sec,
+            }
+        )
+
+    buckets = similarity.lsh_buckets(vecs)
+    bucket_sizes = [
+        r["n"] for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    ]
+    # candidate fraction for a bucket-restricted query = its bucket's size
+    # over the corpus; the mean over vectors is sum(n^2)/(N^2)
+    lsh_cand_frac = round(sum(n * n for n in bucket_sizes) / (n_corpus**2), 4)
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "k": K,
+        "n_queries": len(query_ids),
+        "n_cells": n_cells,
+        "brute_sec": t_brute,
+        "ivf": ivf_curve,
+        "lsh_mean_candidate_frac": lsh_cand_frac,
+        "lsh_n_buckets": len(bucket_sizes),
+    }
+    # convergence: probing every cell IS the exact scan
+    t0 = time.perf_counter()
+    full = topk_sets(
+        similarity.ivf_topk(
+            vecs, query_ids, k=K, n_probe=n_cells, centroid_mod=CENTROID_MOD
+        )
+    )
+    out["full_probe"] = {
+        "n_probe": n_cells,
+        "recall_at_k": recall(full, exact),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+    recalls = [c["recall_at_k"] for c in ivf_curve]
+    ok = (
+        all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))  # monotone
+        and all(
+            c["recall_at_k"] >= 2.0 * c["scan_bound_frac"] for c in ivf_curve
+        )  # concentration: beats a random same-sized scan >=2x
+        and out["full_probe"]["recall_at_k"] == 1.0  # exact at p = #cells
+    )
+    out["claims_hold"] = ok
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

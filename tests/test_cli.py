@@ -396,6 +396,10 @@ def test_cli_http_port_keys_parse_and_reject_garbage(tmp_path):
     p.write_text("incr_sync.http_port = lots\n")
     with pytest.raises(ConfigError, match="integer port"):
         parse_conf(str(p))
+    # blank value = disabled, tolerated like every other blank key
+    p.write_text("incr_sync.http_port =\n")
+    _, extra = parse_conf(str(p))
+    assert extra["http"] == {}
 
 
 def test_cli_incr_mode_serves_metrics(spark, sf_dir, tmp_path, capsys):

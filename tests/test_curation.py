@@ -464,3 +464,41 @@ def test_assign_splits_deterministic_and_exhaustive(spark, sf_dir):
         assign_splits(docs, fractions={"train": 0})
     with pytest.raises(ValueError, match="positive integer"):
         assign_splits(docs, fractions={"train": 0.9})
+
+
+def test_decontaminate_bloom_composes_with_streaming(spark, sf_dir, tmp_path):
+    """The corpus side of decontaminate_bloom is a map-only projection, so
+    the SAME call works unchanged on a streaming corpus (the on-ingest
+    curation shape at scale): stream the documents table through it and
+    assert the drained result equals the batch result."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions.curation import decontaminate_bloom
+    from mongoshake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream_corpus = spark.readStream.schema(corpus.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        decontaminate_bloom(stream_corpus, ev, m_bits=1 << 14)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["contaminated"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["contaminated"])
+        for r in decontaminate_bloom(corpus, ev, m_bits=1 << 14).collect()
+    }
+    assert got == want

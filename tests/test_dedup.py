@@ -374,3 +374,35 @@ def test_source_duplicate_stats_known_case(spark):
         for r in dedup.source_duplicate_stats(docs).collect()
     }
     assert got == {"srcA": (3, 3, 1), "srcB": (2, 1, 1)}
+
+
+def test_ann_recall_proof_invariants(spark, sf_dir):
+    """The BASELINE.md ANN proof must stay reproducible at test scale:
+    IVF recall is monotone in n_probe and probing every cell recovers
+    the exact brute-force top-k."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import scripts.ann_recall_proof as proof
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions import similarity
+    from mongoshake_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    qids = [r["vec_id"] for r in vecs.select("vec_id").orderBy("vec_id").limit(10).collect()]
+    exact = proof.topk_sets(similarity.brute_topk(vecs, qids, k=5))
+    centroids = vecs.filter((F.col("vec_id") % 29) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    n_cells = similarity.ivf_assign(vecs, centroids).select("cell").distinct().count()
+    r_lo = proof.recall(
+        proof.topk_sets(similarity.ivf_topk(vecs, qids, k=5, n_probe=1)), exact
+    )
+    r_hi = proof.recall(
+        proof.topk_sets(similarity.ivf_topk(vecs, qids, k=5, n_probe=4)), exact
+    )
+    r_all = proof.recall(
+        proof.topk_sets(similarity.ivf_topk(vecs, qids, k=5, n_probe=n_cells)), exact
+    )
+    assert r_lo <= r_hi <= r_all == 1.0

@@ -213,3 +213,35 @@ def test_selfcheck_driver_canon_gate_rejects_arrays():
         driver_canon_gate([(1, [1, 2])], ["id", "ids"])
     with _pytest.raises(TypeError, match="driver-incompatible"):
         driver_canon_gate([(1, {"k": 1})], ["id", "m"])
+
+
+def test_export_order_rotation_rules(tmp_path, monkeypatch):
+    """queries() export order is the driver-gate rotation: queries whose
+    latest CORRECTNESS record is missing or non-green sort first, then
+    ascending by last-passed round, registry order breaking ties."""
+    import json as _json
+
+    import mongoshake_spark.plans.queries as q
+
+    names = list(q.QUERIES)
+    a, b, c, d = names[0], names[1], names[2], names[3]
+    # r1: a,b,c pass; r2: b re-passes, c FAILS, d passes
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({
+        a: {"hash_match": True}, b: {"hash_match": True}, c: {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps({
+        b: {"hash_match": True},
+        c: {"hash_match": None, "err": "boom"},
+        d: {"rows_match": True, "hash_match": None},  # weak-green (no oracle)
+    }))
+    monkeypatch.setattr(q, "_REPO_ROOT", tmp_path)
+    order = q._export_order()
+    pos = {n: i for i, n in enumerate(order)}
+    # c failed most recently -> front, with every never-checked query
+    # (registry order among them); a (r1) before b (r2) before d (r2)
+    assert pos[c] < pos[a] < pos[b]
+    assert pos[b] < pos[d]  # b and d both passed r2: registry order breaks tie
+    never = [n for n in names[4:8]]
+    for n in never:
+        assert pos[n] < pos[a]
+    assert sorted(order) == sorted(names)  # a permutation, nothing lost
