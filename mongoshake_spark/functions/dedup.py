@@ -984,3 +984,54 @@ def source_duplicate_stats(
             ).alias("n_cross_source_dup_docs"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num: int = 4,
+    den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment: emit (inner,
+    outer) when ``|inner ∩ outer| / |inner| >= num/den`` — integer
+    arithmetic only (``common * den >= num * n_inner``). Jaccard misses
+    the doc-inside-doc case (a quote, a wrapped boilerplate copy, a
+    chunk re-embedded in a longer page): a short doc fully contained in
+    a long one has tiny Jaccard but containment 1.0. Standard companion
+    to Jaccard in dedup pipelines (Broder's containment measure).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — only docs
+    sharing a shingle ever meet (disjoint pairs have containment 0, so
+    the index join is exact), cost is the sum of squared posting-list
+    lengths, and ``max_df`` bounds those lists identically (containment
+    over the restricted shingle universe — the oracle states the same).
+    Both directions are emitted when both hold; n_inner carries the
+    denominator so the caller can re-threshold without recomputation.
+    """
+    sh = shingle_rows(docs, text_col)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sh = sh.localCheckpoint(eager=True)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("inner_id"), F.col("b.doc_id").alias("outer_id")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ci = counts.select(F.col("doc_id").alias("inner_id"), F.col("n_sh").alias("n_inner"))
+    return (
+        common.join(ci, "inner_id")
+        .filter(F.col("common") * den >= num * F.col("n_inner"))
+        .select("inner_id", "outer_id", "common", "n_inner")
+    )

@@ -3322,6 +3322,54 @@ def source_dup_stats_q(spark, sf_dir):
     return source_duplicate_stats(corpus).orderBy("source")
 
 
+@_q(
+    "dedup_containment",
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000,
+         array_to_string(string_split(text, ' ')[1:12], ' ')
+  FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END)) AS shingle
+  FROM toks),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2)
+SELECT inner_id, outer_id, common, ci.n_sh AS n_inner
+FROM common JOIN counts ci ON ci.doc_id = inner_id
+WHERE common * 5 >= 4 * ci.n_sh
+ORDER BY inner_id, outer_id""",
+    "Asymmetric containment dedup (Broder): (inner, outer) when >=80% of "
+    "inner's 3-shingles appear in outer — the doc-inside-doc case "
+    "(quotes, wrapped copies, re-embedded chunks) that Jaccard misses "
+    "because a short doc contained in a long one has tiny Jaccard. The "
+    "fixture corpus is unioned with 12-token prefixes of every 5th doc "
+    "so real containments exist. Same exact inverted-index shape and "
+    "max_df posting bound as ngram_jaccard "
+    "(functions/dedup.ngram_containment_pairs).",
+)
+def dedup_containment_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+        )
+    )
+    return dedup.ngram_containment_pairs(
+        corpus, num=4, den=5, max_df=100
+    ).orderBy("inner_id", "outer_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

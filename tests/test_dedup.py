@@ -406,3 +406,24 @@ def test_ann_recall_proof_invariants(spark, sf_dir):
         proof.topk_sets(similarity.ivf_topk(vecs, qids, k=5, n_probe=n_cells)), exact
     )
     assert r_lo <= r_hi <= r_all == 1.0
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc fully inside a long one: containment fires in the
+    inner->outer direction with containment 1.0; the reverse direction
+    (long inside short) must NOT fire; an unrelated doc never pairs."""
+    long_text = "a b c d e f g h i j k l"
+    short_text = "c d e f g"           # 3 shingles, all inside long's 10
+    other_text = "x y z w v u"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other_text)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["inner_id"], r["outer_id"]): (r["common"], r["n_inner"])
+        for r in dedup.ngram_containment_pairs(docs, num=4, den=5).collect()
+    }
+    assert pairs == {(2, 1): (3, 3)}  # 3/3 shingles contained; reverse is 3/10
+    # Jaccard at the same strictness misses it: 3 common / 10 union = 0.3
+    jac = dedup.ngram_jaccard_pairs(docs, num=4, den=5).collect()
+    assert jac == []
