@@ -194,12 +194,21 @@ def main(argv: list[str] | None = None) -> int:
         # the DBTransform operator's job upstream).
         mirror = None
         t = extra["tunnel"]
-        if t.get("tunnel") == "direct" and str(
-            t.get("tunnel.address", "")
-        ).startswith("mongodb://"):
+        if t.get("tunnel") == "direct" and t.get("tunnel.address"):
+            addr = str(t["tunnel.address"])
+            # a configured live target that cannot be wired must fail
+            # LOUDLY — silently skipping it would sync to parquet only
+            # and never deliver a single op to the target the operator
+            # configured (no address at all = the engine's default
+            # parquet-target mode, which IS silent by design)
+            if not addr.startswith("mongodb://"):
+                print(
+                    "conf error: tunnel.address for tunnel=direct must "
+                    f"be a mongodb:// URI, got {addr!r}",
+                    file=sys.stderr,
+                )
+                return 2
             from mongoshake_spark.sources.live import mongo_ops_mirror
-
-            addr = t["tunnel.address"]
             # mongodb://[user:pw@]host[:port]/db.coll[?options] — the path
             # names the target namespace; client options (authSource etc.)
             # must SURVIVE onto the client URI, not leak into the coll name
@@ -228,21 +237,43 @@ def main(argv: list[str] | None = None) -> int:
             from mongoshake_spark.streaming import metrics as metrics_mod
 
             listener = metrics_mod.attach(spark)
-            server = metrics_mod.serve(listener, port=port)
+            try:
+                server = metrics_mod.serve(listener, port=port)
+            except OSError as e:  # port bound/privileged: fail as conf, not traceback
+                spark.streams.removeListener(listener)
+                print(
+                    f"conf error: incr_sync.http_port = {port} "
+                    f"could not bind: {e}",
+                    file=sys.stderr,
+                )
+                return 2
         try:
             kernel = run_incr_sync(
                 spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
                 max_files_per_trigger=cfg.files_per_trigger,
                 mirror=mirror,
             )
+            out = {"mode": mode, "ddl_applied": len(kernel.ddl_log)}
+            if listener is not None:
+                # listener events are delivered async on the bus: wait
+                # (bounded) until the batch count stabilizes before the
+                # final snapshot, or the last batch's rows under-report
+                import time as _time
+
+                deadline = _time.monotonic() + 10.0
+                prev = -1
+                while _time.monotonic() < deadline:
+                    cur = (listener.metrics.batches, listener.metrics.rows_in)
+                    if cur == prev and cur[0] > 0:
+                        break
+                    prev = cur
+                    _time.sleep(0.2)
+                out["metrics"] = listener.metrics.snapshot()
         finally:
             if server is not None:
                 server.close()
             if listener is not None:
                 spark.streams.removeListener(listener)
-        out = {"mode": mode, "ddl_applied": len(kernel.ddl_log)}
-        if listener is not None:
-            out["metrics"] = listener.metrics.snapshot()
         print(json.dumps(out))
     elif mode == "all":
         from mongoshake_spark.plans.full_sync import sync_all

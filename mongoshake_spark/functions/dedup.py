@@ -644,6 +644,26 @@ def _star_components(docs: DataFrame, edges: DataFrame, max_iter: int) -> DataFr
     )
 
 
+def _shingle_index(
+    docs: DataFrame, text_col: str, max_df: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The inverted-index prelude SHARED by :func:`ngram_jaccard_pairs`
+    and :func:`ngram_containment_pairs` — one definition so the two
+    operators' documented "identical max_df semantics" cannot diverge.
+    Returns ``(shingle rows after the max_df posting cutoff, per-doc
+    shingle counts)``; the shingle side is localCheckpoint'ed because
+    both the self-join legs and the counts reuse it."""
+    sh = shingle_rows(docs, text_col)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sh = sh.localCheckpoint(eager=True)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return sh, counts
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -671,14 +691,7 @@ def ngram_jaccard_pairs(
     counts table is one row per document, i.e. corpus-sized, and must
     shuffle, never ship to every executor.
     """
-    sh = shingle_rows(docs, text_col)
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
-    sh = sh.localCheckpoint(eager=True)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh, counts = _shingle_index(docs, text_col, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -964,15 +977,23 @@ def source_duplicate_stats(
     aggregation, its output is one row per (content, source) — already
     far smaller than the corpus — and the group-total join is
     hash-keyed (AQE-safe). Nothing rejoins the full corpus and no
-    per-doc rows survive past the first aggregate.
+    per-doc rows survive past the first aggregate. NULL-text documents
+    count in ``n_docs`` but are never duplicates (no content to match).
     """
     h = F.md5(F.col(text_col))
     per_src = docs.select(h.alias("_h"), F.col(source_col)).groupBy(
         "_h", source_col
     ).agg(F.count("*").alias("_cnt_src"))
-    totals = per_src.groupBy("_h").agg(F.sum("_cnt_src").alias("_n"))
+    totals = per_src.filter(F.col("_h").isNotNull()).groupBy("_h").agg(
+        F.sum("_cnt_src").alias("_n")
+    )
+    # LEFT join: NULL-text docs (NULL hash) have no content to compare,
+    # so they are never duplicates — but they MUST still count in n_docs
+    # (an inner join's null-rejecting key would silently drop them from
+    # the headline per-source total). Their _n stays NULL, so both dup
+    # conditions below are NULL -> otherwise(0).
     return (
-        per_src.join(totals, "_h")
+        per_src.join(totals, "_h", "left")
         .groupBy(source_col)
         .agg(
             F.sum("_cnt_src").alias("n_docs"),
@@ -1009,14 +1030,7 @@ def ngram_containment_pairs(
     Both directions are emitted when both hold; n_inner carries the
     denominator so the caller can re-threshold without recomputation.
     """
-    sh = shingle_rows(docs, text_col)
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
-    sh = sh.localCheckpoint(eager=True)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh, counts = _shingle_index(docs, text_col, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

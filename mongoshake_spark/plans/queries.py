@@ -3294,13 +3294,14 @@ def split_assign_q(spark, sf_dir):
   UNION ALL
   SELECT doc_id + 1000000, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
 per AS (SELECT md5(text) AS h, source, count(*) AS c FROM corpus GROUP BY 1, 2),
-tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY h)
+tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM per
+        WHERE h IS NOT NULL GROUP BY h)
 SELECT source,
        CAST(sum(c) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN n > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
        CAST(sum(CASE WHEN n > c THEN c ELSE 0 END) AS BIGINT)
          AS n_cross_source_dup_docs
-FROM per JOIN tot USING (h) GROUP BY source ORDER BY source""",
+FROM per LEFT JOIN tot USING (h) GROUP BY source ORDER BY source""",
     "Per-source duplicate governance rollup (which source feeds us "
     "duplicates, and is it mirroring another?): the fixture corpus is "
     "unioned with a shifted 'mirror' source so the cross-source path "

@@ -440,3 +440,44 @@ def test_cli_direct_tunnel_address_must_carry_namespace(spark, sf_dir, tmp_path,
     assert rc == 2
     err = capsys.readouterr().err
     assert "db.coll" in err
+
+
+def test_cli_direct_tunnel_rejects_non_mongodb_scheme(spark, sf_dir, tmp_path, capsys):
+    """A configured live target that cannot be wired must fail loudly —
+    a scheme-less address must not silently skip the mirror."""
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        "sync_mode = incr\ntunnel = direct\n"
+        "tunnel.address = 127.0.0.1:27017/db.coll\n"
+    )
+    rc = main([
+        "--conf", str(conf),
+        "--source-dir", sf_dir, "--target-dir", str(tmp_path / "state"),
+        "--feed-dir", str(tmp_path / "feed"), "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 2
+    assert "mongodb://" in capsys.readouterr().err
+
+
+def test_cli_http_port_bind_failure_is_conf_error(spark, sf_dir, tmp_path, capsys):
+    import socket
+
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    port = blocker.getsockname()[1]
+    try:
+        feed = str(tmp_path / "feed")
+        write_replay_feed(spark, sf_dir, feed, batch_rows=5000)
+        conf = tmp_path / "c.conf"
+        conf.write_text(f"sync_mode = incr\nincr_sync.http_port = {port}\n")
+        rc = main([
+            "--conf", str(conf),
+            "--source-dir", sf_dir, "--target-dir", str(tmp_path / "state"),
+            "--feed-dir", feed, "--checkpoint-dir", str(tmp_path / "ck"),
+        ])
+        assert rc == 2
+        assert "could not bind" in capsys.readouterr().err
+    finally:
+        blocker.close()

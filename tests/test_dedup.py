@@ -368,12 +368,13 @@ def test_source_duplicate_stats_known_case(spark):
         (4, "bbb", "srcB"),   # cross-source dup of 3
         (5, "ccc", "srcB"),   # unique
     ]
+    rows.append((6, None, "srcB"))  # NULL text: counted, never a dup
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {
         r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_cross_source_dup_docs"])
         for r in dedup.source_duplicate_stats(docs).collect()
     }
-    assert got == {"srcA": (3, 3, 1), "srcB": (2, 1, 1)}
+    assert got == {"srcA": (3, 3, 1), "srcB": (3, 1, 1)}
 
 
 def test_ann_recall_proof_invariants(spark, sf_dir):
