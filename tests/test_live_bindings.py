@@ -168,3 +168,86 @@ def test_mongo_write_binding_live(spark):
 
     coll = pymongo.MongoClient(MONGO_URI)["mshake_test"]["wtarget"]
     assert coll.count_documents({}) == 2
+
+
+def test_apply_kernel_mirror_failure_replays_idempotently(spark, sf_dir, tmp_path):
+    """The delivery contract for a live mirror: a mirror failure raises
+    out of foreachBatch, the stream retries the batch from its
+    checkpoint, and the mirror — being replace/delete-by-id — converges
+    to the same live state a clean run produces. Simulated with an
+    in-memory 'live collection' dict and a mirror that fails once."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.sources.oplog import oplog_view
+    from mongoshake_spark.sources.tables import load_table
+    from mongoshake_spark.streaming.apply import ApplyKernel
+    from mongoshake_spark.streaming.replay import read_oplog_stream, write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    n_files = write_replay_feed(spark, sf_dir, feed, batch_rows=200)
+    assert n_files >= 3  # the outage must hit a MIDDLE batch
+
+    live: dict = {}
+    state = {"calls": 0}
+
+    def flaky_mirror(net_ops, batch_id):
+        state["calls"] += 1
+        rows = net_ops.collect()
+        # apply half, then fail ONCE mid-batch — the retry must heal the
+        # partial application (exactly the bulk_write crash window)
+        half = len(rows) // 2
+        for r in rows[:half]:
+            if r[2] == "d":
+                live.pop(r[0], None)
+            else:
+                live[r[0]] = r[1]
+        if state["calls"] == 2:
+            raise RuntimeError("simulated live-target outage")
+        for r in rows[half:]:
+            if r[2] == "d":
+                live.pop(r[0], None)
+            else:
+                live[r[0]] = r[1]
+
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    def run(kernel):
+        q = (
+            read_oplog_stream(spark, feed, max_files_per_trigger=1)
+            .writeStream.foreachBatch(kernel.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    kernel = ApplyKernel(spark, target, mirror=flaky_mirror, n_buckets=8)
+    try:
+        run(kernel)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed  # the outage propagated: the batch was NOT committed
+    # restart from the same checkpoint: the failed batch replays
+    kernel2 = ApplyKernel(spark, target, mirror=flaky_mirror, n_buckets=8)
+    run(kernel2)
+    # live state == the kernel's own materialized state (tombstones drop)
+    want = {
+        r[0]: r[1]
+        for r in spark.read.parquet(target)
+        .filter(F.col("op") != "d")
+        .select("user_id", "value")
+        .collect()
+    }
+    assert live == want
+    # and == the batch reconstruction of the full feed
+    from mongoshake_spark.operators.merge import last_writer_wins
+
+    expect = {
+        r["user_id"]: r["value"]
+        for r in last_writer_wins(
+            oplog_view(load_table(spark, sf_dir, "events"))
+        ).collect()
+    }
+    assert live == expect
