@@ -614,3 +614,117 @@ def test_repair_always_heals_random_corruption(spark, rows, drops, mutations, st
     ops = repair_ops(src, dst, "k", ["v"], n_buckets=8)
     healed = apply_repair(dst, ops, "k")
     assert verify_sync(src, healed, "k", ["v"], n_buckets=8).count() == 0
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=30, unique=True),
+    st.integers(0, 3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_assign_splits_matches_serial_model(spark, ids, seed):
+    """assign_splits == the serial knuth-bucket model for arbitrary ids
+    (including > 2^32, the ANSI-overflow regime knuth_u32 guards) and
+    seeds; every id is assigned exactly one split."""
+    from mongoshake_spark.functions.curation import assign_splits
+
+    fr = {"train": 90, "val": 5, "test": 5}
+
+    def model(i):
+        b = ((i % 2**32 + seed) % 2**32) * 2654435761 % 2**32 % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in assign_splits(docs, fr, seed=seed).collect()}
+    assert got == {i: model(i) for i in ids}
+
+
+@given(st.lists(st.lists(token, min_size=1, max_size=14), min_size=2, max_size=5))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_containment_matches_serial_model(spark, docs_toks):
+    """ngram_containment_pairs == the serial set model: for every ordered
+    doc pair, emit iff |inner ∩ outer| * den >= num * |inner| over
+    distinct 3-shingles (tiny alphabet → heavy shingle overlap)."""
+    from mongoshake_spark.functions.dedup import ngram_containment_pairs
+
+    num, den = 1, 2
+    sh = {
+        i: {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+        for i, t in enumerate(docs_toks)
+    }
+    expected = {
+        (a, b): (len(sh[a] & sh[b]), len(sh[a]))
+        for a in sh
+        for b in sh
+        if a != b and sh[a] and len(sh[a] & sh[b]) * den >= num * len(sh[a])
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_toks)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["inner_id"], r["outer_id"]): (r["common"], r["n_inner"])
+        for r in ngram_containment_pairs(docs, num=num, den=den).collect()
+    }
+    assert got == expected
+
+
+@given(st.lists(st.lists(token, min_size=1, max_size=10), min_size=2, max_size=6))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_bloom_decontaminate_never_false_negative(spark, docs_toks):
+    """For ANY corpus/eval split and a deliberately tiny (saturating)
+    filter, every doc with a REAL eval overlap is flagged — Bloom's
+    one-sided-error law, the direction decontamination requires."""
+    from mongoshake_spark.functions.curation import decontaminate, decontaminate_bloom
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, ev, n=2).filter("contaminated").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, ev, n=2, m_bits=64, k=2)
+        .filter("contaminated")
+        .collect()
+    }
+    assert exact <= bloom
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z", None]), st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_source_dup_stats_matches_serial_model(spark, rows):
+    """source_duplicate_stats == the serial dict model for arbitrary
+    (text, source) multisets including NULL texts (counted, never dups)."""
+    from collections import Counter
+
+    from mongoshake_spark.functions.dedup import source_duplicate_stats
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    total = Counter(t for t, _ in rows if t is not None)
+    model: dict[str, list[int]] = {}
+    for t, s in rows:
+        m = model.setdefault(s, [0, 0, 0])
+        m[0] += 1
+        if t is not None:
+            src_cnt = sum(1 for t2, s2 in rows if t2 == t and s2 == s)
+            if total[t] > 1:
+                m[1] += 1
+            if total[t] > src_cnt:
+                m[2] += 1
+    got = {
+        r["source"]: [r["n_docs"], r["n_dup_docs"], r["n_cross_source_dup_docs"]]
+        for r in source_duplicate_stats(docs).collect()
+    }
+    assert got == model
