@@ -689,3 +689,88 @@ def test_txn_reassembly_spans_arrow_chunks(spark, tmp_path):
         assert [r["seq"] for r in results] == list(range(1, n_ops + 1))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_multi_table_apply_routes_per_namespace(spark, sf_dir, tmp_path):
+    """The whole-deployment shape: one stream + one checkpoint drives a
+    kernel per namespace; each target equals that namespace's own
+    last-writer-wins reconstruction, and cross-ns keys never mix."""
+    from mongoshake_spark.streaming.multi import run_multi_incr_sync
+
+    # synthesize a 2-namespace feed: the events oplog with rows split
+    # deterministically between two collections
+    ov = oplog_view(load_table(spark, sf_dir, "events"))
+    two_ns = ov.withColumn(
+        "ns",
+        F.when(F.col("user_id") % 2 == 0, F.lit("db0.even")).otherwise(
+            F.lit("db0.odd")
+        ),
+    )
+    feed = str(tmp_path / "feed")
+    (
+        two_ns.repartitionByRange(4, "ts", "id")
+        .sortWithinPartitions("ts", "id")
+        .write.parquet(feed)
+    )
+    # the file stream admits oldest-mtime-first and one write job shares
+    # an mtime: stamp range order like write_replay_feed does, or the
+    # replay order (and the kernel's compaction watermark assumption)
+    # is arbitrary
+    import os as _os
+    import time as _time
+
+    parts = sorted(f for f in _os.listdir(feed) if f.endswith(".parquet"))
+    base = _time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        _os.utime(_os.path.join(feed, f), (base + i, base + i))
+    multi = run_multi_incr_sync(
+        spark, feed, str(tmp_path / "root"), str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    assert set(multi.kernels) == {"db0.even", "db0.odd"}
+    for ns, parity in (("db0.even", 0), ("db0.odd", 1)):
+        want = {
+            r["user_id"]: r["value"]
+            for r in merge.last_writer_wins(
+                two_ns.filter(F.col("ns") == ns)
+            ).collect()
+        }
+        got = {
+            r["user_id"]: r["value"]
+            for r in spark.read.parquet(str(tmp_path / "root") + "/" + ns)
+            .filter(F.col("op") != "d")
+            .select("user_id", "value")
+            .collect()
+        }
+        assert got == want
+        assert all(k % 2 == parity for k in got)
+
+
+def test_multi_table_apply_lazy_namespace_and_null_ns(spark, tmp_path):
+    """A namespace first seen mid-stream gets its kernel lazily; NULL-ns
+    rows reach the dead-letter, not a target and not the void."""
+    import datetime
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    dl = str(tmp_path / "dl")
+    multi = MultiTableApplyKernel(
+        spark, str(tmp_path / "root"), dead_letter_dir=dl
+    )
+    b0 = spark.createDataFrame(
+        [(1, t0, 1, "i", "db0.a", 1.0, "{}"), (2, t0, 2, "i", None, 2.0, "{}")],
+        schema,
+    )
+    multi.process_batch(b0, 0)
+    assert set(multi.kernels) == {"db0.a"}
+    b1 = spark.createDataFrame([(3, t0, 3, "i", "db0.b", 3.0, "{}")], schema)
+    multi.process_batch(b1, 1)
+    assert set(multi.kernels) == {"db0.a", "db0.b"}
+    assert spark.read.parquet(dl + "/_null_ns").count() == 1
+    assert multi.state_view("db0.b").count() == 1
+    assert multi.state_view("db0.missing") is None
