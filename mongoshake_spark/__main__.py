@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="override the conf's sync_mode; 'verify' runs the "
                         "post-sync check, 'repair' applies plans written "
                         "by verify --repair-dir to the target")
+    p.add_argument("--multi-ns", action="store_true",
+                   help="incr: route each oplog to a per-namespace target "
+                        "under TARGET_DIR/<ns> (the reference's "
+                        "whole-deployment replication shape) instead of "
+                        "folding everything into one table")
     p.add_argument("--resume", action="store_true",
                    help="full sync: skip namespaces with completion markers")
     p.add_argument("--verify-table", default="customer",
@@ -248,12 +253,39 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
         try:
-            kernel = run_incr_sync(
-                spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
-                max_files_per_trigger=cfg.files_per_trigger,
-                mirror=mirror,
-            )
-            out = {"mode": mode, "ddl_applied": len(kernel.ddl_log)}
+            if args.multi_ns:
+                if mirror is not None:
+                    # each ns kernel would bulk_write into the ONE
+                    # configured collection — wrong target for every ns
+                    # but the named one; per-ns mirror routing is not
+                    # wired, so refuse rather than misdeliver
+                    print(
+                        "conf error: --multi-ns cannot be combined with a "
+                        "tunnel=direct live mirror (the mirror targets one "
+                        "db.coll; per-namespace routing is not wired)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from mongoshake_spark.streaming.multi import run_multi_incr_sync
+
+                multi = run_multi_incr_sync(
+                    spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
+                    max_files_per_trigger=cfg.files_per_trigger,
+                )
+                out = {
+                    "mode": mode,
+                    "namespaces": sorted(multi.kernels),
+                    "ddl_applied": sum(
+                        len(k.ddl_log) for k in multi.kernels.values()
+                    ),
+                }
+            else:
+                kernel = run_incr_sync(
+                    spark, args.feed_dir, args.target_dir, args.checkpoint_dir,
+                    max_files_per_trigger=cfg.files_per_trigger,
+                    mirror=mirror,
+                )
+                out = {"mode": mode, "ddl_applied": len(kernel.ddl_log)}
             if listener is not None:
                 # listener events are delivered async on the bus: wait
                 # (bounded) until the batch count stabilizes before the

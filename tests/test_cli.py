@@ -481,3 +481,63 @@ def test_cli_http_port_bind_failure_is_conf_error(spark, sf_dir, tmp_path, capsy
         assert "could not bind" in capsys.readouterr().err
     finally:
         blocker.close()
+
+
+def test_cli_incr_multi_ns_routes_per_namespace(spark, sf_dir, tmp_path, capsys):
+    """--multi-ns: the whole-deployment shape through the CLI — each
+    namespace lands in its own target and equals its own per-ns
+    last-writer-wins reconstruction."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.operators.merge import last_writer_wins
+    from mongoshake_spark.sources.oplog import oplog_view
+    from mongoshake_spark.sources.tables import load_table
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=5000)
+    root = str(tmp_path / "root")
+    rc = main([
+        "--sync-mode", "incr", "--multi-ns",
+        "--source-dir", sf_dir, "--target-dir", root,
+        "--feed-dir", feed, "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    ov = oplog_view(load_table(spark, sf_dir, "events"))
+    all_ns = sorted(r["ns"] for r in ov.select("ns").distinct().collect())
+    assert out["namespaces"] == all_ns
+    for ns in all_ns[:3]:  # spot-check three namespaces
+        want = {
+            r["user_id"]: r["value"]
+            for r in last_writer_wins(ov.filter(F.col("ns") == ns)).collect()
+        }
+        got = {
+            r["user_id"]: r["value"]
+            for r in spark.read.parquet(f"{root}/{ns}")
+            .filter(F.col("op") != "d")
+            .select("user_id", "value")
+            .collect()
+        }
+        assert got == want
+
+
+def test_cli_multi_ns_refuses_single_collection_mirror(spark, sf_dir, tmp_path, capsys):
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        "sync_mode = incr\ntunnel = direct\n"
+        "tunnel.address = mongodb://127.0.0.1:27017/db.coll\n"
+    )
+    try:
+        import pymongo  # noqa: F401
+    except ImportError:
+        import pytest
+
+        pytest.skip("pymongo absent: the mirror gate fires before the check")
+    rc = main([
+        "--conf", str(conf), "--multi-ns",
+        "--source-dir", sf_dir, "--target-dir", str(tmp_path / "t"),
+        "--feed-dir", str(tmp_path / "feed"), "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 2
+    assert "multi-ns" in capsys.readouterr().err
