@@ -131,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"conf error: {e}", file=sys.stderr)
         return 2
     mode = args.sync_mode or cfg.sync_mode
+    if args.multi_ns and mode != "incr":
+        # silently ignoring the flag would be the same misdelivery class
+        # the mirror+multi combination refuses: the user asked for
+        # per-namespace targets and would get one table with exit 0
+        print(
+            f"conf error: --multi-ns applies only to --sync-mode incr "
+            f"(got {mode!r})",
+            file=sys.stderr,
+        )
+        return 2
 
     plan = {
         "mode": mode,

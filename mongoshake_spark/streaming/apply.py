@@ -458,27 +458,44 @@ def run_incr_sync(
     B6 for a bounded run). checkpointLocation gives resume (S13).
     ``mirror`` passes through to ``ApplyKernel.mirror`` (the live-target
     hook, e.g. sources/live.mongo_ops_mirror for tunnel=direct)."""
-    from mongoshake_spark.streaming.replay import read_oplog_stream
-
     kernel = ApplyKernel(
         spark, target_dir, dead_letter_dir, strict_barriers=strict_barriers,
         mirror=mirror,
     )
+    drain_feed(
+        spark, feed_dir, kernel.process_batch, checkpoint_dir,
+        max_files_per_trigger, timeout_sec,
+    )
+    return kernel
+
+
+def drain_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    process_batch,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    timeout_sec: float = 300.0,
+) -> None:
+    """The bounded-drain scaffolding shared by the single-table and
+    multi-namespace entry points: availableNow run of the replay feed
+    through ``process_batch`` under one checkpoint. On timeout the query
+    is STOPPED and TimeoutError raised — returning while process_batch
+    is still flushing in the background would hand the caller torn state
+    and leak a running query (the checkpoint makes a re-run resume
+    cleanly)."""
+    from mongoshake_spark.streaming.replay import read_oplog_stream
+
     stream = read_oplog_stream(spark, feed_dir, max_files_per_trigger)
     q = (
-        stream.writeStream.foreachBatch(kernel.process_batch)
+        stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(timeout_sec):
-        # the drain did NOT finish: stop the query and fail loudly —
-        # returning the kernel while process_batch is still flushing in
-        # the background would hand the caller torn state and leak a
-        # running query (the checkpoint makes a re-run resume cleanly)
         q.stop()
         raise TimeoutError(
             f"incremental sync did not drain within {timeout_sec}s; "
             "stream stopped — re-run to resume from the checkpoint"
         )
-    return kernel

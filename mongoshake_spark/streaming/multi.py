@@ -9,9 +9,9 @@ module composes one kernel per namespace behind a single foreachBatch
 callback, so one stream + one checkpoint drives the whole deployment:
 
 - each micro-batch is split by ``ns`` and folded into that namespace's
-  own bucketed target directory (``root_dir/<ns>``) — per-ns state,
-  per-ns watermark, per-ns tombstone compaction, exactly the reference's
-  per-collection apply granularity;
+  own bucketed target directory (``root_dir/<safe(ns)>``) — per-ns
+  state, per-ns watermark, per-ns tombstone compaction, exactly the
+  reference's per-collection apply granularity;
 - the driver-side loop is bounded by the number of DISTINCT namespaces
   in the batch (table count, not row count) — the same bound the
   reference's per-collection writer map carries;
@@ -22,18 +22,60 @@ callback, so one stream + one checkpoint drives the whole deployment:
 - replay safety: the stream checkpoint replays a failed batch into
   EVERY namespace kernel; each per-ns MERGE is idempotent, so the batch
   is at-least-once delivered and exactly-once materialized per ns —
-  the composition inherits the single-kernel argument unchanged.
+  the composition inherits the single-kernel argument unchanged;
+- the M4 audit journal (``journal_dir``) is written ONCE at the batch
+  level, before any routing — the single-kernel contract ("every oplog
+  handled, before filtering") — so unroutable rows are journaled too;
+  per-ns kernels do NOT journal (that would double-count);
+- UNROUTABLE rows (ns NULL, or a ns that sanitizes to a path-hostile
+  name like '', '.', '..') reach the dead-letter — ALWAYS: when no
+  ``dead_letter_dir`` is given they land under
+  ``root_dir/_dead_letter/@unroutable`` rather than vanishing (W7: rows
+  that cannot be applied must be recorded, never dropped).
 
 A namespace seen for the first time mid-stream (a created collection)
 gets its kernel lazily — the reference's dynamic collection handling.
+
+``mirror`` is deliberately NOT accepted here: a live mirror targets one
+db.coll, so wiring one mirror into every per-ns kernel would deliver
+every namespace into that single collection (the CLI refuses the
+combination for the same reason).
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongoshake_spark.streaming.apply import ApplyKernel
+from mongoshake_spark.streaming.apply import ApplyKernel, drain_feed
+
+#: characters allowed verbatim in a namespace's directory name; anything
+#: else is replaced and the name disambiguated with a hash suffix
+_SAFE_CHARS = re.compile(r"[^A-Za-z0-9._-]")
+
+#: dead-letter subdirectory for unroutable rows. '@' is outside
+#: _SAFE_CHARS' alphabet, so no sanitized namespace can ever collide
+#: with it.
+UNROUTABLE = "@unroutable"
+
+
+def safe_ns_dir(ns: str) -> str | None:
+    """Directory name for a namespace, or None when the ns is unroutable.
+
+    Substituting hostile characters alone is not enough: '..' or '.'
+    would escape/corrupt the root layout, and two distinct namespaces
+    could collide after substitution. Any ns that needed substitution
+    gets a deterministic 8-hex suffix of the ORIGINAL name, so distinct
+    namespaces keep distinct directories."""
+    safe = _SAFE_CHARS.sub("_", ns)
+    if safe in ("", ".", ".."):
+        return None
+    if safe != ns:
+        safe += "-" + hashlib.sha256(ns.encode()).hexdigest()[:8]
+    return safe
 
 
 class MultiTableApplyKernel:
@@ -44,32 +86,45 @@ class MultiTableApplyKernel:
         spark: SparkSession,
         root_dir: str,
         ns_col: str = "ns",
+        journal_dir: str | None = None,
+        dead_letter_dir: str | None = None,
         **kernel_kwargs,
     ) -> None:
+        if "mirror" in kernel_kwargs:
+            raise ValueError(
+                "MultiTableApplyKernel does not accept a mirror: a live "
+                "mirror targets ONE collection, and fanning one mirror "
+                "across every namespace kernel would misdeliver every "
+                "namespace but the named one"
+            )
         self.spark = spark
         self.root_dir = root_dir.rstrip("/")
         self.ns_col = ns_col
+        self.journal_dir = journal_dir
+        self.dead_letter_dir = dead_letter_dir or f"{self.root_dir}/_dead_letter"
         self.kernel_kwargs = kernel_kwargs
         self.kernels: dict[str, ApplyKernel] = {}
 
-    def _kernel_for(self, ns: str) -> ApplyKernel:
+    def _kernel_for(self, ns: str, safe: str) -> ApplyKernel:
         k = self.kernels.get(ns)
         if k is None:
-            # '/' is the only separator that would break the layout; the
-            # reference's ns grammar (db.coll) never contains it, but a
-            # malformed ns must not escape the root dir
-            safe = ns.replace("/", "_")
-            kw = dict(self.kernel_kwargs)
-            for d in ("dead_letter_dir", "journal_dir"):
-                if kw.get(d):
-                    kw[d] = f"{kw[d]}/{safe}"
-            k = ApplyKernel(self.spark, f"{self.root_dir}/{safe}", **kw)
+            k = ApplyKernel(
+                self.spark,
+                f"{self.root_dir}/{safe}",
+                dead_letter_dir=f"{self.dead_letter_dir}/{safe}",
+                **self.kernel_kwargs,
+            )
             self.kernels[ns] = k
         return k
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
+            if self.journal_dir:
+                # M4: the WHOLE batch, before any routing — unroutable
+                # rows are audited too (per-ns kernels don't journal;
+                # they would double-count)
+                batch.write.mode("append").parquet(self.journal_dir)
             # bounded by table count per batch, not row count — the same
             # driver-side bound the reference's writer map carries
             names = sorted(
@@ -77,16 +132,22 @@ class MultiTableApplyKernel:
                 for r in batch.select(self.ns_col).distinct().collect()
                 if r[0] is not None
             )
+            unroutable = batch.filter(F.col(self.ns_col).isNull())
             for ns in names:
-                self._kernel_for(ns).process_batch(
+                safe = safe_ns_dir(ns)
+                if safe is None:
+                    unroutable = unroutable.unionByName(
+                        batch.filter(F.col(self.ns_col) == ns)
+                    )
+                    continue
+                self._kernel_for(ns, safe).process_batch(
                     batch.filter(F.col(self.ns_col) == ns), batch_id
                 )
-            # NULL-ns rows cannot be routed; the W7 contract says they
-            # must reach a dead-letter, not vanish
-            nulls = batch.filter(F.col(self.ns_col).isNull())
-            if self.kernel_kwargs.get("dead_letter_dir") and nulls.limit(1).count():
-                nulls.write.mode("append").parquet(
-                    self.kernel_kwargs["dead_letter_dir"] + "/_null_ns"
+            # W7: rows that cannot be routed must be RECORDED, never
+            # dropped — unconditionally (the dir defaults under root)
+            if not unroutable.isEmpty():
+                unroutable.write.mode("append").parquet(
+                    f"{self.dead_letter_dir}/{UNROUTABLE}"
                 )
         finally:
             batch.unpersist()
@@ -107,18 +168,12 @@ def run_multi_incr_sync(
 ) -> MultiTableApplyKernel:
     """Drain a replay feed into per-namespace targets (availableNow run,
     one checkpoint for the whole deployment — the reference's single
-    replication job over all namespaces)."""
-    from mongoshake_spark.streaming.replay import read_oplog_stream
-
+    replication job over all namespaces). Shares ``drain_feed`` with the
+    single-table entry point: identical timeout/resume contract
+    (TimeoutError, stream stopped, checkpoint resumes)."""
     multi = MultiTableApplyKernel(spark, root_dir, **kernel_kwargs)
-    stream = read_oplog_stream(spark, feed_dir, max_files_per_trigger)
-    q = (
-        stream.writeStream.foreachBatch(multi.process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    drain_feed(
+        spark, feed_dir, multi.process_batch, checkpoint_dir,
+        max_files_per_trigger, timeout_sec,
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise RuntimeError("multi incr sync: drain timed out")
     return multi

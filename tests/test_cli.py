@@ -541,3 +541,12 @@ def test_cli_multi_ns_refuses_single_collection_mirror(spark, sf_dir, tmp_path, 
     ])
     assert rc == 2
     assert "multi-ns" in capsys.readouterr().err
+
+
+def test_cli_multi_ns_requires_incr_mode(tmp_path, capsys):
+    rc = main([
+        "--sync-mode", "full", "--multi-ns",
+        "--source-dir", "/root/testdata/sf0.001", "--target-dir", str(tmp_path / "t"),
+    ])
+    assert rc == 2
+    assert "--multi-ns" in capsys.readouterr().err

@@ -746,31 +746,65 @@ def test_multi_table_apply_routes_per_namespace(spark, sf_dir, tmp_path):
         assert all(k % 2 == parity for k in got)
 
 
-def test_multi_table_apply_lazy_namespace_and_null_ns(spark, tmp_path):
-    """A namespace first seen mid-stream gets its kernel lazily; NULL-ns
-    rows reach the dead-letter, not a target and not the void."""
+def test_multi_table_apply_lazy_namespace_and_unroutable(spark, tmp_path):
+    """A namespace first seen mid-stream gets its kernel lazily;
+    unroutable rows (NULL ns, path-hostile ns) reach the dead-letter —
+    with NO dead_letter_dir configured they default under the root, and
+    the M4 batch journal records them too."""
     import datetime
+    import os
 
-    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+    from mongoshake_spark.streaming.multi import UNROUTABLE, MultiTableApplyKernel
 
     t0 = datetime.datetime(2024, 1, 1)
     schema = (
         "id long, ts timestamp, user_id long, op string, ns string, "
         "value double, o string"
     )
-    dl = str(tmp_path / "dl")
-    multi = MultiTableApplyKernel(
-        spark, str(tmp_path / "root"), dead_letter_dir=dl
-    )
+    root = str(tmp_path / "root")
+    jdir = str(tmp_path / "journal")
+    multi = MultiTableApplyKernel(spark, root, journal_dir=jdir)
     b0 = spark.createDataFrame(
-        [(1, t0, 1, "i", "db0.a", 1.0, "{}"), (2, t0, 2, "i", None, 2.0, "{}")],
+        [
+            (1, t0, 1, "i", "db0.a", 1.0, "{}"),
+            (2, t0, 2, "i", None, 2.0, "{}"),      # NULL ns
+            (3, t0, 3, "i", "..", 3.0, "{}"),       # path escape attempt
+        ],
         schema,
     )
     multi.process_batch(b0, 0)
     assert set(multi.kernels) == {"db0.a"}
-    b1 = spark.createDataFrame([(3, t0, 3, "i", "db0.b", 3.0, "{}")], schema)
+    b1 = spark.createDataFrame([(4, t0, 4, "i", "db0.b", 4.0, "{}")], schema)
     multi.process_batch(b1, 1)
     assert set(multi.kernels) == {"db0.a", "db0.b"}
-    assert spark.read.parquet(dl + "/_null_ns").count() == 1
+    # unroutable rows recorded under the DEFAULT dead-letter, never dropped
+    dl = spark.read.parquet(f"{root}/_dead_letter/{UNROUTABLE}")
+    assert sorted(r["id"] for r in dl.collect()) == [2, 3]
+    # nothing escaped the root; the '..' target was never created
+    assert not os.path.isdir(str(tmp_path / "_bucket=0"))
+    # M4: the journal holds every row of every batch, unroutable included
+    assert spark.read.parquet(jdir).count() == 4
     assert multi.state_view("db0.b").count() == 1
     assert multi.state_view("db0.missing") is None
+
+
+def test_multi_table_ns_sanitization_is_collision_free(tmp_path):
+    from mongoshake_spark.streaming.multi import safe_ns_dir
+
+    assert safe_ns_dir("db0.coll-1_x") == "db0.coll-1_x"  # clean passes through
+    assert safe_ns_dir("..") is None
+    assert safe_ns_dir(".") is None
+    assert safe_ns_dir("") is None
+    a, b = safe_ns_dir("a/b"), safe_ns_dir("a_b")
+    assert a != b and "/" not in a          # substitution disambiguated
+    assert safe_ns_dir("a/b") == a          # deterministic
+    assert safe_ns_dir("a@b") != safe_ns_dir("a#b")  # distinct ns stay distinct
+
+
+def test_multi_table_rejects_mirror(spark, tmp_path):
+    import pytest
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    with pytest.raises(ValueError, match="mirror"):
+        MultiTableApplyKernel(spark, str(tmp_path / "r"), mirror=lambda d, b: None)
