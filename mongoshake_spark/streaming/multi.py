@@ -133,15 +133,29 @@ class MultiTableApplyKernel:
                 if r[0] is not None
             )
             unroutable = batch.filter(F.col(self.ns_col).isNull())
+            # admin commands arrive on 'db.$cmd' (the reference routes
+            # them to every worker of that db, oplog grammar): deliver
+            # each db's command rows to EVERY kernel of that db, merged
+            # into its slice so the kernel's (ts, id) barrier ordering
+            # covers them. A db with no live kernel makes its commands
+            # no-ops — collection state materializes on first CRUD, the
+            # same effective semantics the catalog-less kernel records.
+            cmd_ns = {ns for ns in names if ns.endswith(".$cmd")}
             for ns in names:
+                if ns in cmd_ns:
+                    continue
                 safe = safe_ns_dir(ns)
                 if safe is None:
                     unroutable = unroutable.unionByName(
                         batch.filter(F.col(self.ns_col) == ns)
                     )
                     continue
+                db = ns.split(".", 1)[0]
+                ns_pred = F.col(self.ns_col) == ns
+                if f"{db}.$cmd" in cmd_ns:
+                    ns_pred = ns_pred | (F.col(self.ns_col) == f"{db}.$cmd")
                 self._kernel_for(ns, safe).process_batch(
-                    batch.filter(F.col(self.ns_col) == ns), batch_id
+                    batch.filter(ns_pred), batch_id
                 )
             # W7: rows that cannot be routed must be RECORDED, never
             # dropped — unconditionally (the dir defaults under root)

@@ -866,3 +866,36 @@ def test_multi_table_resume_from_checkpoint(spark, sf_dir, tmp_path):
             .collect()
         }
         assert got == want
+
+
+def test_multi_table_routes_admin_commands_per_db(spark, tmp_path):
+    """'db.$cmd' command rows reach EVERY kernel of that db (merged into
+    each slice so barrier ordering covers them) and no literal '$cmd'
+    target directory is created; another db's kernels never see them."""
+    import datetime
+    import os
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    root = str(tmp_path / "root")
+    multi = MultiTableApplyKernel(spark, root)
+    batch = spark.createDataFrame(
+        [
+            (1, t0, 1, "i", "db0.a", 1.0, "{}"),
+            (2, t0, 2, "i", "db0.b", 2.0, "{}"),
+            (3, t0, 3, "c", "db0.$cmd", None, '{"create": "a2"}'),
+            (4, t0, 4, "i", "db1.x", 4.0, "{}"),
+        ],
+        schema,
+    )
+    multi.process_batch(batch, 0)
+    assert set(multi.kernels) == {"db0.a", "db0.b", "db1.x"}
+    assert [x[0] for x in multi.kernels["db0.a"].ddl_log] == [3]
+    assert [x[0] for x in multi.kernels["db0.b"].ddl_log] == [3]
+    assert multi.kernels["db1.x"].ddl_log == []
+    assert not any("$cmd" in d or "_cmd" in d for d in os.listdir(root))
