@@ -61,6 +61,7 @@ def main() -> None:
     STREAMY = {
         "q28_tunnel_roundtrip", "q31_txn_crossbatch", "q32_socket_tunnel",
         "stream_dedup", "session_window_stream", "stream_static_enrich",
+        "q37_multi_ns_sync",
     }
 
     def _spaced(items):

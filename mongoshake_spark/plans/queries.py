@@ -3371,6 +3371,62 @@ def dedup_containment_q(spark, sf_dir):
     ).orderBy("inner_id", "outer_id")
 
 
+@_q(
+    "q37_multi_ns_sync",
+    _O
+    + """, tagged AS (
+  SELECT *, CASE WHEN user_id % 2 = 0 THEN 'db0.even' ELSE 'db0.odd' END AS ns2
+  FROM oplog_v WHERE op IN ('i','u','d'))
+SELECT ns2 AS ns, user_id, value FROM (
+  SELECT ns2, user_id, arg_max(value, id) AS value, arg_max(op, id) AS last_op
+  FROM tagged GROUP BY ns2, user_id)
+WHERE last_op <> 'd' ORDER BY ns, user_id""",
+    "Whole-deployment incremental sync (the reference's default shape: "
+    "every namespace through one job): the oplog split into two "
+    "namespaces streams through MultiTableApplyKernel — one checkpoint, "
+    "one kernel per ns, per-ns bucketed state/watermark — and each "
+    "namespace's materialized target must equal ITS OWN last-writer-wins "
+    "reconstruction. Runs a real 3-micro-batch stream "
+    "(streaming/multi.py; CLI --multi-ns).",
+)
+def q37_multi_ns(spark, sf_dir):
+    import os
+    import time
+
+    from mongoshake_spark.streaming.multi import run_multi_incr_sync
+
+    two_ns = _oplog(spark, sf_dir).withColumn(
+        "ns",
+        F.when(F.col("user_id") % 2 == 0, F.lit("db0.even")).otherwise(
+            F.lit("db0.odd")
+        ),
+    )
+    tmp = _stream_tmpdir("q37_")
+    feed, root, ckpt = (os.path.join(tmp, d) for d in ("feed", "root", "ck"))
+    (
+        two_ns.repartitionByRange(3, "ts", "id")
+        .sortWithinPartitions("ts", "id")
+        .write.parquet(feed)
+    )
+    # the file stream admits oldest-mtime-first; one write job shares an
+    # mtime — stamp range order so replay follows the oplog order the
+    # kernel's compaction watermark assumes (see write_replay_feed)
+    parts = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    base = time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed, f), (base + i, base + i))
+    multi = run_multi_incr_sync(spark, feed, root, ckpt, max_files_per_trigger=1)
+    out = None
+    for ns in sorted(multi.kernels):
+        part = (
+            spark.read.parquet(f"{root}/{ns}")
+            .filter(F.col("op") != "d")
+            .select(F.lit(ns).alias("ns"), "user_id", "value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("ns", "user_id").localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
