@@ -1,0 +1,124 @@
+"""Deterministic distributed k-means over an embedding column.
+
+Corpus organization for training-data pipelines (SemDedup cells, topic
+balancing, IVF coarse quantizers) needs a clustering primitive. This is
+Lloyd's algorithm made fully deterministic and cross-engine replayable:
+
+- init: the k vectors with the smallest ids, cluster ids 0..k-1 in id
+  order (no RNG — portable to any engine);
+- assignment: nearest centroid by squared L2 ROUNDED to 6 decimals,
+  ties to the smallest cluster id (the rounding pins the argmin across
+  engines whose unrounded doubles differ in the last ulp);
+- update: element-wise mean, ROUNDED to 6 decimals before the next
+  iteration (so both engines iterate from bit-identical centroids —
+  float sums are order-sensitive and each engine aggregates in its own
+  order; without the rounding the drift compounds per iteration);
+- fixed iteration count (the caller picks; no data-dependent stopping).
+
+Scale shape: centroids are a k-row table BROADCAST to every task — the
+corpus is never shuffled for assignment (a map-side zip_with/aggregate
+fold per row). The only corpus-wide exchange per iteration is the
+centroid update: posexplode emits dim rows per vector and the
+(cluster, pos) partial means combine map-side, so the shuffle carries
+k*dim rows per upstream partition, not the corpus. Driver holds nothing
+but the plan. At 100 TB use sampled init (e.g. min-id within hash
+buckets) and fewer update passes — the operator shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _init_centroids(vecs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """k-row (cluster, centroid) table: the k smallest-id vectors, cluster
+    ids assigned 0..k-1 in id order.
+
+    The k rows are collected to the driver — bounded by the operator's
+    own ``k`` parameter, never by data size (the same driver-residency
+    Spark MLlib gives k-means centroids), and the cluster-id numbering
+    needs a total order that a distributed plan would spell as a global
+    ordered window. Rounding happens Spark-side (``F.round`` is
+    HALF_UP like the oracle's; Python's ``round`` is banker's and would
+    diverge on exact half-ulp ties)."""
+    rows = vecs.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    spark = vecs.sparkSession
+    init = spark.createDataFrame(
+        [(i, list(r[1])) for i, r in enumerate(rows)],
+        "cluster int, centroid array<double>",
+    )
+    return init.select(
+        "cluster",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster, d2): nearest centroid per vector. Broadcast k rows,
+    fold the squared distance in-row (JVM, no Python), argmin via a
+    struct min — (rounded distance, cluster) lexicographic ties to the
+    smallest cluster id."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        id_col, "cluster", F.round(d2, 6).alias("d2")
+    )
+    best = cand.groupBy(id_col).agg(
+        F.min(F.struct("d2", "cluster")).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col("_best.cluster").alias("cluster"),
+        F.col("_best.d2").alias("d2"),
+    )
+
+
+def _update(
+    assigned: DataFrame, vecs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """New centroids: per-(cluster, position) mean, rounded to 6, packed
+    back into arrays. k*dim result rows; the mean combines map-side."""
+    joined = assigned.select(id_col, "cluster").join(
+        vecs.select(id_col, vec_col), id_col
+    )
+    pos = joined.select(
+        "cluster", F.posexplode(vec_col).alias("pos", "val")
+    )
+    means = pos.groupBy("cluster", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+    )
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd iterations (an iteration =
+    assign to nearest centroid, then recompute means; the returned
+    assignment is against the centroids produced by the LAST update).
+    Returns ``(id_col, cluster, d2)`` with ``d2`` the rounded squared L2
+    to the winning centroid."""
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_assign: k and iters must be >= 1")
+    cents = _init_centroids(vecs, k, id_col, vec_col)
+    assigned = _assign(vecs, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = _update(assigned, vecs, id_col, vec_col)
+        assigned = _assign(vecs, cents, id_col, vec_col)
+    return assigned

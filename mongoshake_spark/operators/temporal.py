@@ -12,6 +12,10 @@ cut user activity into sessions for dataset curation):
   the oracle uses).
 - ``session_ids``: gap-based session numbering per key — consecutive
   events more than ``gap`` apart start a new session.
+- ``range_join``: pair left rows with right rows whose timestamp falls
+  in a bounded window around the left timestamp — bucketized into an
+  EQUI-join so Spark never plans the O(n·m) broadcast-nested-loop a
+  naive ``BETWEEN`` theta join produces.
 
 Scale shape (both): ONE hash shuffle on the key, then per-key ordered
 windows — never a partition-less global window. The unit of parallelism
@@ -97,6 +101,70 @@ def asof_join(
         *left_only,
         *[F.col("_fill")[c].alias(f"{out_prefix}{c}") for c in value_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    on: list[str] | str | None = None,
+) -> DataFrame:
+    """Bounded interval join: every pair ``(l, r)`` with equal ``on`` keys
+    and ``l.left_ts + lower_us <= r.right_ts <= l.left_ts + upper_us``
+    (bounds inclusive, compared in integer microseconds — exact, never
+    float-epsilon). Returns left columns + right columns; name collisions
+    are the caller's to resolve (select/alias first).
+
+    Spark has no interval-join operator: the naive spelling (equality key
+    + two ``BETWEEN`` inequalities) plans a SortMergeJoin whose range
+    residual runs per equal-key group — O(n·m) per key — and with no
+    equality key at all it degenerates to BroadcastNestedLoopJoin over
+    the whole input. This implementation buckets time into spans of
+    ``width = upper_us - lower_us + 1`` microseconds: a right row lives
+    in exactly ONE bucket, a left row's admissible window overlaps AT
+    MOST TWO consecutive buckets, so exploding the left side into its
+    (deduplicated) candidate bucket ids turns the whole join into a hash
+    EQUI-join on ``(on..., bucket)`` with the exact range predicate as a
+    residual. Each matching pair appears exactly once (the right row's
+    bucket is unique), cost is one shuffle of ≤2× the left rows, and the
+    unit of parallelism is the bucket — time-uniform streams spread
+    evenly regardless of key skew.
+    """
+    if upper_us < lower_us:
+        raise ValueError("range_join: upper_us < lower_us")
+    on = [] if on is None else [on] if isinstance(on, str) else list(on)
+    clash = {"_bkt", "_lus", "_rus"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"range_join: columns collide with internals: {clash}")
+    width = int(upper_us - lower_us) + 1
+    lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lo_bkt = F.floor((lus + F.lit(int(lower_us))) / F.lit(width))
+    hi_bkt = F.floor((lus + F.lit(int(upper_us))) / F.lit(width))
+    lx = left.withColumn("_lus", lus).withColumn(
+        "_bkt", F.explode(F.array_distinct(F.array(lo_bkt, hi_bkt)))
+    )
+    rx = right.withColumn("_rus", rus).withColumn(
+        "_bkt", F.floor(F.col("_rus") / F.lit(width))
+    )
+    # equality keys join by NAME (coalesced, no duplicate columns); the
+    # range predicate is the residual on the internal microsecond columns
+    cond = [lx["_bkt"] == rx["_bkt"]] + [lx[k] == rx[k] for k in on]
+    joined = (
+        lx.join(rx, cond, "inner")
+        .filter(
+            (rx["_rus"] >= lx["_lus"] + F.lit(int(lower_us)))
+            & (rx["_rus"] <= lx["_lus"] + F.lit(int(upper_us)))
+        )
+        .drop(rx["_bkt"])
+        .drop(lx["_bkt"])
+    )
+    for k in on:
+        joined = joined.drop(rx[k])
+    return joined.drop("_lus", "_rus")
 
 
 def session_ids(

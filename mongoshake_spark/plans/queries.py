@@ -3427,6 +3427,215 @@ def q37_multi_ns(spark, sf_dir):
     return out.orderBy("ns", "user_id").localCheckpoint(eager=True)
 
 
+@_q(
+    "interval_join",
+    """SELECT l.event_id AS anchor_id, count(*) AS n_follow,
+       CAST(sum(r.event_id) AS BIGINT) AS follow_id_sum,
+       round(sum(r.value), 6) AS follow_value_sum
+FROM events l JOIN events r ON l.user_id = r.user_id
+  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'signup'
+GROUP BY 1 ORDER BY 1""",
+    "Bounded interval join: for every signup, the same-user events in "
+    "the following hour (strict lower bound — integer-microsecond "
+    "compare). The naive BETWEEN spelling runs the range residual "
+    "per equal-key group, O(n*m) on hot keys; operators/temporal."
+    "range_join buckets time into window-width spans (a right row lives "
+    "in ONE bucket, a left window overlaps at most two), so the plan is "
+    "a hash EQUI-join on (key, bucket) with the exact range as residual "
+    "— one shuffle of <=2x the left rows, parallelism by time bucket.",
+)
+def interval_join_q(spark, sf_dir):
+    from mongoshake_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    right = ev.select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        "value",
+    )
+    pairs = range_join(left, right, "l_ts", "r_ts", 1, 3_600_000_000, on="user_id")
+    return (
+        pairs.groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_follow"),
+            F.sum("r_id").alias("follow_id_sum"),
+            F.round(F.sum("value"), 6).alias("follow_value_sum"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+_BM25_TERMS = ["spark", "merge", "window", "vector", "customer"]
+
+
+@_q(
+    "bm25_topk",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+hits AS (SELECT doc_id, dl,
+                unnest(list_filter(toks, t -> list_contains(
+                  {_BM25_TERMS!r}, t))) AS term
+         FROM d),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+              first(dl) AS dl FROM hits GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM dfq CROSS JOIN st),
+sc AS (SELECT t.doc_id,
+         sum(i.idf * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / i.avgdl))) AS score
+       FROM tf t JOIN idf i ON t.term = i.term GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 20""",
+    "BM25 top-20 relevance retrieval (Okapi, Lucene's +1 idf smoothing) "
+    "for a 5-term query. Corpus-wide state is two scalars (N, avgdl) "
+    "plus a |query|-row idf table joined back as a broadcast; the "
+    "per-doc term restriction happens IN-ROW before the explode, so at "
+    "most |terms| rows per doc reach the one corpus shuffle, and the "
+    "global top-k is TakeOrderedAndProject — per-partition partial "
+    "top-k, k-row driver merge (functions/retrieval.bm25_topk).",
+)
+def bm25_topk_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+@_q(
+    "kmeans_embed",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
+a1d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c0 c),
+a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
+a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
+       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
+         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
+              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
+c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
+c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
+a2d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c1r c),
+a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
+a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster, min(m.md) AS d2
+       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1)
+SELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id""",
+    "Deterministic k-means (k=8, 2 Lloyd iterations) over the 64-dim "
+    "embeddings: min-id init, nearest-centroid assignment with rounded "
+    "distances (ties to the smallest cluster id), centroids re-rounded "
+    "each update so both engines iterate from bit-identical state. "
+    "Centroids broadcast (corpus never shuffled for assignment); the "
+    "update shuffle carries k*dim partial means per partition "
+    "(functions/clustering.kmeans_assign).",
+)
+def kmeans_embed_q(spark, sf_dir):
+    from mongoshake_spark.functions.clustering import kmeans_assign
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(vecs, k=8, iters=2).orderBy("vec_id")
+
+
+@_q(
+    "stream_join",
+    """SELECT l.user_id, count(*) AS n_pairs,
+       CAST(sum(r.event_id) AS BIGINT) AS pair_id_sum
+FROM events l JOIN events r ON l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+    "STREAM-STREAM interval join: signups and purchases replayed as two "
+    "independent 2-micro-batch file streams, watermarked on both sides, "
+    "inner-joined on user within [signup, signup+30min] — the state "
+    "store buffers each side only until the watermark proves no future "
+    "match can arrive (state ~ rate x (delay + span) at 100 TB/day, "
+    "independent of history; the replay uses a generous delay so the "
+    "finite drain is complete). Drained totals must equal the batch "
+    "join (streaming/joins.stream_interval_join).",
+)
+def stream_join_q(spark, sf_dir):
+    import os
+    import time
+
+    from mongoshake_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (with zone); the parquet NTZ cast is
+    # lossless and the joined output carries no ts columns, so the zone
+    # never reaches the compared result
+    lt = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    rt = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    tmp = _stream_tmpdir("sjoin_")
+    ldir, rdir, ck, out = (
+        os.path.join(tmp, d) for d in ("left", "right", "ck", "out")
+    )
+    for df, feed, ts in ((lt, ldir, "l_ts"), (rt, rdir, "r_ts")):
+        df.repartitionByRange(2, ts).sortWithinPartitions(ts).write.parquet(feed)
+        parts = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+        base = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(feed, f), (base + i, base + i))
+    ls = (
+        spark.readStream.schema(lt.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir)
+    )
+    rs = (
+        spark.readStream.schema(rt.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+    )
+    joined = stream_interval_join(
+        ls, rs, "user_id", "l_ts", "r_ts", 0, 1800, watermark="720 hours"
+    )
+    q = (
+        joined.select("user_id", "l_id", "r_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_join: drain timed out")
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.sum("r_id").alias("pair_id_sum"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""BM25 retrieval (functions/retrieval) and deterministic k-means
+(functions/clustering)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.clustering import kmeans_assign
+from mongoshake_spark.functions.retrieval import bm25_scores, bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_hand_computed_scores(spark):
+    """3-doc corpus, 2-term query, scores checked against the Okapi
+    formula computed by hand (k1=1.2, b=0.75)."""
+    docs = _docs(
+        spark,
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "dog")],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["apple", "banana"]).collect()
+    }
+    n, avgdl = 3.0, 2.0
+    idf_a = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+    idf_b = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def part(idf, tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    want = {
+        1: part(idf_a, 2, 3) + part(idf_b, 1, 3),
+        2: part(idf_b, 1, 2),
+    }
+    assert set(got) == {1, 2}  # doc 3 matches nothing and never appears
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+
+
+def test_bm25_tokenizer_case_and_punctuation(spark):
+    """Tokens are lowercased and split on non-alphanumerics — 'Apple,'
+    and 'apple' are the same term; empty splits never count toward dl."""
+    docs = _docs(spark, [(1, "  Apple, BANANA!"), (2, "apple")])
+    got = {r["doc_id"] for r in bm25_scores(docs, ["apple"]).collect()}
+    assert got == {1, 2}
+
+
+def test_bm25_topk_orders_by_score_then_id(spark):
+    """Equal rounded scores tie-break by ascending doc id; k truncates."""
+    docs = _docs(spark, [(i, "apple") for i in range(10)])  # identical docs
+    top = bm25_topk(docs, ["apple"], k=4).collect()
+    assert [r["doc_id"] for r in top] == [0, 1, 2, 3]
+    assert len({r["score"] for r in top}) == 1
+
+
+def test_bm25_rejects_empty_terms(spark):
+    with pytest.raises(ValueError, match="empty term list"):
+        bm25_scores(_docs(spark, [(1, "x")]), [])
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two well-separated blobs; init takes the two smallest ids (one in
+    each blob), so Lloyd must settle every point into its blob."""
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [0.5, 0.1]), (3, [10.2, 9.9]), (4, [0.1, 0.4]),
+            (5, [9.8, 10.1])]
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(_vecs(spark, rows), k=2, iters=3).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_equidistant_tie_goes_to_smaller_cluster_id(spark):
+    """A point exactly between two init centroids lands in the smaller
+    cluster id (the struct-min tiebreak the oracle replicates)."""
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(_vecs(spark, rows), k=2, iters=1).collect()}
+    assert got[2] == 0
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from mongoshake_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, kmeans_assign(vecs, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(vecs, k=4, iters=2).collect()))
+    assert a == b and len(a) == vecs.count()
+
+
+def test_kmeans_k1_and_validation(spark):
+    rows = [(0, [0.0]), (1, [5.0])]
+    got = kmeans_assign(_vecs(spark, rows), k=1, iters=1).collect()
+    assert {r["cluster"] for r in got} == {0}
+    with pytest.raises(ValueError):
+        kmeans_assign(_vecs(spark, rows), k=0)
+
+
+def test_kmeans_assignment_plan_broadcasts_centroids(spark, sf_dir):
+    """Assignment must not shuffle the corpus: the centroid join is a
+    broadcast (nested-loop over a k-row side), and no corpus-sized
+    exchange precedes it."""
+    from mongoshake_spark.sources.tables import load_table
+    from tests.test_plans import _plan
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(kmeans_assign(vecs, k=8, iters=1))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

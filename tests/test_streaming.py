@@ -899,3 +899,79 @@ def test_multi_table_routes_admin_commands_per_db(spark, tmp_path):
     assert [x[0] for x in multi.kernels["db0.b"].ddl_log] == [3]
     assert multi.kernels["db1.x"].ddl_log == []
     assert not any("$cmd" in d or "_cmd" in d for d in os.listdir(root))
+
+
+def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join: a right row arriving in a LATER
+    micro-batch must still pair with a left row buffered from an earlier
+    one (the state store holds each side until the watermark passes),
+    and rows outside the window must not pair."""
+    import json
+    import os
+    import time
+
+    from mongoshake_spark.streaming.joins import stream_interval_join
+
+    ldir, rdir = tmp_path / "sj_left", tmp_path / "sj_right"
+    os.makedirs(ldir), os.makedirs(rdir)
+    n = [0]
+
+    def write_file(d, name, rows):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        t = time.time() - 100 + n[0]
+        os.utime(d / name, (t, t))
+        n[0] += 1
+
+    # left batch 1: two anchors; right batch 1: empty-ish; right batch 2
+    # carries the matches for batch-1 anchors (cross-batch pairing)
+    write_file(ldir, "l0.json", [
+        {"k": 1, "l_ts": "2024-01-01 10:00:00", "lid": 100},
+        {"k": 2, "l_ts": "2024-01-01 10:00:00", "lid": 200},
+    ])
+    write_file(ldir, "l1.json", [
+        {"k": 1, "l_ts": "2024-01-01 12:00:00", "lid": 101},
+    ])
+    write_file(rdir, "r0.json", [
+        {"k": 1, "r_ts": "2024-01-01 09:59:59", "rid": 900},  # before: no
+    ])
+    write_file(rdir, "r1.json", [
+        {"k": 1, "r_ts": "2024-01-01 10:20:00", "rid": 901},  # batch-1 left
+        {"k": 2, "r_ts": "2024-01-01 10:31:00", "rid": 902},  # > 30min: no
+        {"k": 1, "r_ts": "2024-01-01 12:05:00", "rid": 903},  # batch-2 left
+    ])
+    ls = (
+        spark.readStream.schema("k long, l_ts timestamp, lid long")
+        .option("maxFilesPerTrigger", 1).json(str(ldir))
+    )
+    rs = (
+        spark.readStream.schema("k long, r_ts timestamp, rid long")
+        .option("maxFilesPerTrigger", 1).json(str(rdir))
+    )
+    joined = stream_interval_join(
+        ls, rs, "k", "l_ts", "r_ts", 0, 1800, watermark="10 minutes"
+    )
+    results = []
+    q = (
+        joined.select("lid", "rid")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: results.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    time.sleep(0.1)
+    assert sorted((r["lid"], r["rid"]) for r in results) == [
+        (100, 901), (101, 903)
+    ]
+
+
+def test_stream_interval_join_requires_distinct_ts_names(spark, tmp_path):
+    import pytest
+
+    from mongoshake_spark.streaming.joins import stream_interval_join
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="alias the ts columns apart"):
+        stream_interval_join(df, df, "value", "timestamp", "timestamp", 0, 1)

@@ -100,3 +100,94 @@ def test_asof_join_null_value_in_newest_right_row_wins(spark):
         1: (5.0, "a"),      # only the ts=0 row is at-or-before
         3: (None, "b"),     # newest row wins wholesale, NULL v included
     }
+
+
+# ---------------------------------------------------------------------------
+# range_join (bounded interval join)
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_bounds_inclusive_and_keyed(spark):
+    from mongoshake_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "lid bigint, k bigint, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, _ts(10)),   # == l.ts: below lower bound (lower_us=1)
+            (2, 100, _ts(11)),   # at lower bound: kept
+            (3, 100, _ts(40)),   # inside
+            (4, 100, _ts(40)),   # same instant, second row: kept too
+            (5, 100, dt.datetime(2024, 1, 1, 0, 1, 10)),  # AT upper: kept
+            (7, 100, dt.datetime(2024, 1, 1, 0, 1, 11)),  # > upper: dropped
+            (6, 999, _ts(20)),   # other key: dropped
+        ],
+        "rid bigint, k bigint, r_ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in range_join(
+            left, right, "l_ts", "r_ts", 1_000_000, 60_000_000, on="k"
+        ).collect()
+    )
+    assert got == [2, 3, 4, 5]
+
+
+def test_range_join_matches_naive_theta_join(spark, sf_dir):
+    """Bucketized equi-join result == the naive BETWEEN theta join, pair
+    for pair (window chosen so pairs span bucket boundaries)."""
+    from mongoshake_spark.operators.temporal import range_join
+    from mongoshake_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("lid"), "user_id", F.col("ts").alias("l_ts")
+    )
+    right = ev.select(
+        F.col("event_id").alias("rid"), "user_id", F.col("ts").alias("r_ts")
+    )
+    fast = range_join(
+        left, right, "l_ts", "r_ts", 1, 7_200_000_000, on="user_id"
+    )
+    got = {(r["lid"], r["rid"]) for r in fast.collect()}
+    lus = F.unix_micros(F.col("l_ts").cast("timestamp"))
+    rus = F.unix_micros(F.col("r_ts").cast("timestamp"))
+    naive = left.join(right, "user_id").filter(
+        (rus >= lus + 1) & (rus <= lus + 7_200_000_000)
+    )
+    want = {(r["lid"], r["rid"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The whole point: the plan must be a hash/sort-merge EQUI-join on
+    (key, bucket) — never CartesianProduct, and never a nested-loop over
+    corpus-sized inputs (broadcast of the small side is acceptable only
+    because AQE sizes it; the join keys must still be equi)."""
+    from mongoshake_spark.operators.temporal import range_join
+    from mongoshake_spark.sources.tables import load_table
+    from tests.test_plans import _plan
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(F.col("event_id").alias("lid"), "user_id",
+                     F.col("ts").alias("l_ts"))
+    right = ev.select(F.col("event_id").alias("rid"), "user_id",
+                      F.col("ts").alias("r_ts"))
+    plan = _plan(range_join(left, right, "l_ts", "r_ts", 1, 3_600_000_000,
+                            on="user_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_rejects_bad_bounds_and_collisions(spark):
+    import pytest
+
+    from mongoshake_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame([(1, _ts(0))], "k bigint, ts timestamp")
+    with pytest.raises(ValueError, match="upper_us < lower_us"):
+        range_join(df, df, "ts", "ts", 10, 5)
+    bad = df.withColumn("_bkt", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        range_join(bad, df, "ts", "ts", 0, 10)
