@@ -96,6 +96,95 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(F.sum("part").alias("score"))
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a_col: str = "lex_rank",
+    rank_b_col: str = "sem_rank",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): full-outer join of two
+    ranked candidate lists on ``id_col``; fused score = Σ 1/(rrf_k + rank)
+    over the lists the doc appears in. Candidate lists are top-k-sized —
+    the join is list-sized, never corpus-sized."""
+    joined = ranked_a.select(id_col, rank_a_col).join(
+        ranked_b.select(id_col, rank_b_col), id_col, "full_outer"
+    )
+    term_a = F.when(
+        F.col(rank_a_col).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_a_col))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col(rank_b_col).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_b_col))
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("rrf_score", F.round(term_a + term_b, 6))
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 15,
+    k_lex: int = 50,
+    k_sem: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates ∪ embedding-cosine
+    semantic candidates, fused by reciprocal rank. ``vecs`` carries the
+    corpus embeddings keyed by the same ids as ``docs`` (``vec_id_col``
+    joins against ``id_col``); the semantic query vector is the corpus
+    row ``query_vec_id`` (a stand-in for an encoded query).
+
+    Both rank assignments use the distributed two-pass prefix sum
+    (operators/prefix.running_total) over (score desc, id) — never a
+    partition-less ordered window — then filter to the top-k candidate
+    lists, so the fusion join is k-sized. Scores are rounded to 6
+    decimals BEFORE ranking (rank ties then break by id), which is what
+    makes the ranks — and therefore the fused scores — bit-identical
+    across engines.
+    """
+    from mongoshake_spark.functions.similarity import dot_expr, with_norm
+    from mongoshake_spark.operators.prefix import running_total
+
+    lex = bm25_scores(docs, terms, id_col=id_col, text_col=text_col).select(
+        id_col, F.round("score", 6).alias("lex_score")
+    )
+    lex = lex.withColumn("_neg", -F.col("lex_score"))
+    lex_ranked = (
+        running_total(lex, ["_neg", id_col], F.lit(1), "lex_rank")
+        .filter(F.col("lex_rank") <= k_lex)
+        .select(id_col, F.col("lex_rank").cast("bigint").alias("lex_rank"))
+    )
+
+    unit = with_norm(vecs, vec_col)
+    qrow = unit.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec"), F.col("vnorm").alias("qnorm")
+    )
+    sem = (
+        unit.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(vec_id_col).alias(id_col),
+            F.round(
+                F.expr(dot_expr("qvec", vec_col)) / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("_neg", -F.col("cos_sim"))
+    )
+    sem_ranked = (
+        running_total(sem, ["_neg", id_col], F.lit(1), "sem_rank")
+        .filter(F.col("sem_rank") <= k_sem)
+        .select(id_col, F.col("sem_rank").cast("bigint").alias("sem_rank"))
+    )
+    fused = rrf_fuse(lex_ranked, sem_ranked, id_col=id_col, rrf_k=rrf_k)
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],

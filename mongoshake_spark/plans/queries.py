@@ -3636,6 +3636,65 @@ def stream_join_q(spark, sf_dir):
     )
 
 
+@_q(
+    "hybrid_rrf_topk",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+hits AS (SELECT doc_id, dl,
+                unnest(list_filter(toks, t -> list_contains(
+                  {_BM25_TERMS!r}, t))) AS term
+         FROM d),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+              first(dl) AS dl FROM hits GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM dfq CROSS JOIN st),
+sc AS (SELECT t.doc_id,
+         round(sum(i.idf * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / i.avgdl))), 6) AS score
+       FROM tf t JOIN idf i ON t.term = i.term GROUP BY 1),
+lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS BIGINT) AS lex_rank FROM sc),
+lex50 AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 50),
+v AS (SELECT vec_id, embedding,
+             sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+      FROM embeddings),
+q AS (SELECT embedding AS qvec, vnorm AS qnorm FROM v WHERE vec_id = 0),
+sem AS (SELECT v.vec_id AS doc_id,
+               round({_dd_dot('qvec', 'embedding')} / (qnorm * vnorm), 6) AS cos
+        FROM v CROSS JOIN q),
+semr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                             AS BIGINT) AS sem_rank FROM sem),
+sem50 AS (SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= 50),
+f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                 + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_score
+      FROM lex50 l FULL OUTER JOIN sem50 s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_score FROM f
+ORDER BY rrf_score DESC, doc_id LIMIT 15""",
+    "Hybrid retrieval: BM25 top-50 lexical candidates fused with "
+    "embedding-cosine top-50 semantic candidates (query vector = corpus "
+    "row 0, a stand-in for an encoded query) by reciprocal-rank fusion "
+    "(1/(60+rank), Cormack et al.). Both ranks come from the distributed "
+    "two-pass prefix sum over (rounded score desc, id) — no "
+    "partition-less window — so the fusion join is candidate-list-sized "
+    "and the fused scores are bit-identical across engines "
+    "(functions/retrieval.hybrid_rrf_topk).",
+)
+def hybrid_rrf_topk_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(docs, vecs, _BM25_TERMS, query_vec_id=0, k=15)
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

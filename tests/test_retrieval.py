@@ -121,3 +121,56 @@ def test_kmeans_assignment_plan_broadcasts_centroids(spark, sf_dir):
     plan = _plan(kmeans_assign(vecs, k=8, iters=1))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF math: doc in both lists sums both reciprocal terms; docs in
+    one list get the other term as 0 (never NULL)."""
+    from mongoshake_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id bigint, lex_rank bigint")
+    b = spark.createDataFrame([(1, 3), (9, 1)], "doc_id bigint, sem_rank bigint")
+    got = {r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf_score"])
+           for r in rrf_fuse(a, b).collect()}
+    assert got[1] == (1, 3, pytest.approx(round(1 / 61 + 1 / 63, 6)))
+    assert got[2] == (2, None, pytest.approx(round(1 / 62, 6)))
+    assert got[9] == (None, 1, pytest.approx(round(1 / 61, 6)))
+
+
+def test_hybrid_rrf_topk_blends_both_modalities(spark, sf_dir):
+    """The fused top-k must actually draw on both lists: it contains at
+    least one doc with a lexical rank and one with a semantic rank, is
+    sorted by fused score, and is bounded by k."""
+    from mongoshake_spark.functions.retrieval import hybrid_rrf_topk
+    from mongoshake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    rows = hybrid_rrf_topk(docs, vecs, ["spark", "merge"], query_vec_id=0,
+                           k=10).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["sem_rank"] is not None for r in rows)
+
+
+def test_hybrid_plan_has_no_global_ordered_window(spark, sf_dir):
+    """Rank assignment must go through the distributed prefix sum — a
+    partition-less ordered window over the corpus is the red flag."""
+    import re
+
+    from mongoshake_spark.functions.retrieval import hybrid_rrf_topk
+    from mongoshake_spark.sources.tables import load_table
+    from tests.test_plans import _plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(hybrid_rrf_topk(docs, vecs, ["spark"], query_vec_id=0, k=5))
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg
