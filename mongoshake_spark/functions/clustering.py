@@ -102,6 +102,27 @@ def _update(
     )
 
 
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations; returns ``(assigned, centroids)``
+    — the final assignment ``(id_col, cluster, d2)`` and the centroid
+    table ``(cluster, centroid)`` it was computed against (the LAST
+    update's centroids; clusters emptied by an update disappear)."""
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_assign: k and iters must be >= 1")
+    cents = _init_centroids(vecs, k, id_col, vec_col)
+    assigned = _assign(vecs, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = _update(assigned, vecs, id_col, vec_col)
+        assigned = _assign(vecs, cents, id_col, vec_col)
+    return assigned, cents
+
+
 def kmeans_assign(
     vecs: DataFrame,
     k: int,
@@ -114,11 +135,4 @@ def kmeans_assign(
     assignment is against the centroids produced by the LAST update).
     Returns ``(id_col, cluster, d2)`` with ``d2`` the rounded squared L2
     to the winning centroid."""
-    if k < 1 or iters < 1:
-        raise ValueError("kmeans_assign: k and iters must be >= 1")
-    cents = _init_centroids(vecs, k, id_col, vec_col)
-    assigned = _assign(vecs, cents, id_col, vec_col)
-    for _ in range(iters - 1):
-        cents = _update(assigned, vecs, id_col, vec_col)
-        assigned = _assign(vecs, cents, id_col, vec_col)
-    return assigned
+    return kmeans_fit(vecs, k, iters, id_col, vec_col)[0]

@@ -257,12 +257,19 @@ def ivf_topk(
     centroid_mod: int = 29,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: centroids are a deterministic sample of
     the corpus (``id % centroid_mod == 0`` — the "random sample" init of a
     trained IVF index, reproducible across engines without RNG state), the
     corpus is partitioned into cells by nearest centroid, and each query
     probes only its ``n_probe`` nearest cells.
+
+    ``centroids`` swaps in a TRAINED coarse quantizer instead of the
+    sample: a ``(cid, cvec)`` DataFrame (any id/vector column names, in
+    that order — e.g. ``kmeans_fit``'s ``(cluster, centroid)`` output).
+    Trained centroids concentrate true neighbors into fewer probed cells
+    (scripts/ann_recall_proof.py measures the recall gain).
 
     Scale shape: centroids and the probe map are tiny and broadcast; the
     only corpus-sized operations are one broadcast-join cell assignment
@@ -271,19 +278,28 @@ def ivf_topk(
     corpus instead of all of it. The final top-k window partitions by
     query_id (small side)."""
     unit = with_norm(vecs, vec_col)
-    centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    if centroids.isEmpty():
-        # an id space with no multiple of centroid_mod would otherwise
-        # empty the assignment and silently return zero results — the
-        # violated sampling assumption must be loud
-        raise ValueError(
-            f"no centroids: no {id_col} divisible by {centroid_mod} — "
-            "choose a centroid_mod matching the corpus id space"
+    if centroids is not None:
+        ccid, ccvec = centroids.columns[:2]
+        centroids = with_norm(
+            centroids.select(F.col(ccid).alias("cid"), F.col(ccvec).alias("cvec")),
+            "cvec",
+        ).withColumnRenamed("vnorm", "cnorm")
+        if centroids.isEmpty():
+            raise ValueError("ivf_topk: trained centroid table is empty")
+    else:
+        centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
         )
+        if centroids.isEmpty():
+            # an id space with no multiple of centroid_mod would otherwise
+            # empty the assignment and silently return zero results — the
+            # violated sampling assumption must be loud
+            raise ValueError(
+                f"no centroids: no {id_col} divisible by {centroid_mod} — "
+                "choose a centroid_mod matching the corpus id space"
+            )
     # cell assignment carrying the vector+norm through the aggregate
     # (one map-side-combined shuffle; avoids a corpus self-join with
     # ivf_assign's (id, cell) output)

@@ -728,3 +728,85 @@ def test_source_dup_stats_matches_serial_model(spark, rows):
         for r in source_duplicate_stats(docs).collect()
     }
     assert got == model
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+             min_size=1, max_size=25),
+    st.tuples(st.integers(0, 50), st.integers(0, 400)),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_range_join_matches_serial_model(spark, lrows, rrows, bounds):
+    """Bucketized interval join == the quadratic serial model for ANY
+    bounds 0 <= lower <= upper (seconds) — pairs crossing bucket
+    boundaries included, duplicates never emitted."""
+    import datetime as dt
+
+    from mongoshake_spark.operators.temporal import range_join
+
+    lo_s, span_s = bounds
+    lower_us, upper_us = lo_s * 1_000_000, (lo_s + span_s) * 1_000_000
+    ts = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lrows)],
+        "lid bigint, k bigint, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(rrows)],
+        "rid bigint, k bigint, r_ts timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "l_ts", "r_ts",
+                            lower_us, upper_us, on="k").collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs) in enumerate(rrows)
+        if lk == rk and ls + lo_s <= rs <= ls + lo_s + span_s
+    )
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abc ", min_size=0, max_size=12),),
+                min_size=1, max_size=10))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_bm25_matches_serial_model(spark, texts):
+    """BM25 scores == a serial Okapi implementation over the same
+    tokenizer, for arbitrary tiny corpora (docs with no query term are
+    absent from the output)."""
+    import math
+    import re as _re
+
+    from mongoshake_spark.functions.retrieval import bm25_scores
+
+    terms = ["a", "b"]
+    docs = [(i, t[0]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, terms).collect()}
+
+    toks = {i: [w for w in _re.split("[^a-z0-9]+", t.lower()) if w] for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n if n else 0.0
+    dfreq = {t: float(sum(1 for v in toks.values() if t in v)) for t in terms}
+    want = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = float(tk.count(t))
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if s > 0:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9

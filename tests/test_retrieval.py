@@ -174,3 +174,31 @@ def test_hybrid_plan_has_no_global_ordered_window(spark, sf_dir):
     plan = _plan(hybrid_rrf_topk(docs, vecs, ["spark"], query_vec_id=0, k=5))
     for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
         assert "ASC" not in first_arg and "DESC" not in first_arg
+
+
+def test_ivf_topk_accepts_trained_kmeans_centroids(spark, sf_dir):
+    """A k-means-trained coarse quantizer swaps in for the id-sample:
+    same output schema, deterministic results, and probing every cell
+    recovers the exact brute-force answer."""
+    from mongoshake_spark.functions.clustering import kmeans_fit
+    from mongoshake_spark.functions.similarity import brute_topk, ivf_topk
+    from mongoshake_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    qids = [r["vec_id"] for r in vecs.select("vec_id").orderBy("vec_id")
+            .limit(5).collect()]
+    _, cents = kmeans_fit(vecs, k=6, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    approx = ivf_topk(vecs, qids, k=3, n_probe=2, centroids=cents)
+    assert approx.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+    a = sorted(map(tuple, approx.collect()))
+    b = sorted(map(tuple,
+                   ivf_topk(vecs, qids, k=3, n_probe=2, centroids=cents).collect()))
+    assert a == b and len(a) > 0
+    n_cells = cents.count()
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(vecs, qids, k=3, n_probe=n_cells,
+                              centroids=cents).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_topk(vecs, qids, k=3).collect()}
+    assert full == exact
