@@ -3695,6 +3695,79 @@ def hybrid_rrf_topk_q(spark, sf_dir):
     return hybrid_rrf_topk(docs, vecs, _BM25_TERMS, query_vec_id=0, k=15)
 
 
+# Trained-quantizer IVF oracle: the kmeans_embed oracle's centroid chain
+# (c0 -> a1 -> c1r — min-id init, one rounded Lloyd update) feeds the
+# ann_ivf_topk oracle's probe/score chain, with the sampled-centroid CTE
+# replaced by the trained table. Both component chains are independently
+# driver-verified; this pins their composition.
+_IVF_TRAINED_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
+a1d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c0 c),
+a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
+a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
+       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
+         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
+              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
+c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
+c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
+tc AS (SELECT cluster AS cid, centroid AS cvec,
+              sqrt({_dd_dot('centroid', 'centroid')}) AS cnorm FROM c1r),
+assign AS (
+  SELECT vec_id, embedding, vnorm, cid AS cell FROM (
+    SELECT v.vec_id, v.embedding, v.vnorm, t.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_dd_dot('v.embedding', 't.cvec')} / (v.vnorm * t.cnorm) DESC, t.cid) AS rn
+    FROM v CROSS JOIN tc t) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, vnorm AS qnorm FROM v WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, t.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_dd_dot('q.qvec', 't.cvec')} / (q.qnorm * t.cnorm) DESC, t.cid) AS rn
+    FROM q CROSS JOIN tc t) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_dd_dot('q.qvec', 'a.embedding')} / (q.qnorm * a.vnorm), 6) AS cos_sim
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_ivf_trained",
+    _IVF_TRAINED_ORACLE,
+    "IVF-flat ANN with a TRAINED coarse quantizer: the deterministic "
+    "k-means (k=8, 2 Lloyd iterations, rounded centroids) fits the cell "
+    "centroids, then the standard IVF probe (n_probe=2) scores only the "
+    "probed cells. Centroids stay a k-row broadcast on both the fit and "
+    "probe sides; the corpus is touched by one assignment pass per Lloyd "
+    "iteration plus one cell-restricted scoring pass — no all-pairs "
+    "stage anywhere (functions/clustering.kmeans_fit + "
+    "functions/similarity.ivf_topk(centroids=...)).",
+)
+def ann_ivf_trained_q(spark, sf_dir):
+    from mongoshake_spark.functions.clustering import kmeans_fit
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(vecs, k=8, iters=2)
+    return similarity.ivf_topk(
+        vecs, list(range(10)), k=5, n_probe=2, centroids=cents
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------
