@@ -3768,6 +3768,51 @@ def ann_ivf_trained_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@_q(
+    "q38_tunnel_formats",
+    _O
+    + """SELECT fmt, op, count(*) AS cnt, CAST(sum(id) AS BIGINT) AS id_sum,
+       round(CAST(sum(value) AS DOUBLE), 2) AS value_sum
+FROM (SELECT 'canonical_extended_json' AS fmt, * FROM oplog_v
+      UNION ALL SELECT 'raw' AS fmt, * FROM oplog_v)
+GROUP BY fmt, op ORDER BY fmt, op""",
+    "S8 message-format parity (tunnel.message = canonical_extended_json "
+    "and raw, kafka_writer.go:116-191): every row is encoded through "
+    "each codec IN-PLAN (Extended JSON v2 wrappers; the byte-exact "
+    "TMessage block with its XOR-of-crc32 checksum, built entirely in "
+    "codegen via crc32/hex/unhex) and decoded back — raw frames pass the "
+    "CRC gate or drop to dead-letter — then aggregated; the oracle "
+    "aggregates the original rows per format, so any encode/decode "
+    "corruption or CRC failure changes the counts (sources/tunnel.py; "
+    "byte-level wire parity pinned by test_tunnel_raw_tmessage_wire).",
+)
+def q38_tunnel_formats(spark, sf_dir):
+    from mongoshake_spark.sources.tunnel import (
+        decode_ext_frames,
+        decode_raw_frames,
+        encode_frames,
+    )
+
+    oplog = _oplog(spark, sf_dir)
+    ext = decode_ext_frames(
+        encode_frames(oplog, message="canonical_extended_json")
+    ).withColumn("fmt", F.lit("canonical_extended_json"))
+    raw, _corrupt = decode_raw_frames(encode_frames(oplog, message="raw"))
+    raw = raw.withColumn("fmt", F.lit("raw"))
+    both = ext.select("fmt", "op", "id", "value").unionByName(
+        raw.select("fmt", "op", "id", "value")
+    )
+    return (
+        both.groupBy("fmt", "op")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("fmt", "op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 OPLOG_WIRE_SCHEMA = (
@@ -27,15 +28,229 @@ OPLOG_WIRE_SCHEMA = (
     "value double, o string"
 )
 
+#: tunnel/tunnel.go:24 — kafka/file writers OR this into every message tag.
+MSG_PERSISTENT = 0x00001000
 
-def encode_frames(df: DataFrame, shard_cols=("ns",), n_shards: int = 8) -> DataFrame:
+
+def encode_frames(
+    df: DataFrame,
+    shard_cols=("ns",),
+    n_shards: int = 8,
+    message: str = "json",
+) -> DataFrame:
     """S8 producer side: key = shard route (P7: partition by shard key so
-    per-key ordering survives the tunnel), value = JSON frame."""
-    shard = F.pmod(F.abs(F.hash(*[F.col(c) for c in shard_cols])), F.lit(n_shards))
-    return df.select(
-        shard.cast("int").alias("shard"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
+    per-key ordering survives the tunnel), value = one encoded frame.
+
+    ``message`` mirrors the reference's ``tunnel.message`` option
+    (tunnel/kafka_writer.go:119-191):
+
+    - ``json`` — plain JSON of the row (Go ``json.Marshal``);
+    - ``canonical_extended_json`` — MongoDB Extended JSON v2 canonical
+      (Go ``bson.MarshalExtJSON(log, true, true)``): every typed field
+      wrapped (``{"$numberLong": "..."}``, ``{"$date": {"$numberLong":
+      "<ms>"}}``, ...);
+    - ``raw`` — the TMessage byte block (tunnel/tunnel.go:61-72):
+      big-endian checksum/tag/shard/compressor/count header followed by
+      length-prefixed serialized logs, one log per frame. The checksum is
+      the reference's XOR-of-crc32 (one log, so plain crc32).
+
+    All three encoders are pure Catalyst expressions — the raw block is
+    assembled as a hex string (``crc32``/``hex``/``lpad``/``concat``) and
+    ``unhex``-ed to binary, so frame construction stays inside
+    whole-stage codegen at any scale."""
+    shard = F.pmod(
+        F.abs(F.hash(*[F.col(c) for c in shard_cols])), F.lit(n_shards)
+    ).cast("int")
+    if message == "json":
+        value = F.to_json(F.struct(*df.columns))
+    elif message == "canonical_extended_json":
+        value = F.to_json(
+            F.struct(
+                *[_ext_encode(f.name, f.dataType) for f in df.schema.fields]
+            )
+        )
+    elif message == "raw":
+        log = F.encode(F.to_json(F.struct(*df.columns)), "UTF-8")
+        value = F.unhex(
+            F.concat(
+                _u32_hex(F.crc32(log)),
+                _u32_hex(F.lit(MSG_PERSISTENT)),
+                _u32_hex(shard),
+                _u32_hex(F.lit(0)),  # compressor: none (codec's job here)
+                _u32_hex(F.lit(1)),  # log count: one row per frame
+                _u32_hex(F.length(log)),
+                F.hex(log),
+            )
+        )
+    else:
+        raise ValueError(
+            f"unknown tunnel message format {message!r} — one of "
+            "json | canonical_extended_json | raw"
+        )
+    return df.select(shard.alias("shard"), value.alias("value"))
+
+
+def _u32_hex(col):
+    """8-hex-digit big-endian uint32 of a non-negative integral column."""
+    return F.lpad(F.hex(col.cast("bigint")), 8, "0")
+
+
+def _ext_encode(name: str, dt: T.DataType):
+    """One column as its Extended JSON v2 CANONICAL shape (the
+    ``bson.MarshalExtJSON(log, canonical=true, ...)`` the reference uses
+    for tunnel.json.format = canonical_extended_json)."""
+    c = F.col(name)
+    if isinstance(dt, T.LongType):
+        return F.struct(c.cast("string").alias("$numberLong")).alias(name)
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return F.struct(c.cast("string").alias("$numberInt")).alias(name)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.struct(
+            c.cast("double").cast("string").alias("$numberDouble")
+        ).alias(name)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.struct(
+            F.struct(
+                F.unix_millis(c.cast("timestamp")).cast("string").alias(
+                    "$numberLong"
+                )
+            ).alias("$date")
+        ).alias(name)
+    if isinstance(dt, T.BinaryType):
+        return F.struct(
+            F.struct(
+                F.base64(c).alias("base64"), F.lit("00").alias("subType")
+            ).alias("$binary")
+        ).alias(name)
+    if isinstance(dt, (T.StringType, T.BooleanType)):
+        return c.alias(name)
+    raise TypeError(
+        f"canonical_extended_json: unsupported column type {dt} for {name!r}"
     )
+
+
+def _ext_schema(schema: StructType) -> StructType:
+    """The from_json schema matching :func:`_ext_encode`'s output."""
+    out = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            t = T.StructType([T.StructField("$numberLong", T.StringType())])
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            t = T.StructType([T.StructField("$numberInt", T.StringType())])
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            t = T.StructType([T.StructField("$numberDouble", T.StringType())])
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            t = T.StructType(
+                [
+                    T.StructField(
+                        "$date",
+                        T.StructType(
+                            [T.StructField("$numberLong", T.StringType())]
+                        ),
+                    )
+                ]
+            )
+        elif isinstance(dt, T.BinaryType):
+            t = T.StructType(
+                [
+                    T.StructField(
+                        "$binary",
+                        T.StructType(
+                            [
+                                T.StructField("base64", T.StringType()),
+                                T.StructField("subType", T.StringType()),
+                            ]
+                        ),
+                    )
+                ]
+            )
+        else:
+            t = dt
+        out.append(T.StructField(f.name, t))
+    return T.StructType(out)
+
+
+def _ext_decode(name: str, dt: T.DataType):
+    """Unwrap one Extended JSON field back to its native type."""
+    c = F.col(f"parsed.{name}")
+    if isinstance(dt, T.LongType):
+        return c["$numberLong"].cast("long").alias(name)
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return c["$numberInt"].cast(dt).alias(name)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return c["$numberDouble"].cast(dt).alias(name)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return (
+            F.timestamp_millis(c["$date"]["$numberLong"].cast("long"))
+            .cast(dt)
+            .alias(name)
+        )
+    if isinstance(dt, T.BinaryType):
+        return F.unbase64(c["$binary"]["base64"]).alias(name)
+    return c.alias(name)
+
+
+def decode_ext_frames(
+    frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEMA
+) -> DataFrame:
+    """S12 consumer for canonical_extended_json frames: parse the wrapped
+    shapes and unwrap each field back to its native type ($date is millis
+    — the Extended JSON contract — so sub-millisecond timestamp precision
+    does not survive this codec, exactly as in the reference)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    parsed = frames.select(
+        "shard", F.from_json(F.col("value"), _ext_schema(schema)).alias("parsed")
+    )
+    return parsed.select(
+        "shard", *[_ext_decode(f.name, f.dataType) for f in schema.fields]
+    )
+
+
+def decode_raw_frames(
+    frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """S12 consumer for raw TMessage frames: parse the big-endian header,
+    verify the XOR-of-crc32 checksum, and unmarshal the (single) log.
+    Returns ``(good, corrupt)`` — corrupt keeps the raw frame for the
+    dead-letter table (the reference replayer's CRC-reject path,
+    receiver/replayer.go:54-146, minus the retransmission it asks the
+    live tunnel for; storage tunnels re-read instead). Header parsing is
+    hex-string arithmetic in codegen — no Python touches the bytes."""
+    h = F.hex(F.col("value"))
+
+    def u32(pos: int):
+        return F.conv(F.substring(h, pos, 8), 16, 10).cast("bigint")
+
+    loglen = u32(41)
+    log_hex = h.substr(F.lit(49), loglen * 2)
+    log_bin = F.unhex(log_hex)
+    parsed = frames.select(
+        "shard",
+        "value",
+        u32(1).alias("_cksum"),
+        u32(33).alias("_nlogs"),
+        loglen.alias("_loglen"),
+        log_bin.alias("_log"),
+    )
+    ok = (
+        (F.col("_nlogs") == 1)
+        & (F.length(F.col("_log")) == F.col("_loglen"))
+        & (F.crc32(F.col("_log")) == F.col("_cksum"))
+    )
+    good = (
+        parsed.filter(ok)
+        .select(
+            "shard",
+            F.from_json(F.decode(F.col("_log"), "UTF-8"), schema).alias(
+                "parsed"
+            ),
+        )
+        .select("shard", "parsed.*")
+    )
+    corrupt = parsed.filter(~ok).select("shard", "value")
+    return good, corrupt
 
 
 def decode_frames(frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEMA) -> DataFrame:

@@ -157,6 +157,104 @@ def test_split_corrupt_frames(spark):
     assert len(bad) == 1 and bad[0]["value"] == "NOT JSON {{{"
 
 
+def _wire_row(spark):
+    """One fully-typed wire row with a tz-independent timestamp (built
+    from epoch millis, so the Extended JSON $date is pinned exactly)."""
+    return spark.createDataFrame(
+        [(3, 1704164645678, 7, "u", "db.c", -0.25, '{"k":"v"}')],
+        "id bigint, ms bigint, user_id bigint, op string, ns string, "
+        "value double, o string",
+    ).select(
+        "id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "user_id",
+        "op",
+        "ns",
+        "value",
+        "o",
+    )
+
+
+def test_tunnel_canonical_extended_json(spark):
+    """tunnel.message = json with canonical_extended_json format
+    (tunnel/kafka_writer.go:147): typed fields carry their Extended JSON
+    v2 canonical wrappers, and decode restores native types exactly (at
+    the codec's millisecond timestamp precision)."""
+    from mongoshake_spark.sources.tunnel import decode_ext_frames, encode_frames
+
+    df = _wire_row(spark)
+    enc = encode_frames(df, message="canonical_extended_json")
+    frame = enc.collect()[0]["value"]
+    assert frame == (
+        '{"id":{"$numberLong":"3"},'
+        '"ts":{"$date":{"$numberLong":"1704164645678"}},'
+        '"user_id":{"$numberLong":"7"},'
+        '"op":"u","ns":"db.c",'
+        '"value":{"$numberDouble":"-0.25"},'
+        '"o":"{\\"k\\":\\"v\\"}"}'
+    )
+    back = decode_ext_frames(enc).collect()[0]
+    orig = df.collect()[0]
+    assert (back["id"], back["user_id"], back["op"], back["ns"]) == (
+        orig["id"],
+        orig["user_id"],
+        orig["op"],
+        orig["ns"],
+    )
+    assert back["value"] == orig["value"] and back["o"] == orig["o"]
+    assert back["ts"] == orig["ts"]  # source is millis-precise
+
+
+def test_tunnel_raw_tmessage_wire(spark):
+    """tunnel.message = raw: the frame is a byte-exact TMessage block
+    (tunnel/tunnel.go:61-72) — the Python reference codec in
+    socket_tunnel parses it, the checksum is XOR-of-crc32, the tag
+    carries MsgPersistent (kafka_writer.go:118) — and the DataFrame-side
+    decoder CRC-rejects flipped bytes into the dead-letter side."""
+    import json as _json
+    import zlib
+
+    from mongoshake_spark.sources.socket_tunnel import decode_tmessage
+    from mongoshake_spark.sources.tunnel import (
+        MSG_PERSISTENT,
+        decode_raw_frames,
+        encode_frames,
+    )
+
+    df = _wire_row(spark)
+    enc = encode_frames(df, message="raw")
+    raw = bytes(enc.collect()[0]["value"])
+    msg = decode_tmessage(raw)
+    assert msg["tag"] == MSG_PERSISTENT and msg["compress"] == 0
+    assert len(msg["logs"]) == 1
+    assert msg["checksum"] == zlib.crc32(msg["logs"][0])
+    doc = _json.loads(msg["logs"][0])
+    assert doc["id"] == 3 and doc["op"] == "u" and doc["value"] == -0.25
+    good, corrupt = decode_raw_frames(enc)
+    assert corrupt.count() == 0
+    g = good.collect()[0]
+    assert (g["id"], g["op"], g["ns"], g["value"]) == (3, "u", "db.c", -0.25)
+    # flip the last payload byte -> CRC mismatch -> dead-letter side
+    flipped = enc.select(
+        "shard",
+        F.concat(
+            F.col("value").substr(F.lit(1), F.length("value") - 1),
+            F.lit(bytes([raw[-1] ^ 0xFF])),
+        ).alias("value"),
+    )
+    g2, c2 = decode_raw_frames(flipped)
+    assert g2.count() == 0 and c2.count() == 1
+
+
+def test_encode_frames_rejects_unknown_format(spark):
+    import pytest
+
+    from mongoshake_spark.sources.tunnel import encode_frames
+
+    with pytest.raises(ValueError, match="tunnel message format"):
+        encode_frames(_wire_row(spark), message="avro")
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs)
