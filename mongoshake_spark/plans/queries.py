@@ -3813,6 +3813,40 @@ def q38_tunnel_formats(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_lines",
+    """WITH docs AS (SELECT doc_id, replace(text, ' row ', chr(10)) AS t FROM documents),
+arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM docs),
+lines0 AS (SELECT doc_id, i AS pos, trim(a[i]) AS line
+           FROM arr, unnest(range(1, len(a) + 1)) AS u(i)),
+lines AS (SELECT * FROM lines0 WHERE line != ''),
+dfreq AS (SELECT line, count(*) AS df
+          FROM (SELECT DISTINCT line, doc_id FROM lines) GROUP BY 1),
+v AS (SELECT l.doc_id, l.pos, l.line, (d.df < 2) AS keep
+      FROM lines l JOIN dfreq d USING (line))
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+    AS clean_text,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM v GROUP BY doc_id ORDER BY doc_id""",
+    "Corpus-level duplicate-LINE removal (the CCNet/RefinedWeb/Dolma "
+    "boilerplate pass): any line appearing in >= 2 distinct documents is "
+    "struck from every document; survivors re-join in original order "
+    "(docs losing every line keep an empty clean_text). The fixture has "
+    "no newlines, so line structure is synthesized identically on both "
+    "engines (' row ' -> newline, literal replace). Doc frequency is a "
+    "two-level agg on md5(line) (in-doc repeats count once, no "
+    "count-distinct expansion); the verdict join shuffles 16-byte keys, "
+    "never documents (functions/dedup.dedup_lines).",
+)
+def dedup_lines_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " row ", "\n")
+    )
+    return dedup.dedup_lines(docs, min_df=2).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

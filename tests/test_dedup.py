@@ -428,3 +428,32 @@ def test_ngram_containment_asymmetric(spark):
     # Jaccard at the same strictness misses it: 3 common / 10 union = 0.3
     jac = dedup.ngram_jaccard_pairs(docs, num=4, den=5).collect()
     assert jac == []
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    """Corpus-level line dedup: a line in >= 2 distinct docs is struck
+    from ALL of them (including every in-doc repeat); in-doc repetition
+    alone never triggers removal (df counts distinct docs); order and
+    separators are preserved; an all-boilerplate doc keeps an empty
+    clean_text; blank lines neither count nor survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\ncookie banner"),
+            (2, "cookie banner\nunique beta"),
+            (3, "self repeat\nself repeat\nunique gamma"),
+            (4, "cookie banner"),
+            (5, "  \n\nunique delta\n "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup.dedup_lines(docs, min_df=2).collect()
+    }
+    assert out[1] == ("unique alpha", 1, 2)
+    assert out[2] == ("unique beta", 1, 1)
+    # in-doc repeats are NOT cross-doc boilerplate: df('self repeat') = 1
+    assert out[3] == ("self repeat\nself repeat\nunique gamma", 3, 0)
+    assert out[4] == ("", 0, 1)
+    assert out[5] == ("unique delta", 1, 0)
+    assert set(out) == {1, 2, 3, 4, 5}
