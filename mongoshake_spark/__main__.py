@@ -123,7 +123,29 @@ def main(argv: list[str] | None = None) -> int:
                         "a sampled diff cannot produce a complete repair)")
     p.add_argument("--dry-run", action="store_true",
                    help="parse + validate + print the plan, run nothing")
+    p.add_argument("--stat", metavar="HOST:PORT",
+                   help="poll a running sync's monitoring port "
+                        "(incr_sync.http_port) and print per-interval "
+                        "throughput deltas — the scripts/mongoshake-stat "
+                        "analog; exits after --stat-count polls")
+    p.add_argument("--stat-interval", type=float, default=1.0,
+                   help="seconds between --stat polls (default 1)")
+    p.add_argument("--stat-count", type=int, default=None,
+                   help="number of --stat polls (default: until ^C)")
     args = p.parse_args(argv)
+
+    if args.stat:
+        from mongoshake_spark.streaming.metrics import stat_poll
+
+        url = args.stat if "://" in args.stat else f"http://{args.stat}"
+        try:
+            stat_poll(url, interval=args.stat_interval, count=args.stat_count)
+        except KeyboardInterrupt:
+            pass
+        except OSError as e:
+            print(f"stat error: {e}", file=sys.stderr)
+            return 2
+        return 0
 
     try:
         cfg, extra = parse_conf(args.conf) if args.conf else (SyncConfig().validate(), {"tunnel": {}, "http": {}, "unknown": []})

@@ -152,3 +152,49 @@ class MetricsServer:
 def serve(listener: MetricsListener, port: int = 0) -> MetricsServer:
     """Start the REST monitoring surface for an attached listener."""
     return MetricsServer(listener, port=port)
+
+
+def stat_poll(
+    base_url: str,
+    interval: float = 1.0,
+    count: int | None = None,
+    out=print,
+    _sleep=None,
+    _fetch=None,
+) -> None:
+    """The ``scripts/mongoshake-stat`` analog: poll ``/repl`` every
+    ``interval`` seconds and print per-interval throughput deltas (the
+    reference tool diffs logs_get/logs_repl counters between polls the
+    same way). One line per poll after the first; ``count`` bounds the
+    polls (None = until interrupted, like the reference).
+
+    ``base_url`` is ``http://host:port`` of a :class:`MetricsServer`.
+    """
+    import json as _json
+    import time
+    import urllib.request
+
+    fetch = _fetch or (
+        lambda: _json.loads(
+            urllib.request.urlopen(base_url + "/repl", timeout=5).read()
+        )
+    )
+    sleep = _sleep or time.sleep
+    prev = None
+    n = 0
+    while count is None or n < count:
+        snap = fetch()
+        if prev is not None:
+            d_rows = snap["rows_in"] - prev["rows_in"]
+            d_batches = snap["batches"] - prev["batches"]
+            out(
+                f"[repl] rows/s={d_rows / interval:.1f} "
+                f"batches/s={d_batches / interval:.2f} "
+                f"rows_in={snap['rows_in']} batches={snap['batches']} "
+                f"engine_rps={snap['rows_per_sec']:.1f} "
+                f"batch_ms={snap['batch_ms']:.0f}"
+            )
+        prev = snap
+        n += 1
+        if count is None or n < count:
+            sleep(interval)

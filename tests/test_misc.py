@@ -245,3 +245,59 @@ def test_export_order_rotation_rules(tmp_path, monkeypatch):
     for n in never:
         assert pos[n] < pos[a]
     assert sorted(order) == sorted(names)  # a permutation, nothing lost
+
+
+def test_stat_poll_prints_interval_deltas():
+    """The scripts/mongoshake-stat analog: polls a live /repl endpoint
+    and prints per-interval counter deltas (reference tool behavior —
+    diff between polls, one line per poll after the first)."""
+    from mongoshake_spark.streaming import metrics
+
+    listener = metrics.MetricsListener()
+    m = listener.metrics
+    m.batches, m.rows_in, m.last_rows_per_sec, m.last_batch_ms = 1, 100, 50.0, 20
+    server = metrics.serve(listener)
+    lines = []
+
+    def advance(_interval):
+        # what a running stream does between polls
+        m.batches += 2
+        m.rows_in += 300
+
+    try:
+        metrics.stat_poll(
+            f"http://127.0.0.1:{server.port}",
+            interval=2.0,
+            count=3,
+            out=lines.append,
+            _sleep=advance,
+        )
+    finally:
+        server.close()
+    assert len(lines) == 2  # first poll only seeds the baseline
+    assert "rows/s=150.0" in lines[0]    # 300 rows / 2s
+    assert "batches/s=1.00" in lines[0]  # 2 batches / 2s
+    assert "rows_in=400" in lines[0] and "rows_in=700" in lines[1]
+    assert "engine_rps=50.0" in lines[0] and "batch_ms=20" in lines[0]
+
+
+def test_cli_stat_flag(capsys):
+    """--stat polls the monitoring port without needing a conf file."""
+    from mongoshake_spark.__main__ import main
+    from mongoshake_spark.streaming import metrics
+
+    listener = metrics.MetricsListener()
+    listener.metrics.rows_in = 42
+    server = metrics.serve(listener)
+    try:
+        rc = main([
+            "--stat", f"127.0.0.1:{server.port}",
+            "--stat-interval", "0.01", "--stat-count", "2",
+        ])
+    finally:
+        server.close()
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "rows_in=42" in outp and "rows/s=0.0" in outp
+    # unreachable port -> clean exit 2, not a traceback
+    assert main(["--stat", "127.0.0.1:1", "--stat-count", "1"]) == 2
