@@ -852,3 +852,96 @@ def assign_splits(
         cond = bucket < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return docs.withColumn("split", expr)
+
+
+def classifier_score(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Feature-hashed LINEAR quality classifier (the fasttext /
+    logistic-regression filtering pass every production corpus runs —
+    CCNet's LM filter, GPT-3's WebText classifier): each token hashes
+    into one of ``n_buckets`` feature buckets (feature hashing,
+    Weinberger et al. 2009), the document score is the bucket-weight sum
+    over token OCCURRENCES normalized by length, keep = score > 0.
+
+    ``weights`` is the trained model: a ``(bucket, wint)`` DataFrame of
+    integer weights in [-scale, scale] (fixed-point: wint = round(w *
+    scale)). It is model-sized — broadcast, never shuffled. When omitted,
+    weights derive IN-ROW from the bucket id (``(bucket * 2654435761) %
+    (2*scale+1) - scale`` — a deterministic stand-in that makes the whole
+    computation engine-portable for the oracle; real deployments pass the
+    trained table).
+
+    Integer score sums are order-free (no float-accumulation drift across
+    engines or partition counts); the single float op is the final
+    normalize+round. Scale shape: the default path is MAP-ONLY (nested
+    higher-order aggregate per row — zero exchanges, zero joins); the
+    trained-weights path explodes to (doc, bucket) rows and broadcast-
+    joins the model, one groupBy(doc) shuffle.
+
+    Returns ``(id_col, n_tokens, score, keep)`` for docs with >= 1 token.
+    """
+    mod = 2 * scale + 1
+    if weights is not None:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("_tok"),
+        )
+        from mongoshake_spark.functions.texthash import poly_hash_spark
+
+        bucketed = toks.select(
+            id_col,
+            (F.expr(poly_hash_spark("_tok")) % n_buckets).alias("bucket"),
+        )
+        # LEFT join: a bucket absent from the model weighs 0 but its
+        # token still counts toward the length normalizer (an inner join
+        # would silently shrink n_tokens and inflate |score|)
+        scored = (
+            bucketed.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("wint"), F.lit(0))).alias("_score_int"),
+            )
+        )
+    else:
+        # in-row: score_int = sum over tokens of wint(poly_hash(tok) % nb)
+        from mongoshake_spark.functions.texthash import MOD
+
+        expr = (
+            f"aggregate(filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"t -> t != ''), CAST(0 AS BIGINT), (s, t) -> s + "
+            f"((aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), "
+            f"(acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % {MOD}) "
+            f"% {n_buckets}) * 2654435761) % {mod} - {scale})"
+        )
+        ntok = (
+            f"size(filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"t -> t != ''))"
+        )
+        scored = docs.select(
+            F.col(id_col),
+            F.expr(ntok).cast("bigint").alias("n_tokens"),
+            F.expr(expr).alias("_score_int"),
+        )
+    return (
+        scored.filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_score_int") / (float(scale) * F.col("n_tokens")), 6
+            ).alias("score"),
+            (F.col("_score_int") > 0).alias("keep"),
+        )
+    )

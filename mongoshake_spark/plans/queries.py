@@ -3847,6 +3847,42 @@ def dedup_lines_q(spark, sf_dir):
     return dedup.dedup_lines(docs, min_df=2).orderBy("doc_id")
 
 
+_PH_T = poly_hash_duckdb("t")
+
+@_q(
+    "quality_classifier",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(toks,
+      t -> ((({_PH_T}) % 4096) * 2654435761) % 2001 - 1000),
+      (s0, x0) -> s0 + x0) AS si
+  FROM tok)
+SELECT doc_id, n_tokens,
+       round(si / (1000.0 * n_tokens), 6) AS score, si > 0 AS keep
+FROM s WHERE n_tokens > 0 ORDER BY doc_id""",
+    "Feature-hashed linear quality classifier (the fasttext/logreg "
+    "filtering pass — CCNet, GPT-3 WebText filter): tokens hash into "
+    "4096 feature buckets, the doc score is the integer bucket-weight "
+    "sum over occurrences normalized by length, keep = score > 0. "
+    "Weights here derive in-row from the bucket id so the oracle replays "
+    "the full computation; a trained model is a broadcast (bucket, wint) "
+    "table on the same operator. MAP-ONLY — nested higher-order "
+    "aggregate per row, zero exchanges; integer sums are order-free "
+    "across engines and partitionings (functions/curation."
+    "classifier_score).",
+)
+def quality_classifier_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_score(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

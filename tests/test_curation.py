@@ -502,3 +502,39 @@ def test_decontaminate_bloom_composes_with_streaming(spark, sf_dir, tmp_path):
         for r in decontaminate_bloom(corpus, ev, m_bits=1 << 14).collect()
     }
     assert got == want
+
+
+def test_classifier_score_trained_weights_path(spark):
+    """The broadcast-model path must agree with the in-row derivation
+    when the weights table materializes the same rule, and a bucket
+    MISSING from the model weighs 0 while its token still counts toward
+    the length normalizer (left join, not inner)."""
+    from mongoshake_spark.functions.curation import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon"), (3, "zeta")],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in classifier_score(docs).collect()
+    }
+    assert set(base) == {1, 2, 3} and base[1][0] == 4
+    full = spark.createDataFrame(
+        [(b, (b * 2654435761) % 2001 - 1000) for b in range(4096)],
+        "bucket long, wint long",
+    )
+    trained = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in classifier_score(docs, weights=full).collect()
+    }
+    assert trained == base
+    # empty model: every token weighs 0, lengths unchanged, nothing kept
+    empty = spark.createDataFrame([], "bucket long, wint long")
+    zeroed = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in classifier_score(docs, weights=empty).collect()
+    }
+    assert zeroed == {
+        d: (base[d][0], 0.0, False) for d in base
+    }
