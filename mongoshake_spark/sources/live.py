@@ -33,8 +33,10 @@ from pyspark.sql import functions as F
 
 from mongoshake_spark.sources.tunnel import (
     OPLOG_WIRE_SCHEMA,
+    decode_raw_frames,
     encode_frames,
     kafka_sink_options,
+    split_corrupt_ext_frames,
     split_corrupt_frames,
 )
 
@@ -235,10 +237,14 @@ def write_kafka_tunnel(
     topic: str,
     checkpoint_dir: str | None = None,
     n_shards: int = 8,
+    message: str = "json",
 ):
-    """S8 production form: shard-keyed JSON frames into Kafka
-    (kafka_writer.go:37-242). Works for both batch and streaming inputs;
-    a streaming input returns the started StreamingQuery.
+    """S8 production form: shard-keyed frames into Kafka
+    (kafka_writer.go:37-242), ``message`` selecting the reference's
+    tunnel.message codec (json / canonical_extended_json / raw — the raw
+    TMessage block rides as a binary Kafka value). Works for both batch
+    and streaming inputs; a streaming input returns the started
+    StreamingQuery.
 
     Delivery semantics: enable.idempotence + the stream checkpoint give
     at-least-once into Kafka with no producer reordering — the downstream
@@ -246,7 +252,7 @@ def write_kafka_tunnel(
     the reference makes for its ack window.
     """
     _require(df.sparkSession, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
-    frames = encode_frames(df, n_shards=n_shards).select(
+    frames = encode_frames(df, n_shards=n_shards, message=message).select(
         F.col("shard").cast("string").alias("key"), "value"
     )
     opts = kafka_sink_options(brokers, topic)
@@ -265,11 +271,13 @@ def read_kafka_tunnel(
     topic: str,
     schema: str = OPLOG_WIRE_SCHEMA,
     starting_offsets: str = "earliest",
+    message: str = "json",
 ) -> tuple[DataFrame, DataFrame]:
     """S12 production form: the receiver side of the Kafka tunnel as a
-    structured stream. Returns (decoded_good, corrupt) — the corrupt leg
-    is the replayer's CRC-reject path and belongs in the dead-letter
-    table (W7)."""
+    structured stream, ``message`` matching the producer's codec.
+    Returns (decoded_good, corrupt) — the corrupt leg is the replayer's
+    CRC-reject path (a real CRC check for raw frames) and belongs in the
+    dead-letter table (W7)."""
     _require(spark, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
     raw = (
         spark.readStream.format("kafka")
@@ -278,8 +286,19 @@ def read_kafka_tunnel(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    if message == "raw":
+        # the TMessage block is binary — do NOT cast it to string
+        return decode_raw_frames(
+            raw.select(
+                F.col("key").cast("string").cast("int").alias("shard"),
+                "value",
+            ),
+            schema,
+        )
     frames = raw.select(
         F.col("key").cast("string").cast("int").alias("shard"),
         F.col("value").cast("string").alias("value"),
     )
+    if message == "canonical_extended_json":
+        return split_corrupt_ext_frames(frames, schema)
     return split_corrupt_frames(frames, schema)

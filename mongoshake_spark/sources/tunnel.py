@@ -208,6 +208,30 @@ def decode_ext_frames(
     )
 
 
+def split_corrupt_ext_frames(
+    frames: DataFrame,
+    schema: str | StructType = OPLOG_WIRE_SCHEMA,
+    required: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`split_corrupt_frames` for canonical_extended_json frames:
+    returns (decoded_good, corrupt) with corruption detected on the
+    unwrapped ``required`` field (malformed frames parse to all-NULL
+    wrappers)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    parsed = frames.select(
+        "shard",
+        "value",
+        F.from_json(F.col("value"), _ext_schema(schema)).alias("parsed"),
+    )
+    decoded = [_ext_decode(f.name, f.dataType) for f in schema.fields]
+    req = next(c for c, f in zip(decoded, schema.fields) if f.name == required)
+    ok = F.col("parsed").isNotNull() & req.isNotNull()
+    good = parsed.filter(ok).select("shard", *decoded)
+    corrupt = parsed.filter(~ok).select("shard", "value")
+    return good, corrupt
+
+
 def decode_raw_frames(
     frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEMA
 ) -> tuple[DataFrame, DataFrame]:

@@ -408,3 +408,24 @@ def test_full_sync_markers_work_on_hadoop_uris(spark, sf_dir, tmp_path):
     assert (tmp_path / "snap" / "region" / "_sync_report.json").is_file()
     second = full_sync(spark, sf_dir, root, tables=tables, resume=True)
     assert second.tables == first.tables
+
+
+def test_split_corrupt_ext_frames(spark):
+    """canonical_extended_json consumer: malformed frames (bad JSON, or
+    valid JSON missing the required wrapped field) go to the dead-letter
+    side; good frames decode to native types."""
+    from mongoshake_spark.sources.tunnel import (
+        encode_frames,
+        split_corrupt_ext_frames,
+    )
+
+    good_frames = encode_frames(_wire_row(spark), message="canonical_extended_json")
+    bad = spark.createDataFrame(
+        [(0, "NOT JSON {{{"), (1, '{"op":"i"}')],
+        "shard int, value string",
+    )
+    frames = good_frames.unionByName(bad)
+    good, corrupt = split_corrupt_ext_frames(frames)
+    g = good.collect()
+    assert len(g) == 1 and g[0]["id"] == 3 and g[0]["value"] == -0.25
+    assert corrupt.count() == 2
