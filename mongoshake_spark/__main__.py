@@ -41,7 +41,7 @@ _CONF_KEYS = {
 }
 
 #: recognized but engine-mapped elsewhere (tunnel routing, not SyncConfig)
-_TUNNEL_KEYS = ("tunnel", "tunnel.address")
+_TUNNEL_KEYS = ("tunnel", "tunnel.address", "tunnel.message", "tunnel.json.format")
 
 #: the reference's REST monitoring ports (conf/collector.conf:30-34);
 #: incr_sync.http_port starts streaming/metrics.MetricsServer for the run
@@ -164,8 +164,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
 
+    # tunnel.message / tunnel.json.format validation (the reference
+    # crashes on unknown values, kafka_writer.go:155) and codec
+    # resolution: json + tunnel.json.format=canonical_extended_json is
+    # spelled as one encode_frames(message=...) codec here
+    tmsg = extra["tunnel"].get("tunnel.message", "json")
+    tjf = extra["tunnel"].get("tunnel.json.format", "")
+    if tmsg not in ("json", "raw", "bson"):
+        print(f"conf error: unknown tunnel.message {tmsg!r}", file=sys.stderr)
+        return 2
+    if tjf not in ("", "canonical_extended_json"):
+        print(f"conf error: unknown tunnel.json.format {tjf!r}", file=sys.stderr)
+        return 2
+    if tmsg == "bson":
+        # raw BSON bytes need a BSON codec on the executors; the wire
+        # formats this engine serializes natively are json/ext-json/raw
+        print(
+            "conf error: tunnel.message = bson is not supported — use "
+            "raw (TMessage framing) or json [canonical_extended_json]",
+            file=sys.stderr,
+        )
+        return 2
+    message_codec = (
+        "raw" if tmsg == "raw"
+        else ("canonical_extended_json" if tjf else "json")
+    )
+
     plan = {
         "mode": mode,
+        "tunnel_message_codec": message_codec,
         "config": {k: (list(v) if isinstance(v, tuple) else v) for k, v in vars(cfg).items()},
         "tunnel": extra["tunnel"],
         "http": extra.get("http", {}),
@@ -266,6 +293,23 @@ def main(argv: list[str] | None = None) -> int:
             except RuntimeError as e:  # pymongo absent: fail at wiring
                 print(f"conf error: {e}", file=sys.stderr)
                 return 2
+        elif t.get("tunnel") == "file":
+            # S9 via the CLI: net ops appended as tunnel frames under
+            # tunnel.address with the resolved tunnel.message codec
+            # (tunnel/file_writer.go); a missing address is as loud as
+            # direct's bad URI — the operator asked for a file tunnel
+            if not t.get("tunnel.address"):
+                print(
+                    "conf error: tunnel = file needs tunnel.address = "
+                    "<output dir> for the frame files",
+                    file=sys.stderr,
+                )
+                return 2
+            from mongoshake_spark.sources.tunnel import file_tunnel_mirror
+
+            mirror = file_tunnel_mirror(
+                str(t["tunnel.address"]), message=message_codec
+            )
         # incr_sync.http_port serves /repl /worker /progress for the run
         # (collector.conf:31; syncer.go:640-734)
         listener = server = None

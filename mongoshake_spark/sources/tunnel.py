@@ -321,6 +321,24 @@ def read_file_tunnel(spark, path: str, schema: str | StructType = OPLOG_WIRE_SCH
     return decode_frames(spark.read.parquet(path), schema)
 
 
+def file_tunnel_mirror(path: str, message: str = "json", n_shards: int = 8):
+    """S9 through the CLI (``tunnel = file`` + ``tunnel.address = dir``,
+    tunnel/file_writer.go): an ``ApplyKernel(mirror=...)`` callable that
+    appends each committed batch's NET per-key ops as encoded tunnel
+    frames — parquet-framed with the batch id, append-only, any
+    ``tunnel.message`` codec. A downstream replayer reads the directory
+    with :func:`decode_frames` / :func:`decode_ext_frames` /
+    :func:`decode_raw_frames` in batch-id order."""
+
+    def mirror(net: DataFrame, batch_id: int) -> None:
+        encode_frames(net, shard_cols=(net.columns[0],), n_shards=n_shards,
+                      message=message).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(path)
+
+    return mirror
+
+
 def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
     """The exact S8 binding for a cluster with the Kafka package present
     (the shard count belongs to encode_frames — topic partitioning is a

@@ -550,3 +550,59 @@ def test_cli_multi_ns_requires_incr_mode(tmp_path, capsys):
     ])
     assert rc == 2
     assert "--multi-ns" in capsys.readouterr().err
+
+
+def test_cli_file_tunnel_mirror_with_raw_codec(spark, sf_dir, tmp_path, capsys):
+    """tunnel = file + tunnel.message = raw: the incr run appends every
+    committed batch's net ops as byte-exact TMessage frames under
+    tunnel.address; decoding them back yields exactly the target's final
+    per-key state (the mirror delivery contract, S9 form)."""
+    from mongoshake_spark.sources.tunnel import decode_raw_frames
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=2000)
+    tun = str(tmp_path / "tunnel_out")
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        f"sync_mode = incr\ntunnel = file\ntunnel.address = {tun}\n"
+        "tunnel.message = raw\n"
+    )
+    rc = main([
+        "--conf", str(conf),
+        "--source-dir", sf_dir, "--target-dir", str(tmp_path / "state"),
+        "--feed-dir", feed, "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    json.loads(capsys.readouterr().out)  # well-formed report
+    frames = spark.read.parquet(tun)
+    good, corrupt = decode_raw_frames(
+        frames.select("shard", "value"), "user_id bigint, value double, op string"
+    )
+    assert corrupt.count() == 0  # every frame passes the CRC gate
+    assert good.count() == frames.count()
+    # delivery contract: the mirror emits committed per-key state, so
+    # every key in the final target appeared in some mirrored frame
+    state = spark.read.parquet(str(tmp_path / "state"))
+    mirrored = {r["user_id"] for r in good.select("user_id").distinct().collect()}
+    state_keys = {r["user_id"] for r in state.select("user_id").collect()}
+    assert len(mirrored) > 0 and state_keys <= mirrored
+
+
+def test_cli_file_tunnel_requires_address(tmp_path, capsys):
+    conf = tmp_path / "c.conf"
+    conf.write_text("sync_mode = incr\ntunnel = file\n")
+    rc = main([
+        "--conf", str(conf),
+        "--source-dir", "/x", "--target-dir", str(tmp_path / "s"),
+        "--feed-dir", "/x", "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 2
+    assert "tunnel.address" in capsys.readouterr().err
+
+
+def test_cli_rejects_unknown_tunnel_message(tmp_path, capsys):
+    conf = tmp_path / "c.conf"
+    conf.write_text("tunnel.message = avro\n")
+    assert main(["--conf", str(conf), "--dry-run"]) == 2
+    assert "tunnel.message" in capsys.readouterr().err
