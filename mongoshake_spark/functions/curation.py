@@ -877,14 +877,20 @@ def classifier_score(
     computation engine-portable for the oracle; real deployments pass the
     trained table).
 
-    Integer score sums are order-free (no float-accumulation drift across
-    engines or partition counts); the single float op is the final
-    normalize+round. Scale shape: the default path is MAP-ONLY (nested
-    higher-order aggregate per row — zero exchanges, zero joins); the
-    trained-weights path explodes to (doc, bucket) rows and broadcast-
-    joins the model, one groupBy(doc) shuffle.
+    The operator is float-free END-TO-END: integer weight sums are
+    order-free (no accumulation drift across engines or partitionings)
+    and the normalized score is fixed-point parts-per-million of full
+    scale (sign-split integer division — engines disagree on negative
+    integer-division conventions and on rounding near-tie float
+    quotients, so neither is allowed near the result). Scale shape: the
+    default path is MAP-ONLY (nested higher-order aggregate per row —
+    zero exchanges, zero joins); the trained-weights path explodes to
+    (doc, bucket) rows and broadcast-joins the model, one groupBy(doc)
+    shuffle.
 
-    Returns ``(id_col, n_tokens, score, keep)`` for docs with >= 1 token.
+    Returns ``(id_col, n_tokens, score_ppm, keep)`` for docs with >= 1
+    token; ``score_ppm = score_int * 1e6 / (scale * n_tokens)``
+    truncated toward zero, in [-1e6, 1e6].
     """
     mod = 2 * scale + 1
     if weights is not None:
@@ -934,14 +940,16 @@ def classifier_score(
             F.expr(ntok).cast("bigint").alias("n_tokens"),
             F.expr(expr).alias("_score_int"),
         )
+    ppm = (
+        F.when(F.col("_score_int") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        * F.expr(f"(abs(_score_int) * 1000000) div ({scale} * n_tokens)")
+    )
     return (
         scored.filter(F.col("n_tokens") > 0)
         .select(
             id_col,
             "n_tokens",
-            F.round(
-                F.col("_score_int") / (float(scale) * F.col("n_tokens")), 6
-            ).alias("score"),
+            ppm.alias("score_ppm"),
             (F.col("_score_int") > 0).alias("keep"),
         )
     )

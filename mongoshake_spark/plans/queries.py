@@ -3794,10 +3794,20 @@ def q38_tunnel_formats(spark, sf_dir):
     )
 
     oplog = _oplog(spark, sf_dir)
-    ext = decode_ext_frames(
-        encode_frames(oplog, message="canonical_extended_json")
-    ).withColumn("fmt", F.lit("canonical_extended_json"))
-    raw, _corrupt = decode_raw_frames(encode_frames(oplog, message="raw"))
+    # lineage break between producer and consumer: a receiver decodes
+    # frames from STORAGE (Kafka/file), never by re-deriving the encode
+    # plan — and without the break, predicate pushdown through the
+    # decoder's corrupt-filter re-inlines the whole encode+parse tree
+    # per referenced column (measured 7.6s -> 2.1s warm on the raw leg
+    # at sf0.1)
+    ext_frames = encode_frames(
+        oplog, message="canonical_extended_json"
+    ).localCheckpoint()
+    raw_frames = encode_frames(oplog, message="raw").localCheckpoint()
+    ext = decode_ext_frames(ext_frames).withColumn(
+        "fmt", F.lit("canonical_extended_json")
+    )
+    raw, _corrupt = decode_raw_frames(raw_frames)
     raw = raw.withColumn("fmt", F.lit("raw"))
     both = ext.select("fmt", "op", "id", "value").unionByName(
         raw.select("fmt", "op", "id", "value")
@@ -3863,7 +3873,10 @@ s AS (
       (s0, x0) -> s0 + x0) AS si
   FROM tok)
 SELECT doc_id, n_tokens,
-       round(si / (1000.0 * n_tokens), 6) AS score, si > 0 AS keep
+       CAST(CASE WHEN si < 0 THEN -1 ELSE 1 END
+            * ((abs(si) * 1000000) // (1000 * n_tokens)) AS BIGINT)
+         AS score_ppm,
+       si > 0 AS keep
 FROM s WHERE n_tokens > 0 ORDER BY doc_id""",
     "Feature-hashed linear quality classifier (the fasttext/logreg "
     "filtering pass — CCNet, GPT-3 WebText filter): tokens hash into "
@@ -3872,9 +3885,10 @@ FROM s WHERE n_tokens > 0 ORDER BY doc_id""",
     "Weights here derive in-row from the bucket id so the oracle replays "
     "the full computation; a trained model is a broadcast (bucket, wint) "
     "table on the same operator. MAP-ONLY — nested higher-order "
-    "aggregate per row, zero exchanges; integer sums are order-free "
-    "across engines and partitionings (functions/curation."
-    "classifier_score).",
+    "aggregate per row, zero exchanges; FLOAT-FREE end-to-end (integer "
+    "sums, fixed-point ppm score via sign-split integer division — "
+    "near-tie float rounding diverged between engines at sf0.1) "
+    "(functions/curation.classifier_score).",
 )
 def quality_classifier_q(spark, sf_dir):
     from mongoshake_spark.functions.curation import classifier_score

@@ -516,7 +516,7 @@ def test_classifier_score_trained_weights_path(spark):
         "doc_id long, text string",
     )
     base = {
-        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"], r["keep"])
         for r in classifier_score(docs).collect()
     }
     assert set(base) == {1, 2, 3} and base[1][0] == 4
@@ -525,16 +525,16 @@ def test_classifier_score_trained_weights_path(spark):
         "bucket long, wint long",
     )
     trained = {
-        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"], r["keep"])
         for r in classifier_score(docs, weights=full).collect()
     }
     assert trained == base
     # empty model: every token weighs 0, lengths unchanged, nothing kept
     empty = spark.createDataFrame([], "bucket long, wint long")
     zeroed = {
-        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"], r["keep"])
         for r in classifier_score(docs, weights=empty).collect()
     }
     assert zeroed == {
-        d: (base[d][0], 0.0, False) for d in base
+        d: (base[d][0], 0, False) for d in base
     }
