@@ -118,7 +118,11 @@ def kmeans_fit(
     cents = _init_centroids(vecs, k, id_col, vec_col)
     assigned = _assign(vecs, cents, id_col, vec_col)
     for _ in range(iters - 1):
-        cents = _update(assigned, vecs, id_col, vec_col)
+        # truncate the k-row centroid lineage each update (MLlib does the
+        # same): without it every downstream use re-analyzes and re-runs
+        # the whole preceding Lloyd chain — plan depth (and driver
+        # analysis time) grows per iteration while the data is k rows
+        cents = _update(assigned, vecs, id_col, vec_col).localCheckpoint()
         assigned = _assign(vecs, cents, id_col, vec_col)
     return assigned, cents
 
