@@ -258,10 +258,14 @@ def decode_raw_frames(
         loglen.alias("_loglen"),
         log_bin.alias("_log"),
     )
-    ok = (
+    # a frame shorter than the header parses to NULL fields, making the
+    # predicate NULL — which both filter() and filter(~...) drop, so the
+    # row would vanish from BOTH legs without the coalesce
+    ok = F.coalesce(
         (F.col("_nlogs") == 1)
         & (F.length(F.col("_log")) == F.col("_loglen"))
-        & (F.crc32(F.col("_log")) == F.col("_cksum"))
+        & (F.crc32(F.col("_log")) == F.col("_cksum")),
+        F.lit(False),
     )
     good = (
         parsed.filter(ok)

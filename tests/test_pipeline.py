@@ -429,3 +429,18 @@ def test_split_corrupt_ext_frames(spark):
     g = good.collect()
     assert len(g) == 1 and g[0]["id"] == 3 and g[0]["value"] == -0.25
     assert corrupt.count() == 2
+
+
+def test_decode_raw_frames_truncated_frame_dead_letters(spark):
+    """A frame shorter than the TMessage header parses to NULL fields;
+    the NULL predicate must not make the row vanish from BOTH legs —
+    conservation: every input frame lands in exactly one leg."""
+    from mongoshake_spark.sources.tunnel import decode_raw_frames, encode_frames
+
+    ok_frames = encode_frames(_wire_row(spark), message="raw")
+    stub = spark.createDataFrame(
+        [(0, bytes([1, 2, 3, 4]))], "shard int, value binary"
+    )
+    frames = ok_frames.unionByName(stub)
+    good, corrupt = decode_raw_frames(frames)
+    assert good.count() == 1 and corrupt.count() == 1
