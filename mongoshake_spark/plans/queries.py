@@ -3415,7 +3415,18 @@ def q37_multi_ns(spark, sf_dir):
     base = time.time() - len(parts) - 10
     for i, f in enumerate(parts):
         os.utime(os.path.join(feed, f), (base + i, base + i))
-    multi = run_multi_incr_sync(spark, feed, root, ckpt, max_files_per_trigger=1)
+    # 8 shuffle partitions for the drain: each micro-batch runs one MERGE
+    # cycle per touched namespace and the per-cycle constant scales with
+    # partition count, not rows, at this feed size (same sizing rule as
+    # the other bounded stream drains)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        multi = run_multi_incr_sync(
+            spark, feed, root, ckpt, max_files_per_trigger=1
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = None
     for ns in sorted(multi.kernels):
         part = (
@@ -3616,18 +3627,28 @@ def stream_join_q(spark, sf_dir):
     joined = stream_interval_join(
         ls, rs, "user_id", "l_ts", "r_ts", 0, 1800, watermark="720 hours"
     )
-    q = (
-        joined.select("user_id", "l_id", "r_id")
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_join: drain timed out")
+    # 8 state-store partitions instead of the session's 32: a
+    # stream-stream join keeps TWO stores per partition and commits all
+    # of them every micro-batch — per-batch wall scales with store
+    # instances, not data, on this bounded drain (same sizing rule as
+    # q31/stream_dedup/session_window_stream)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.select("user_id", "l_id", "r_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_join: drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.read.parquet(out)
         .groupBy("user_id")
