@@ -810,3 +810,89 @@ def test_bm25_matches_serial_model(spark, texts):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9
+
+
+# -- dedup_lines laws ---------------------------------------------------------
+
+_line = st.text(alphabet="ab ", min_size=0, max_size=12)
+
+
+@given(st.lists(st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_dedup_lines_laws(spark, docs_lines):
+    """Laws of corpus-level line dedup against a serial model:
+    (1) a trimmed non-empty line is removed iff it occurs in >= 2
+    distinct docs; (2) conservation: n_kept + n_removed = the doc's
+    non-empty line count; (3) idempotence: re-running on the cleaned
+    corpus removes nothing (removal only shrinks doc frequencies)."""
+    from collections import Counter
+
+    from mongoshake_spark.functions.dedup import dedup_lines
+
+    corpus = [(i, "\n".join(lines)) for i, lines in enumerate(docs_lines)]
+    model_lines = {
+        i: [ln.strip() for ln in lines if ln.strip()]
+        for i, lines in enumerate(docs_lines)
+    }
+    df_count = Counter()
+    for i, lns in model_lines.items():
+        for ln in set(lns):
+            df_count[ln] += 1
+    expected = {
+        i: [ln for ln in lns if df_count[ln] < 2]
+        for i, lns in model_lines.items()
+        if lns
+    }
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines(docs, min_df=2).collect()
+    }
+    assert set(out) == set(expected)
+    for i, kept in expected.items():
+        clean, n_kept, n_removed = out[i]
+        assert clean == "\n".join(kept)
+        assert n_kept == len(kept)
+        assert n_kept + n_removed == len(model_lines[i])
+    # idempotence over the cleaned corpus
+    cleaned = spark.createDataFrame(
+        [(i, out[i][0]) for i in out if out[i][0]], "doc_id long, text string"
+    )
+    if cleaned.count() > 0:
+        again = dedup_lines(cleaned, min_df=2).collect()
+        assert all(r["n_removed"] == 0 for r in again)
+
+
+# -- classifier_score laws ----------------------------------------------------
+
+
+@given(
+    st.lists(st.text(alphabet="xyz ", min_size=1, max_size=20), min_size=1, max_size=6),
+    st.integers(2, 5),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_classifier_score_laws(spark, texts, parts):
+    """Laws of the feature-hashed classifier: (1) |score_ppm| <= 1e6
+    (weights are in [-scale, scale], so the normalized sum cannot leave
+    full scale); (2) partitioning invariance: integer sums are order-
+    free, so any repartitioning yields identical rows; (3) keep implies
+    a positive integer score, so score_ppm >= 0 whenever keep."""
+    from mongoshake_spark.functions.curation import classifier_score
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"], r["keep"])
+        for r in classifier_score(docs).collect()
+    }
+    for n_tokens, ppm, keep in base.values():
+        assert abs(ppm) <= 1_000_000
+        assert n_tokens >= 1
+        if keep:
+            assert ppm >= 0
+    reparted = {
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"], r["keep"])
+        for r in classifier_score(docs.repartition(parts)).collect()
+    }
+    assert reparted == base
