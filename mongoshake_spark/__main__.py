@@ -132,7 +132,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="seconds between --stat polls (default 1)")
     p.add_argument("--stat-count", type=int, default=None,
                    help="number of --stat polls (default: until ^C)")
+    p.add_argument("--filestat", metavar="DUMP",
+                   help="inspect a reference-format file-tunnel dump "
+                        "(scripts/filestat analog): header, log count, "
+                        "per-shard histogram as JSON")
     args = p.parse_args(argv)
+
+    if args.filestat:
+        from mongoshake_spark.sources.file_dump import dump_stats
+
+        try:
+            print(json.dumps(dump_stats(args.filestat)))
+        except (OSError, ValueError) as e:
+            print(f"filestat error: {e}", file=sys.stderr)
+            return 2
+        return 0
 
     if args.stat:
         from mongoshake_spark.streaming.metrics import stat_poll

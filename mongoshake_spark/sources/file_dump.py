@@ -1,0 +1,184 @@
+"""Byte-exact reference FILE tunnel (`dump.data`) — S9's wire form.
+
+Reference layout (tunnel/file_writer.go:19-21,44-51,99-123; the
+scripts/filestat tool reads the same):
+
+- file header, 32 bytes big-endian: magic ``0xeeeeeeeeee201314`` (u64),
+  protocol ``1`` (u32), checksum u32 (written 0), 16 reserved bytes;
+- per oplog block: cksum u32 (XOR of crc32 over the raw logs), tag u32
+  (``| MsgPersistent | MsgStorageBackend``), shard u32, compressor u32,
+  block magic ``0xeeeeeeee`` (u32), section length u32, then the
+  section: per log a u32 size prefix + the raw bytes.
+
+The parquet-framed tunnel in :mod:`mongoshake_spark.sources.tunnel` is
+the Spark-first S9 (codec compression/checksums for free); THIS module
+is for interop — files a reference ``collector`` wrote, or files its
+``receiver``/``filestat`` must read back. Parsing is sequential within
+a file (variable-length blocks — the same constraint file_reader.go
+has) but PARALLEL across files: the Spark reader maps one task per
+dump file via the binaryFile source, so a directory of per-worker
+dumps scans at cluster width.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_MAGIC = 0xEEEEEEEEEE201314
+FILE_PROTOCOL = 1
+BLOCK_MAGIC = 0xEEEEEEEE
+#: tunnel/tunnel.go:24-25 — the file writer ORs both into every block tag
+MSG_PERSISTENT = 0x00001000
+MSG_STORAGE_BACKEND = 0x00010000
+
+_FILE_HEADER = struct.Struct(">QII16s")
+_BLOCK_HEADER = struct.Struct(">IIIIII")
+
+
+def crc32_xor(logs: list[bytes]) -> int:
+    v = 0
+    for log in logs:
+        v ^= zlib.crc32(log)
+    return v
+
+
+def write_dump_file(
+    path: str,
+    messages: Iterable[tuple[list[bytes], int]],
+    tag: int = 0,
+) -> int:
+    """Write a reference-readable ``dump.data``: ``messages`` yields
+    ``(logs, shard)`` TMessages (uncompressed — the reference's file
+    writer passes the collector's compressor id through; this writer
+    emits id 0). Returns the number of logs written."""
+    n = 0
+    with open(path, "wb") as f:
+        f.write(_FILE_HEADER.pack(FILE_MAGIC, FILE_PROTOCOL, 0, b"\x00" * 16))
+        for logs, shard in messages:
+            section = b"".join(
+                struct.pack(">I", len(log)) + log for log in logs
+            )
+            f.write(
+                _BLOCK_HEADER.pack(
+                    crc32_xor(logs),
+                    (tag | MSG_PERSISTENT | MSG_STORAGE_BACKEND) & 0xFFFFFFFF,
+                    shard,
+                    0,
+                    BLOCK_MAGIC,
+                    len(section),
+                )
+            )
+            f.write(section)
+            n += len(logs)
+    return n
+
+
+def parse_dump_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse one dump file's bytes -> (header, blocks). Each block dict
+    carries shard/tag/compress/cksum/crc_ok and the raw ``logs`` list
+    (decompressed when the compressor id is known). Raises ValueError on
+    a wrong file or block magic — a corrupt FILE is a different failure
+    class from a corrupt FRAME (checksums flag those per-block)."""
+    if len(data) < _FILE_HEADER.size:
+        raise ValueError("dump file shorter than its 32-byte header")
+    magic, proto, _cksm, _res = _FILE_HEADER.unpack_from(data, 0)
+    if magic != FILE_MAGIC:
+        raise ValueError(f"bad file magic 0x{magic:x}")
+    header = {"magic": magic, "protocol": proto}
+    blocks = []
+    off = _FILE_HEADER.size
+    while off + _BLOCK_HEADER.size <= len(data):
+        cksum, tag, shard, comp, bmagic, length = _BLOCK_HEADER.unpack_from(
+            data, off
+        )
+        if bmagic != BLOCK_MAGIC:
+            raise ValueError(
+                f"oplog block magic is not 0x{BLOCK_MAGIC:x} at offset "
+                f"{off}: 0x{bmagic:x}"
+            )
+        off += _BLOCK_HEADER.size
+        section = data[off : off + length]
+        off += length
+        logs = []
+        pos = 0
+        while pos + 4 <= len(section):
+            (size,) = struct.unpack_from(">I", section, pos)
+            pos += 4
+            logs.append(section[pos : pos + size])
+            pos += size
+        if comp:
+            from mongoshake_spark.sources.socket_tunnel import _decompress_one
+
+            logs = [_decompress_one(log, comp) for log in logs]
+        blocks.append(
+            {
+                "shard": shard,
+                "tag": tag,
+                "compress": comp,
+                "cksum": cksum,
+                "crc_ok": crc32_xor(logs) == cksum,
+                "logs": logs,
+            }
+        )
+    return header, blocks
+
+
+def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
+    """All dump files under ``path`` as ``(shard int, crc_ok boolean,
+    value binary)`` frames — one row per log, one TASK per file
+    (binaryFile source; sequential within a file is the format's own
+    constraint, parallelism comes from the file count). Compose with
+    ``tunnel.decode_frames`` after casting value to string for JSON
+    logs. CRC-failing blocks keep their rows with ``crc_ok = false`` so
+    the caller owns the dead-letter policy, like decode_raw_frames."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def explode_logs(batches):
+        for pdf in batches:
+            import pandas as pd
+
+            rows = []
+            for content in pdf["content"]:
+                _, blocks = parse_dump_bytes(bytes(content))
+                for b in blocks:
+                    for log in b["logs"]:
+                        rows.append((b["shard"], b["crc_ok"], log))
+            yield pd.DataFrame(
+                rows, columns=["shard", "crc_ok", "value"]
+            ) if rows else pd.DataFrame(
+                {"shard": pd.Series(dtype="int64"),
+                 "crc_ok": pd.Series(dtype="bool"),
+                 "value": pd.Series(dtype="object")}
+            )
+
+    return files.mapInPandas(
+        explode_logs, schema="shard int, crc_ok boolean, value binary"
+    )
+
+
+def dump_stats(path: str) -> dict:
+    """The scripts/filestat analog: header fields, total log count and
+    the per-shard histogram (trailing zero shards trimmed, as the
+    reference tool prints it)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header, blocks = parse_dump_bytes(data)
+    worker = [0] * 1024
+    count = 0
+    for b in blocks:
+        worker[b["shard"] % 1024] += len(b["logs"])
+        count += len(b["logs"])
+    cut = 1023
+    while cut >= 0 and worker[cut] == 0:
+        cut -= 1
+    return {
+        "magic": f"{header['magic']:x}",
+        "protocol": header["protocol"],
+        "logs": count,
+        "blocks": len(blocks),
+        "worker": worker[: cut + 1],
+    }

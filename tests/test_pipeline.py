@@ -444,3 +444,65 @@ def test_decode_raw_frames_truncated_frame_dead_letters(spark):
     frames = ok_frames.unionByName(stub)
     good, corrupt = decode_raw_frames(frames)
     assert good.count() == 1 and corrupt.count() == 1
+
+
+def test_dump_file_roundtrip_and_filestat(spark, tmp_path):
+    """Byte-exact reference file tunnel (tunnel/file_writer.go): write a
+    dump.data, read it back through the PARALLEL Spark reader (one task
+    per file), verify CRC and shard routing, and check the filestat-tool
+    analog's histogram. A flipped payload byte flags crc_ok=false on
+    that block only; a bad file magic is a hard error."""
+    import json as _json
+
+    from mongoshake_spark.sources.file_dump import (
+        FILE_MAGIC,
+        MSG_PERSISTENT,
+        MSG_STORAGE_BACKEND,
+        dump_stats,
+        parse_dump_bytes,
+        read_dump_files,
+        write_dump_file,
+    )
+
+    logs0 = [_json.dumps({"id": i, "op": "i"}).encode() for i in range(3)]
+    logs1 = [_json.dumps({"id": 9, "op": "d"}).encode()]
+    path = str(tmp_path / "dump.data")
+    n = write_dump_file(path, [(logs0, 0), (logs1, 5)])
+    assert n == 4
+    st = dump_stats(path)
+    assert st["magic"] == f"{FILE_MAGIC:x}" and st["protocol"] == 1
+    assert st["logs"] == 4 and st["blocks"] == 2
+    assert st["worker"] == [3, 0, 0, 0, 0, 1]  # trailing zeros trimmed
+    header, blocks = parse_dump_bytes(open(path, "rb").read())
+    assert all(b["crc_ok"] for b in blocks)
+    assert blocks[0]["tag"] & MSG_PERSISTENT and blocks[0]["tag"] & MSG_STORAGE_BACKEND
+    rows = read_dump_files(spark, path).collect()
+    assert sorted((r["shard"], bytes(r["value"])) for r in rows) == sorted(
+        [(0, b) for b in logs0] + [(5, b) for b in logs1]
+    )
+    assert all(r["crc_ok"] for r in rows)
+    # corrupt one payload byte -> that block's crc flags, magic errors stay hard
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF
+    _, blocks2 = parse_dump_bytes(bytes(data))
+    assert [b["crc_ok"] for b in blocks2] == [True, False]
+    data[0] ^= 0xFF
+    try:
+        parse_dump_bytes(bytes(data))
+        raise AssertionError("bad file magic must raise")
+    except ValueError as e:
+        assert "magic" in str(e)
+
+
+def test_cli_filestat_flag(tmp_path, capsys):
+    import json as _json
+
+    from mongoshake_spark.__main__ import main
+    from mongoshake_spark.sources.file_dump import write_dump_file
+
+    path = str(tmp_path / "d.data")
+    write_dump_file(path, [([b"abc", b"de"], 2)])
+    assert main(["--filestat", path]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["logs"] == 2 and out["worker"] == [0, 0, 2]
+    assert main(["--filestat", str(tmp_path / "missing")]) == 2
