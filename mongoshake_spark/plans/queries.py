@@ -3918,6 +3918,56 @@ def quality_classifier_q(spark, sf_dir):
     return classifier_score(docs).orderBy("doc_id")
 
 
+@_q(
+    "q39_dump_file_roundtrip",
+    _O
+    + """SELECT CAST(user_id % 8 AS INT) AS shard, count(*) AS cnt,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       round(CAST(sum(value) AS DOUBLE), 2) AS value_sum
+FROM oplog_v GROUP BY 1 ORDER BY 1""",
+    "S9 byte-exact wire form end-to-end (tunnel/file_writer.go): rows "
+    "are JSON-framed, shard-routed, written as per-partition reference "
+    "dump.data files (32-byte magic header, XOR-crc32 TMessage blocks, "
+    "executor-side), read back in parallel (one task per dump file), "
+    "CRC-gated and decoded; the oracle aggregates the original rows per "
+    "shard, so any framing, batching, CRC or routing defect changes the "
+    "counts (sources/file_dump).",
+)
+def q39_dump_file_roundtrip(spark, sf_dir):
+    import os
+
+    from mongoshake_spark.sources.file_dump import (
+        read_dump_files,
+        write_dump_files,
+    )
+    from mongoshake_spark.sources.tunnel import decode_frames
+
+    oplog = _oplog(spark, sf_dir)
+    frames = oplog.select(
+        (F.col("user_id") % F.lit(8)).cast("int").alias("shard"),
+        F.to_json(F.struct(*oplog.columns)).alias("value"),
+    )
+    tmp = _stream_tmpdir("q39_")
+    dump_dir = os.path.join(tmp, "dumps")
+    write_dump_files(frames.repartition(4, "shard"), dump_dir)
+    back = read_dump_files(spark, dump_dir)
+    decoded = decode_frames(
+        back.filter(F.col("crc_ok")).select(
+            "shard", F.col("value").cast("string").alias("value")
+        )
+    )
+    return (
+        decoded.groupBy("shard")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("shard")
+        .localCheckpoint(eager=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -182,3 +182,50 @@ def dump_stats(path: str) -> dict:
         "blocks": len(blocks),
         "worker": worker[: cut + 1],
     }
+
+
+def write_dump_files(
+    frames: DataFrame, directory: str, logs_per_block: int = 256
+) -> int:
+    """Distributed dump writer: one ``dump.data`` per partition (the
+    reference runs one file tunnel per collector worker — a directory of
+    per-worker dumps is its cluster shape). ``frames`` is the tunnel's
+    ``(shard int, value string|binary)``; rows are grouped into
+    per-shard TMessage blocks of up to ``logs_per_block`` logs (B1's
+    batching), written executor-side to ``directory`` (a path every
+    executor can reach — local in local mode, shared storage on a
+    cluster). Returns the total log count."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+
+    def write_part(idx, rows):
+        path = os.path.join(directory, f"part-{idx:05d}.data")
+        buf: dict[int, list[bytes]] = {}
+        n = 0
+
+        def drain():
+            for shard, logs in sorted(buf.items()):
+                if logs:
+                    yield logs, shard
+            buf.clear()
+
+        def messages():
+            nonlocal n
+            for r in rows:
+                log = r[1]
+                log = log.encode() if isinstance(log, str) else bytes(log)
+                buf.setdefault(int(r[0]), []).append(log)
+                n += 1
+                if len(buf[int(r[0])]) >= logs_per_block:
+                    logs = buf.pop(int(r[0]))
+                    yield logs, int(r[0])
+            yield from drain()
+
+        wrote = write_dump_file(path, messages())
+        yield wrote
+
+    counts = frames.select(frames.columns[0], frames.columns[1]).rdd.mapPartitionsWithIndex(
+        write_part
+    ).collect()
+    return sum(counts)
