@@ -202,28 +202,18 @@ def write_dump_files(
     def write_part(idx, rows):
         path = os.path.join(directory, f"part-{idx:05d}.data")
         buf: dict[int, list[bytes]] = {}
-        n = 0
-
-        def drain():
-            for shard, logs in sorted(buf.items()):
-                if logs:
-                    yield logs, shard
-            buf.clear()
 
         def messages():
-            nonlocal n
             for r in rows:
-                log = r[1]
+                shard, log = int(r[0]), r[1]
                 log = log.encode() if isinstance(log, str) else bytes(log)
-                buf.setdefault(int(r[0]), []).append(log)
-                n += 1
-                if len(buf[int(r[0])]) >= logs_per_block:
-                    logs = buf.pop(int(r[0]))
-                    yield logs, int(r[0])
-            yield from drain()
+                buf.setdefault(shard, []).append(log)
+                if len(buf[shard]) >= logs_per_block:
+                    yield buf.pop(shard), shard
+            for shard in sorted(buf):
+                yield buf[shard], shard
 
-        wrote = write_dump_file(path, messages())
-        yield wrote
+        yield write_dump_file(path, messages())
 
     counts = frames.select(frames.columns[0], frames.columns[1]).rdd.mapPartitionsWithIndex(
         write_part
