@@ -61,7 +61,7 @@ def main() -> None:
     STREAMY = {
         "q28_tunnel_roundtrip", "q31_txn_crossbatch", "q32_socket_tunnel",
         "stream_dedup", "session_window_stream", "stream_static_enrich",
-        "q37_multi_ns_sync", "stream_join",
+        "q37_multi_ns_sync", "stream_join", "stream_neardup",
     }
 
     def _spaced(items):

@@ -3968,6 +3968,72 @@ def q39_dump_file_roundtrip(spark, sf_dir):
     )
 
 
+_STREAM_NEARDUP_ORACLE = f"""WITH {_MINHASH_CTES}
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+  CASE WHEN x.doc_id % 3 = y.doc_id % 3 THEN 'increment'
+       ELSE 'corpus' END AS origin
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_key = y.band_key
+WHERE (x.doc_id % 3 < y.doc_id % 3)
+   OR (x.doc_id % 3 = y.doc_id % 3 AND x.doc_id < y.doc_id)
+ORDER BY origin, doc_a, doc_b"""
+
+
+@_q(
+    "stream_neardup",
+    _STREAM_NEARDUP_ORACLE,
+    "STREAMING near-dup detection at ingest: documents arrive in three "
+    "micro-batches (arrival class = doc_id % 3, replayed in class "
+    "order); each batch is MinHash-banded, probed against the PERSISTED "
+    "band index (broadcast batch, map-only index scan — the corpus "
+    "never self-joins) and against itself, then appended to the index. "
+    "The drained pair set must equal the batch-mode LSH collision set "
+    "oriented by arrival order — earlier class pairs as 'corpus', "
+    "same-class as 'increment' (streaming/neardup.streaming_lsh_dedup; "
+    "state is the append-only parquet index, no state store).",
+)
+def stream_neardup_q(spark, sf_dir):
+    import os
+    import time
+
+    from mongoshake_spark.streaming.neardup import run_streaming_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _stream_tmpdir("sndup_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed, exist_ok=True)
+    # one feed file per arrival class, mtime-stamped so the tail admits
+    # them in class order (the replay convention, see write_replay_feed)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(feed, f"b{i}"))
+    flat = []
+    for i in range(3):
+        import shutil
+
+        d = os.path.join(feed, f"b{i}")
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"class{i}.parquet")
+        os.replace(os.path.join(d, part), dst)
+        shutil.rmtree(d)  # the tail must see ONLY the three flat files
+        flat.append(dst)
+    base = time.time() - len(flat) - 10
+    for i, f in enumerate(flat):
+        os.utime(f, (base + i, base + i))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = run_streaming_lsh_dedup(
+            spark, feed, "doc_id bigint, text string", os.path.join(tmp, "w")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return pairs.orderBy("origin", "doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

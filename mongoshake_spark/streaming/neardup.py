@@ -1,0 +1,130 @@
+"""Streaming NEAR-dup detection — MinHash-LSH at ingest time.
+
+`streaming/dedup.py` suppresses EXACT re-arrivals; a continuous crawl
+also needs near-duplicates flagged as they arrive. This is the streaming
+form of `functions/dedup.incremental_minhash_pairs` (the daily-crawl
+shape), run per micro-batch inside ``foreachBatch``:
+
+1. band the batch (shingle -> 16 minhashes -> 4 band keys per doc);
+2. probe the PERSISTED band index with the batch bands broadcast —
+   a map-only scan of the index, the corpus never self-joins;
+3. pair the batch against itself (intra-batch near-dups);
+4. append the pairs (tagged ``origin`` = corpus | increment and the
+   batch id) to the pairs table, and the batch's bands to the index.
+
+State is the parquet band index itself — no state store: the index is
+append-only, shared across restarts (the checkpoint replays any batch
+whose appends didn't commit; pair emission is idempotent downstream
+because pairs are keyed by (doc_a, doc_b)). At 100 TB the index is
+years of bands and the batch is a day — exactly the asymmetry the
+broadcast probe exploits; index scans partition-prune nothing (bands
+hash uniformly) but stay one map-only pass per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.dedup import (
+    incremental_minhash_pairs,
+    minhash_bands,
+)
+
+
+def streaming_lsh_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the ingest-time near-dup stream over ``stream`` (a streaming
+    DataFrame of documents). Returns the started StreamingQuery; pairs
+    accumulate under ``pairs_dir`` as ``(doc_a, doc_b, origin,
+    batch_id)``, the band index under ``index_dir``."""
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one pass of the incremental operator against the index-so-far;
+        # first batch has no index yet -> increment-internal pairs only
+        if _index_exists(index_dir):
+            corpus_bands = spark.read.parquet(index_dir)
+            pairs = incremental_minhash_pairs(
+                corpus_bands, batch_df, text_col=text_col
+            )
+            inc_bands = minhash_bands(batch_df, text_col)
+        else:
+            inc_bands = minhash_bands(batch_df, text_col).localCheckpoint(
+                eager=True
+            )
+            a, b = inc_bands.alias("a"), inc_bands.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+                .withColumn("origin", F.lit("increment"))
+            )
+        pairs.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        # index append LAST: a crash between the two appends replays the
+        # batch, which re-emits the same (doc_a, doc_b) pairs — idempotent
+        # for any consumer keyed on the pair — rather than silently
+        # growing an index whose pairs were never reported
+        inc_bands.write.mode("append").parquet(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _index_exists(index_dir: str) -> bool:
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(index_dir))
+    except OSError:
+        return False
+
+
+def run_streaming_lsh_dedup(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    work_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Bounded-drain harness: tail ``feed_dir`` one file per micro-batch
+    (oldest mtime first — the replay convention), run the near-dup
+    stream to completion, and return the accumulated distinct pairs."""
+    index_dir, pairs_dir, ckpt = (
+        os.path.join(work_dir, d) for d in ("index", "pairs", "ck")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+    q = streaming_lsh_dedup(stream, index_dir, pairs_dir, ckpt, text_col)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError("streaming_lsh_dedup: drain timed out")
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "origin").distinct()

@@ -975,3 +975,44 @@ def test_stream_interval_join_requires_distinct_ts_names(spark, tmp_path):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="alias the ts columns apart"):
         stream_interval_join(df, df, "value", "timestamp", "timestamp", 0, 1)
+
+
+def test_streaming_neardup_index_persists_across_runs(spark, tmp_path):
+    """Ingest-time near-dup: the band index is the stream's state and
+    must survive a restart — a SECOND drain over a new feed file pairs
+    the new docs against everything already indexed (origin=corpus) and
+    against themselves (origin=increment), without re-pairing the old
+    corpus."""
+    import os
+    import time
+
+    from mongoshake_spark.streaming.neardup import run_streaming_lsh_dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog tonight"
+    text_b = "the quick brown fox jumps over the lazy dog today"   # near-dup of a
+    text_c = "completely different words about spark and shuffles here"
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    work = str(tmp_path / "work")
+
+    def feed_file(name, rows, age):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        d = str(tmp_path / ("st_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(feed, name + ".parquet")
+        os.replace(os.path.join(d, part), dst)
+        os.utime(dst, (time.time() - age, time.time() - age))
+
+    feed_file("one", [(1, text_a), (2, text_c)], 20)
+    pairs1 = {tuple(r) for r in run_streaming_lsh_dedup(
+        spark, feed, "doc_id bigint, text string", work
+    ).collect()}
+    assert pairs1 == set()  # nothing near-duplicated yet
+    # restart with a new arrival that near-dups doc 1
+    feed_file("two", [(3, text_b)], 10)
+    pairs2 = {tuple(r) for r in run_streaming_lsh_dedup(
+        spark, feed, "doc_id bigint, text string", work
+    ).collect()}
+    assert (1, 3, "corpus") in pairs2
+    assert all(p[1] == 3 for p in pairs2)  # only the new doc pairs
