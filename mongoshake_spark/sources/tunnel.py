@@ -232,43 +232,76 @@ def split_corrupt_ext_frames(
     return good, corrupt
 
 
+#: structural cap on logs per frame: a corrupt count field must not make
+#: the offset fold allocate unbounded arrays. The reference batches at
+#: most incr_sync.worker.batch_queue_size logs per message (hundreds);
+#: a frame CLAIMING more than this is corrupt by construction here.
+MAX_LOGS_PER_FRAME = 4096
+
+
 def decode_raw_frames(
     frames: DataFrame, schema: str | StructType = OPLOG_WIRE_SCHEMA
 ) -> tuple[DataFrame, DataFrame]:
-    """S12 consumer for raw TMessage frames: parse the big-endian header,
-    verify the XOR-of-crc32 checksum, and unmarshal the (single) log.
-    Returns ``(good, corrupt)`` — corrupt keeps the raw frame for the
-    dead-letter table (the reference replayer's CRC-reject path,
-    receiver/replayer.go:54-146, minus the retransmission it asks the
-    live tunnel for; storage tunnels re-read instead). Header parsing is
-    hex-string arithmetic in codegen — no Python touches the bytes."""
+    """S12 consumer for raw TMessage frames (tunnel/tunnel.go:61-72 —
+    the exact block a reference collector writes to Kafka in raw mode,
+    any log count): parse the big-endian header, walk the size-prefixed
+    log section with an ``aggregate`` offset fold, verify XOR-of-crc32
+    over ALL logs, and unmarshal one row per log. Returns ``(good,
+    corrupt)`` — corrupt keeps whole frames for the dead-letter table
+    (the reference replayer's CRC-reject path, receiver/replayer.go:
+    54-146, minus the retransmission it asks the live tunnel for;
+    storage tunnels re-read instead). The entire variable-record parse
+    is hex-string arithmetic in codegen — no Python touches the bytes.
+    """
     h = F.hex(F.col("value"))
 
     def u32(pos: int):
         return F.conv(F.substring(h, pos, 8), 16, 10).cast("bigint")
 
-    loglen = u32(41)
-    log_hex = h.substr(F.lit(49), loglen * 2)
-    log_bin = F.unhex(log_hex)
+    nlogs = u32(33)
+    # clamp BEFORE the fold: sequence() materializes eagerly, so a frame
+    # claiming 2^31 logs must fail the structure check, not allocate
+    nlogs_c = F.least(F.greatest(nlogs, F.lit(0)), F.lit(MAX_LOGS_PER_FRAME))
+    # offset fold over the hex string (1-based): o_{i+1} = o_i + 8 +
+    # 2*len(o_i); the trailing element is the expected frame end
+    offs = F.expr(
+        "aggregate(sequence(1, CAST(_nc AS INT)), array(CAST(41 AS BIGINT)), "
+        "(acc, i) -> acc || array(element_at(acc, -1) + 8 + "
+        "2 * conv(substring(_h, CAST(element_at(acc, -1) AS INT), 8), 16, 10)))"
+    )
     parsed = frames.select(
         "shard",
         "value",
+        h.alias("_h"),
         u32(1).alias("_cksum"),
-        u32(33).alias("_nlogs"),
-        loglen.alias("_loglen"),
-        log_bin.alias("_log"),
+        nlogs.alias("_nlogs"),
+        nlogs_c.alias("_nc"),
+    ).withColumn("_offs", offs)
+    logs = F.expr(
+        "transform(slice(_offs, 1, CAST(_nc AS INT)), o -> unhex(substring("
+        "_h, CAST(o + 8 AS INT), "
+        "CAST(2 * conv(substring(_h, CAST(o AS INT), 8), 16, 10) AS INT))))"
     )
-    # a frame shorter than the header parses to NULL fields, making the
-    # predicate NULL — which both filter() and filter(~...) drop, so the
-    # row would vanish from BOTH legs without the coalesce
+    parsed = parsed.withColumn("_logs", logs)
+    # a frame shorter than its header/section parses to NULL fields,
+    # making the predicate NULL — which both filter() and filter(~...)
+    # drop, so the row would vanish from BOTH legs without the coalesce
     ok = F.coalesce(
-        (F.col("_nlogs") == 1)
-        & (F.length(F.col("_log")) == F.col("_loglen"))
-        & (F.crc32(F.col("_log")) == F.col("_cksum")),
+        (F.col("_nlogs") == F.col("_nc"))
+        & (F.col("_nlogs") >= 1)
+        # structural closure: the last offset is exactly one past the end
+        & (F.expr("element_at(_offs, -1)") - 1 == F.length(F.col("_h")))
+        & (
+            F.expr(
+                "aggregate(_logs, CAST(0 AS BIGINT), (acc, l) -> acc ^ crc32(l))"
+            )
+            == F.col("_cksum")
+        ),
         F.lit(False),
     )
     good = (
         parsed.filter(ok)
+        .select("shard", F.explode(F.col("_logs")).alias("_log"))
         .select(
             "shard",
             F.from_json(F.decode(F.col("_log"), "UTF-8"), schema).alias(

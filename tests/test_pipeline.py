@@ -506,3 +506,42 @@ def test_cli_filestat_flag(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["logs"] == 2 and out["worker"] == [0, 0, 2]
     assert main(["--filestat", str(tmp_path / "missing")]) == 2
+
+
+def test_decode_raw_frames_multi_log_tmessage(spark):
+    """Interop: a reference collector packs MULTIPLE logs per raw
+    TMessage (kafka_writer.go raw mode batches message.RawLogs). The
+    DataFrame decoder must walk the size-prefixed section, verify the
+    XOR-of-crc32 over all logs, and emit one row per log; flipping any
+    payload byte dead-letters the WHOLE frame (frame is the CRC unit)."""
+    import json as _json
+
+    from mongoshake_spark.sources.socket_tunnel import encode_tmessage
+    from mongoshake_spark.sources.tunnel import decode_raw_frames
+
+    logs = [
+        _json.dumps({"id": i, "op": "i", "ns": "db.c", "value": i / 4}).encode()
+        for i in range(5)
+    ]
+    block = encode_tmessage(logs, shard=3)
+    frames = spark.createDataFrame([(3, block)], "shard int, value binary")
+    good, corrupt = decode_raw_frames(
+        frames, "id bigint, op string, ns string, value double"
+    )
+    rows = sorted((r["id"], r["value"]) for r in good.collect())
+    assert rows == [(i, i / 4) for i in range(5)]
+    assert corrupt.count() == 0
+    flipped = bytearray(block)
+    flipped[25] ^= 0xFF  # inside the first log's payload
+    bad = spark.createDataFrame([(3, bytes(flipped))], "shard int, value binary")
+    g2, c2 = decode_raw_frames(bad, "id bigint, op string, ns string, value double")
+    assert g2.count() == 0 and c2.count() == 1
+    # absurd claimed log count is corrupt by construction, not an OOM
+    from mongoshake_spark.sources.tunnel import MAX_LOGS_PER_FRAME
+    import struct
+
+    huge = bytearray(block)
+    huge[16:20] = struct.pack(">I", MAX_LOGS_PER_FRAME + 1)
+    b3 = spark.createDataFrame([(3, bytes(huge))], "shard int, value binary")
+    g3, c3 = decode_raw_frames(b3, "id bigint, op string, ns string, value double")
+    assert g3.count() == 0 and c3.count() == 1
