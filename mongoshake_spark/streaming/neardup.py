@@ -41,7 +41,6 @@ def streaming_lsh_dedup(
     checkpoint_dir: str,
     text_col: str = "text",
     trigger_available_now: bool = True,
-    max_files_per_trigger: int | None = None,
 ):
     """Start the ingest-time near-dup stream over ``stream`` (a streaming
     DataFrame of documents). Returns the started StreamingQuery; pairs
