@@ -1081,9 +1081,14 @@ def dedup_lines(
     row count equals the corpus line count, same as the explode. The
     documents themselves are never shuffled whole except in (3), which is
     the unavoidable reassembly of the operator's own output."""
+    # F.split takes a Java regex while array_join (reassembly below)
+    # takes a literal — quote the separator (\Q...\E) so a sep with
+    # regex metacharacters ('|', '.') splits literally and round-trips.
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn("line", F.trim(F.col("line"))).filter(F.col("line") != "")
     keyed = lines.withColumn("_h", F.md5(F.col("line")))
     # doc frequency: distinct docs per line, two-level (dedup then count)

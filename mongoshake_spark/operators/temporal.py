@@ -140,15 +140,34 @@ def range_join(
     if clash:
         raise ValueError(f"range_join: columns collide with internals: {clash}")
     width = int(upper_us - lower_us) + 1
+    # Bucket ids use exact integer floor division: subtract the
+    # non-negative pmod remainder (making the operand an exact multiple
+    # of width) and divide with the integral `div` operator.
+    # `F.floor(x / w)` goes through double division, which can misround
+    # at a bucket boundary once |x| approaches 2^53 — epoch micros
+    # multiplied against wide windows get there.
     lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
-    lo_bkt = F.floor((lus + F.lit(int(lower_us))) / F.lit(width))
-    hi_bkt = F.floor((lus + F.lit(int(upper_us))) / F.lit(width))
     lx = left.withColumn("_lus", lus).withColumn(
-        "_bkt", F.explode(F.array_distinct(F.array(lo_bkt, hi_bkt)))
+        "_bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(
+                        f"(_lus + {int(lower_us)}L - pmod(_lus + "
+                        f"{int(lower_us)}L, {width}L)) div {width}L"
+                    ),
+                    F.expr(
+                        f"(_lus + {int(upper_us)}L - pmod(_lus + "
+                        f"{int(upper_us)}L, {width}L)) div {width}L"
+                    ),
+                )
+            )
+        ),
     )
     rx = right.withColumn("_rus", rus).withColumn(
-        "_bkt", F.floor(F.col("_rus") / F.lit(width))
+        "_bkt",
+        F.expr(f"(_rus - pmod(_rus, {width}L)) div {width}L"),
     )
     # equality keys join by NAME (coalesced, no duplicate columns); the
     # range predicate is the residual on the internal microsecond columns

@@ -50,15 +50,24 @@ def write_dump_file(
     path: str,
     messages: Iterable[tuple[list[bytes], int]],
     tag: int = 0,
+    compressor: int = 0,
 ) -> int:
     """Write a reference-readable ``dump.data``: ``messages`` yields
-    ``(logs, shard)`` TMessages (uncompressed — the reference's file
-    writer passes the collector's compressor id through; this writer
-    emits id 0). Returns the number of logs written."""
+    ``(logs, shard)`` TMessages. ``compressor`` is the reference's
+    compressor id (0 = none); per the reference module order
+    (collector/write_controller.go: Compressor runs BEFORE
+    ChecksumCalculator) each log is compressed first and the block
+    cksum covers the COMPRESSED bytes. Returns the logs written."""
     n = 0
     with open(path, "wb") as f:
         f.write(_FILE_HEADER.pack(FILE_MAGIC, FILE_PROTOCOL, 0, b"\x00" * 16))
         for logs, shard in messages:
+            if compressor:
+                from mongoshake_spark.sources.socket_tunnel import (
+                    _compress_one,
+                )
+
+                logs = [_compress_one(log, compressor) for log in logs]
             section = b"".join(
                 struct.pack(">I", len(log)) + log for log in logs
             )
@@ -67,7 +76,7 @@ def write_dump_file(
                     crc32_xor(logs),
                     (tag | MSG_PERSISTENT | MSG_STORAGE_BACKEND) & 0xFFFFFFFF,
                     shard,
-                    0,
+                    compressor,
                     BLOCK_MAGIC,
                     len(section),
                 )
@@ -110,7 +119,16 @@ def parse_dump_bytes(data: bytes) -> tuple[dict, list[dict]]:
             pos += 4
             logs.append(section[pos : pos + size])
             pos += size
-        if comp:
+        # The reference's module order is Compressor THEN
+        # ChecksumCalculator (collector/write_controller.go
+        # orderedModuleList), so the stored cksum covers the
+        # compressed wire bytes — verify BEFORE decompressing, the
+        # same order socket_tunnel's receiver uses.
+        crc_ok = crc32_xor(logs) == cksum
+        if comp and crc_ok:
+            # only decompress verified blocks — a CRC-failed block keeps
+            # its wire bytes so the caller's dead-letter policy sees the
+            # block instead of a decoder crash on corrupt streams
             from mongoshake_spark.sources.socket_tunnel import _decompress_one
 
             logs = [_decompress_one(log, comp) for log in logs]
@@ -120,7 +138,7 @@ def parse_dump_bytes(data: bytes) -> tuple[dict, list[dict]]:
                 "tag": tag,
                 "compress": comp,
                 "cksum": cksum,
-                "crc_ok": crc32_xor(logs) == cksum,
+                "crc_ok": crc_ok,
                 "logs": logs,
             }
         )
@@ -213,7 +231,17 @@ def write_dump_files(
             for shard in sorted(buf):
                 yield buf[shard], shard
 
-        yield write_dump_file(path, messages())
+        # Task retries / speculative attempts may run concurrently on
+        # shared storage: stage under an attempt-unique temp name, then
+        # atomically rename so the final part file is never interleaved.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        tmp = f"{path}.attempt-{attempt}.tmp"
+        n = write_dump_file(tmp, messages())
+        os.replace(tmp, path)
+        yield n
 
     counts = frames.select(frames.columns[0], frames.columns[1]).rdd.mapPartitionsWithIndex(
         write_part

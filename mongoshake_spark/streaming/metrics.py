@@ -161,6 +161,7 @@ def stat_poll(
     out=print,
     _sleep=None,
     _fetch=None,
+    _clock=None,
 ) -> None:
     """The ``scripts/mongoshake-stat`` analog: poll ``/repl`` every
     ``interval`` seconds and print per-interval throughput deltas (the
@@ -174,27 +175,44 @@ def stat_poll(
     import time
     import urllib.request
 
+    if interval <= 0:
+        raise ValueError("stat_poll: interval must be > 0 seconds")
     fetch = _fetch or (
         lambda: _json.loads(
             urllib.request.urlopen(base_url + "/repl", timeout=5).read()
         )
     )
     sleep = _sleep or time.sleep
+    clock = _clock or time.monotonic
     prev = None
+    prev_t = None
     n = 0
     while count is None or n < count:
         snap = fetch()
-        if prev is not None:
+        now = clock()
+        if prev is None:
+            # print the baseline snapshot so --stat-count 1 shows state
+            # instead of exiting silently (rates need a second poll)
+            out(
+                f"[repl] baseline rows_in={snap['rows_in']} "
+                f"batches={snap['batches']} "
+                f"engine_rps={snap['rows_per_sec']:.1f} "
+                f"batch_ms={snap['batch_ms']:.0f}"
+            )
+        else:
+            # rates over the MEASURED elapsed time — the nominal
+            # interval under-counts fetch latency on slow endpoints
+            elapsed = max(now - prev_t, 1e-9)
             d_rows = snap["rows_in"] - prev["rows_in"]
             d_batches = snap["batches"] - prev["batches"]
             out(
-                f"[repl] rows/s={d_rows / interval:.1f} "
-                f"batches/s={d_batches / interval:.2f} "
+                f"[repl] rows/s={d_rows / elapsed:.1f} "
+                f"batches/s={d_batches / elapsed:.2f} "
                 f"rows_in={snap['rows_in']} batches={snap['batches']} "
                 f"engine_rps={snap['rows_per_sec']:.1f} "
                 f"batch_ms={snap['batch_ms']:.0f}"
             )
-        prev = snap
+        prev, prev_t = snap, now
         n += 1
         if count is None or n < count:
             sleep(interval)

@@ -457,3 +457,33 @@ def test_dedup_lines_boilerplate_removal(spark):
     assert out[4] == ("", 0, 1)
     assert out[5] == ("unique delta", 1, 0)
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_dedup_lines_literal_separator(spark):
+    """The separator is a LITERAL on both the split and reassembly side:
+    a sep containing regex metacharacters ('|', '.') must not explode
+    into per-character splits, and clean_text must round-trip with the
+    same separator."""
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler|unique alpha|boiler"),
+            (2, "boiler|unique beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup.dedup_lines(docs, min_df=2, sep="|").collect()
+    }
+    assert out[1] == ("unique alpha", 1, 2)
+    assert out[2] == ("unique beta", 1, 1)
+    # multi-char metachar separator round-trips too
+    docs2 = spark.createDataFrame(
+        [(1, "keep one.*keep two"), (2, "other line")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.dedup_lines(docs2, min_df=2, sep=".*").collect()
+    }
+    assert out2[1] == "keep one.*keep two"

@@ -249,8 +249,12 @@ def test_export_order_rotation_rules(tmp_path, monkeypatch):
 
 def test_stat_poll_prints_interval_deltas():
     """The scripts/mongoshake-stat analog: polls a live /repl endpoint
-    and prints per-interval counter deltas (reference tool behavior —
-    diff between polls, one line per poll after the first)."""
+    and prints a baseline line on the first poll (so --stat-count 1 is
+    never silent) then per-interval counter deltas over the MEASURED
+    elapsed time (not the nominal interval — fetch latency would make
+    nominal-interval rates over-report)."""
+    import pytest
+
     from mongoshake_spark.streaming import metrics
 
     listener = metrics.MetricsListener()
@@ -258,27 +262,34 @@ def test_stat_poll_prints_interval_deltas():
     m.batches, m.rows_in, m.last_rows_per_sec, m.last_batch_ms = 1, 100, 50.0, 20
     server = metrics.serve(listener)
     lines = []
+    fake_now = [0.0]
 
     def advance(_interval):
-        # what a running stream does between polls
+        # what a running stream does between polls — and the wall
+        # clock actually elapsing 2s (the injected clock ticks here)
         m.batches += 2
         m.rows_in += 300
+        fake_now[0] += 2.0
 
     try:
+        with pytest.raises(ValueError):
+            metrics.stat_poll("http://x", interval=0)  # guard, not ZeroDiv
         metrics.stat_poll(
             f"http://127.0.0.1:{server.port}",
             interval=2.0,
             count=3,
             out=lines.append,
             _sleep=advance,
+            _clock=lambda: fake_now[0],
         )
     finally:
         server.close()
-    assert len(lines) == 2  # first poll only seeds the baseline
-    assert "rows/s=150.0" in lines[0]    # 300 rows / 2s
-    assert "batches/s=1.00" in lines[0]  # 2 batches / 2s
-    assert "rows_in=400" in lines[0] and "rows_in=700" in lines[1]
-    assert "engine_rps=50.0" in lines[0] and "batch_ms=20" in lines[0]
+    assert len(lines) == 3  # baseline + two delta lines
+    assert "baseline" in lines[0] and "rows_in=100" in lines[0]
+    assert "rows/s=150.0" in lines[1]    # 300 rows / 2s measured
+    assert "batches/s=1.00" in lines[1]  # 2 batches / 2s measured
+    assert "rows_in=400" in lines[1] and "rows_in=700" in lines[2]
+    assert "engine_rps=50.0" in lines[1] and "batch_ms=20" in lines[1]
 
 
 def test_cli_stat_flag(capsys):

@@ -494,6 +494,60 @@ def test_dump_file_roundtrip_and_filestat(spark, tmp_path):
         assert "magic" in str(e)
 
 
+def test_dump_file_compressed_crc_covers_wire_bytes(spark, tmp_path):
+    """The reference's module order is Compressor THEN ChecksumCalculator
+    (collector/write_controller.go orderedModuleList): a compressed
+    dump.data stores the cksum over the COMPRESSED log bytes. The parser
+    must verify CRC on the wire bytes before decompressing — checking the
+    decompressed logs would flag every real compressed dump corrupt and
+    silently drop all rows for crc_ok-filtering consumers."""
+    import json as _json
+
+    from mongoshake_spark.sources.file_dump import (
+        crc32_xor,
+        parse_dump_bytes,
+        read_dump_files,
+        write_dump_file,
+    )
+    from mongoshake_spark.sources.socket_tunnel import (
+        COMPRESS_GZIP,
+        COMPRESS_ZLIB,
+        _compress_one,
+    )
+
+    # varied lengths: equal-length payloads whose ids XOR to zero would
+    # make the XOR-of-crc32 cancel (crc32 is GF(2)-linear) and the
+    # plain-vs-compressed cksum inequality below vacuous
+    logs = [
+        _json.dumps({"id": i, "op": "i", "pad": "x" * (40 + 7 * i)}).encode()
+        for i in range(4)
+    ]
+    for comp in (COMPRESS_GZIP, COMPRESS_ZLIB):
+        path = str(tmp_path / f"dump-{comp}.data")
+        n = write_dump_file(path, [(logs, 1)], compressor=comp)
+        assert n == 4
+        raw = open(path, "rb").read()
+        # the stored cksum equals the crc over the compressed bytes, not
+        # the plaintext (the checksum-order contract itself)
+        _, blocks = parse_dump_bytes(raw)
+        assert blocks[0]["compress"] == comp
+        assert blocks[0]["cksum"] == crc32_xor(
+            [_compress_one(log, comp) for log in logs]
+        )
+        assert blocks[0]["cksum"] != crc32_xor(logs)
+        assert blocks[0]["crc_ok"] is True
+        assert blocks[0]["logs"] == logs  # decompressed payloads
+        rows = read_dump_files(spark, path).collect()
+        assert sorted(bytes(r["value"]) for r in rows) == sorted(logs)
+        assert all(r["crc_ok"] for r in rows)
+        # flip one wire byte -> crc flags the block; decompression is
+        # skipped for flagged blocks (no decoder crash on corruption)
+        bad = bytearray(raw)
+        bad[-1] ^= 0xFF
+        _, blocks2 = parse_dump_bytes(bytes(bad))
+        assert blocks2[0]["crc_ok"] is False
+
+
 def test_cli_filestat_flag(tmp_path, capsys):
     import json as _json
 
