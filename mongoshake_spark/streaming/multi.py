@@ -12,9 +12,13 @@ callback, so one stream + one checkpoint drives the whole deployment:
   own bucketed target directory (``root_dir/<safe(ns)>``) — per-ns
   state, per-ns watermark, per-ns tombstone compaction, exactly the
   reference's per-collection apply granularity;
-- the driver-side loop is bounded by the number of DISTINCT namespaces
+- the driver-side work is bounded by the number of DISTINCT namespaces
   in the batch (table count, not row count) — the same bound the
-  reference's per-collection writer map carries;
+  reference's per-collection writer map carries — and the per-ns kernel
+  flushes run CONCURRENTLY from a driver thread pool (``max_parallel_ns``
+  workers), matching the reference's per-worker fan-out
+  (collector/coordinator/incr.go:60-74, one syncer goroutine per
+  worker): per-batch wall grows with ceil(tables / pool), not tables;
 - ordering: within a namespace the per-kernel (key, ordinal) MERGE
   resolves order exactly as the single-table kernel does; ACROSS
   namespaces the reference makes no ordering promise either (workers are
@@ -46,6 +50,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +93,7 @@ class MultiTableApplyKernel:
         ns_col: str = "ns",
         journal_dir: str | None = None,
         dead_letter_dir: str | None = None,
+        max_parallel_ns: int = 8,
         **kernel_kwargs,
     ) -> None:
         if "mirror" in kernel_kwargs:
@@ -102,6 +108,9 @@ class MultiTableApplyKernel:
         self.ns_col = ns_col
         self.journal_dir = journal_dir
         self.dead_letter_dir = dead_letter_dir or f"{self.root_dir}/_dead_letter"
+        if max_parallel_ns < 1:
+            raise ValueError("max_parallel_ns must be >= 1")
+        self.max_parallel_ns = max_parallel_ns
         self.kernel_kwargs = kernel_kwargs
         self.kernels: dict[str, ApplyKernel] = {}
 
@@ -141,6 +150,7 @@ class MultiTableApplyKernel:
             # no-ops — collection state materializes on first CRUD, the
             # same effective semantics the catalog-less kernel records.
             cmd_ns = {ns for ns in names if ns.endswith(".$cmd")}
+            tasks: list[tuple[ApplyKernel, DataFrame]] = []
             for ns in names:
                 if ns in cmd_ns:
                     continue
@@ -154,9 +164,12 @@ class MultiTableApplyKernel:
                 ns_pred = F.col(self.ns_col) == ns
                 if f"{db}.$cmd" in cmd_ns:
                     ns_pred = ns_pred | (F.col(self.ns_col) == f"{db}.$cmd")
-                self._kernel_for(ns, safe).process_batch(
-                    batch.filter(ns_pred), batch_id
+                # kernels are created HERE, on the batch thread — the
+                # pool workers below never touch self.kernels
+                tasks.append(
+                    (self._kernel_for(ns, safe), batch.filter(ns_pred))
                 )
+            self._run_ns_tasks(tasks, batch_id)
             # W7: rows that cannot be routed must be RECORDED, never
             # dropped — unconditionally (the dir defaults under root)
             if not unroutable.isEmpty():
@@ -165,6 +178,62 @@ class MultiTableApplyKernel:
                 )
         finally:
             batch.unpersist()
+
+    def _run_ns_tasks(
+        self, tasks: list[tuple[ApplyKernel, DataFrame]], batch_id: int
+    ) -> None:
+        """Apply every namespace slice, CONCURRENTLY from a driver thread
+        pool (the reference fans incremental apply out per worker —
+        collector/coordinator/incr.go:60-74 starts one syncer goroutine
+        per worker, collector/syncer.go drives them in parallel; a serial
+        per-namespace loop would make per-batch wall grow linearly in
+        live-table count while executors idle).
+
+        Safety argument:
+        - Spark job submission is thread-safe; each per-ns kernel owns a
+          DISJOINT state directory (root_dir/<safe(ns)>), so flushes
+          never overlap on disk.
+        - ``self.kernels`` is only mutated on the batch thread (kernels
+          are constructed before submission).
+        - each worker tags its jobs with a scheduler pool name, so a
+          FAIR-scheduled session interleaves namespaces evenly; under
+          default FIFO the jobs still run concurrently on spare slots.
+        - failure: ALL in-flight namespaces are awaited before the first
+          error re-raises out of foreachBatch (no half-submitted batch
+          left racing a retry); the retry re-MERGEs idempotently per ns,
+          the same replay argument the serial form had.
+        """
+        if not tasks:
+            return
+        if len(tasks) == 1 or self.max_parallel_ns == 1:
+            for kernel, df in tasks:
+                kernel.process_batch(df, batch_id)
+            return
+        sc = self.spark.sparkContext
+
+        def run(idx_kernel_df):
+            idx, kernel, df = idx_kernel_df
+            sc.setLocalProperty("spark.scheduler.pool", f"ns-{idx % 16}")
+            try:
+                kernel.process_batch(df, batch_id)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_parallel_ns, len(tasks)),
+            thread_name_prefix="ns-apply",
+        ) as pool:
+            futures = [
+                pool.submit(run, (i, k, df))
+                for i, (k, df) in enumerate(tasks)
+            ]
+            errors = []
+            for f in futures:
+                exc = f.exception()  # waits; never half-abandons a batch
+                if exc is not None:
+                    errors.append(exc)
+            if errors:
+                raise errors[0]
 
     def state_view(self, ns: str) -> DataFrame | None:
         k = self.kernels.get(ns)

@@ -788,6 +788,111 @@ def test_multi_table_apply_lazy_namespace_and_unroutable(spark, tmp_path):
     assert multi.state_view("db0.missing") is None
 
 
+def test_multi_table_apply_parallel_fanout(spark, tmp_path):
+    """The per-namespace kernel flushes run CONCURRENTLY from a driver
+    thread pool (the reference starts one syncer goroutine per worker —
+    collector/coordinator/incr.go:60-74); a serial loop makes per-batch
+    wall grow linearly in live-table count while executors idle. A
+    12-namespace batch must (a) produce byte-identical per-ns state
+    under pool=1 and pool=8, and (b) run materially faster in parallel
+    (sublinear wall in table count)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    n_ns = 12
+    rows = (
+        spark.range(0, 6000)
+        .select(
+            (F.col("id") % 500).alias("user_id"),
+            (F.col("id") * 1.5).alias("value"),
+            F.col("id").alias("id"),
+            F.lit("i").alias("op"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            F.concat(
+                F.lit("db0.c"), (F.col("id") % n_ns).cast("string")
+            ).alias("ns"),
+            F.lit(None).cast("string").alias("o"),
+        )
+        .persist()
+    )
+    rows.count()
+
+    def run(par, root):
+        m = MultiTableApplyKernel(spark, root, max_parallel_ns=par)
+        t0 = time.monotonic()
+        m.process_batch(rows, 0)
+        return time.monotonic() - t0, m
+
+    try:
+        run(1, str(tmp_path / "warm"))  # JVM/codegen warmup out of band
+        w_serial, m1 = run(1, str(tmp_path / "serial"))
+        w_par, m8 = run(8, str(tmp_path / "parallel"))
+    finally:
+        rows.unpersist()
+    assert set(m1.kernels) == set(m8.kernels) and len(m8.kernels) == n_ns
+    for ns in m8.kernels:
+        want = {
+            (r["user_id"], r["value"])
+            for r in m1.state_view(ns).collect()
+        }
+        got = {
+            (r["user_id"], r["value"])
+            for r in m8.state_view(ns).collect()
+        }
+        assert got == want and len(got) > 0
+    # measured 0.41x on local[32]; 0.85 leaves headroom for loaded hosts
+    # while still failing if the fan-out ever degrades to a serial loop
+    assert w_par < 0.85 * w_serial, (
+        f"parallel fan-out not faster: {w_par:.2f}s vs serial "
+        f"{w_serial:.2f}s over {n_ns} namespaces"
+    )
+
+
+def test_multi_table_parallel_failure_fails_whole_batch(spark, tmp_path):
+    """A namespace flush failure must fail the WHOLE foreachBatch (so
+    streaming retries the batch; idempotent per-ns MERGE makes the
+    replay safe) — and every other in-flight namespace is awaited first,
+    never left racing the retry."""
+    import datetime
+
+    import pytest
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    root = str(tmp_path / "root")
+    multi = MultiTableApplyKernel(spark, root, max_parallel_ns=4)
+    b0 = spark.createDataFrame(
+        [(i, t0, i, "i", f"db0.c{i % 4}", float(i), "{}") for i in range(8)],
+        schema,
+    )
+    multi.process_batch(b0, 0)
+
+    boom = RuntimeError("kernel down")
+
+    class _Exploding:
+        def process_batch(self, df, bid):
+            raise boom
+
+    multi.kernels["db0.c1"] = _Exploding()
+    b1 = spark.createDataFrame(
+        [(i + 100, t0, i, "u", f"db0.c{i % 4}", float(i) + 9, "{}") for i in range(8)],
+        schema,
+    )
+    with pytest.raises(RuntimeError, match="kernel down"):
+        multi.process_batch(b1, 1)
+    # the healthy namespaces were awaited and applied (at-least-once);
+    # their second delivery on retry re-merges to the same state
+    assert multi.state_view("db0.c0").filter("value > 9").count() > 0
+
+
 def test_multi_table_ns_sanitization_is_collision_free(tmp_path):
     from mongoshake_spark.streaming.multi import safe_ns_dir
 
