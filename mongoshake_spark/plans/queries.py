@@ -3422,8 +3422,13 @@ def q37_multi_ns(spark, sf_dir):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # n_buckets sized to the fixture like shuffle partitions: each
+        # flush rewrites every touched bucket file, and at ~3.5k keys
+        # per namespace 8 buckets keeps the per-batch file I/O constant
+        # small (64-bucket default is a 100TB-state sizing); kernel
+        # semantics are invariant to the bucket count
         multi = run_multi_incr_sync(
-            spark, feed, root, ckpt, max_files_per_trigger=1
+            spark, feed, root, ckpt, max_files_per_trigger=1, n_buckets=8
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
