@@ -131,39 +131,80 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     over a polynomial-hash projection — correct, but its generated code
     takes seconds of Janino compilation per session and the hash runs
     interpreted per character. The UDF computes the *identical* integers
-    (Python int mod arithmetic == the oracle), memoizes shingle hashes
-    (corpora repeat shingles heavily), and vectorizes the 16 minima with
-    numpy. Rows never widen: in (doc_id, text), out (doc_id, 16 longs).
+    with NO per-shingle Python at all: tokens are factorized batch-wide
+    and each distinct token hashed once in numpy
+    (texthash.poly_hash_numpy), then every 3-token shingle hash is
+    composed arithmetically — H(x‖y) = H(x)·31^len(y) + H(y) (mod M), so
+    H(t1␠t2␠t3) folds from the token hashes, lengths and a 31-powers
+    table without ever building the shingle string. Window validity is a
+    doc-boundary mask over the flat token array; per-doc minima are 16
+    ``minimum.reduceat`` passes (min over the window multiset equals min
+    over the shingle SET, so no dedup step is needed). Measured 3-4x the
+    memoized per-shingle loop per core, with bounded memory (the memo
+    cache grew without bound across a long-lived executor task). Rows
+    never widen: in (doc_id, text), out (doc_id, 16 longs).
     """
     import numpy as np
     import pandas as pd
+
+    from mongoshake_spark.functions.texthash import poly_hash_numpy
 
     coef_a = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)
     coef_b = np.array([7919 * i for i in range(N_MINHASH)], dtype=np.int64)
 
     def sig_batches(batches):
-        cache: dict[str, int] = {}
         for pdf in batches:
-            out_ids, out_sigs = [], []
+            doc_ids, all_toks, nlist = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
                 toks = txt.split(" ") if txt else []
                 if len(toks) < 3:
                     continue
-                hs = set()
-                for i in range(len(toks) - 2):
-                    sh = " ".join(toks[i : i + 3])
-                    h = cache.get(sh)
-                    if h is None:
-                        h = _poly(sh)
-                        cache[sh] = h
-                    hs.add(h)
-                hv = np.fromiter(hs, dtype=np.int64, count=len(hs))
-                sig = ((coef_a[:, None] * hv[None, :] + coef_b[:, None]) % MOD).min(axis=1)
-                out_ids.append(doc_id)
-                out_sigs.append(sig)
-            mat = np.vstack(out_sigs) if out_sigs else np.empty((0, N_MINHASH), np.int64)
+                doc_ids.append(doc_id)
+                all_toks.extend(toks)
+                nlist.append(len(toks))
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        **{
+                            f"m{i}": pd.Series(dtype="int64")
+                            for i in range(N_MINHASH)
+                        },
+                    }
+                )
+                continue
+            n_arr = np.asarray(nlist, dtype=np.int64)
+            codes, distinct = pd.factorize(np.asarray(all_toks, dtype=object))
+            hw = poly_hash_numpy(list(distinct))
+            lw = np.fromiter(
+                (len(s) for s in distinct), dtype=np.int64, count=len(distinct)
+            )
+            h, ln = hw[codes], lw[codes]
+            max_len = int(lw.max()) if len(lw) else 0
+            pow31 = np.empty(max_len + 1, dtype=np.int64)
+            pow31[0] = 1
+            for k in range(1, max_len + 1):
+                pow31[k] = (pow31[k - 1] * 31) % MOD
+            # H(t1 + ' ' + t2 + ' ' + t3): ' ' appends as *31 + 32;
+            # intermediate products stay < MOD * 31^1-step < 2^63
+            a_h, b_h, c_h = h[:-2], h[1:-1], h[2:]
+            sh = ((a_h * 31 + 32) % MOD * pow31[ln[1:-1]] + b_h) % MOD
+            sh = ((sh * 31 + 32) % MOD * pow31[ln[2:]] + c_h) % MOD
+            doc_idx = np.repeat(np.arange(len(n_arr)), n_arr)
+            shv = sh[doc_idx[:-2] == doc_idx[2:]]
+            wins = n_arr - 2  # every kept doc has >= 3 tokens
+            starts = np.zeros(len(wins), dtype=np.int64)
+            np.cumsum(wins[:-1], out=starts[1:])
+            mat = np.empty((len(wins), N_MINHASH), dtype=np.int64)
+            for i in range(N_MINHASH):
+                mat[:, i] = np.minimum.reduceat(
+                    (coef_a[i] * shv + coef_b[i]) % MOD, starts
+                )
             yield pd.DataFrame(
-                {"doc_id": out_ids, **{f"m{i}": mat[:, i] for i in range(N_MINHASH)}}
+                {
+                    "doc_id": doc_ids,
+                    **{f"m{i}": mat[:, i] for i in range(N_MINHASH)},
+                }
             )
 
     schema = "doc_id bigint, " + ", ".join(f"m{i} bigint" for i in range(N_MINHASH))
@@ -293,34 +334,47 @@ def simhash_values(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Arrow-batched mapInPandas, same rationale as minhash_signatures: the
     expression form is a 32-wide conditional-sum HashAggregate whose
-    generated code costs seconds to compile; the UDF computes identical
-    integers with a memoized token->hash map and one numpy bit-unpack +
-    matmul per document batch, and emits exactly one row per doc with no
-    shuffle at all.
+    generated code costs seconds to compile. The UDF computes identical
+    integers with no per-character/per-token Python hashing: tokens are
+    factorized batch-wide and each distinct token hashed ONCE in numpy
+    (texthash.poly_hash_numpy); the per-doc ±1 bit sums stay a small
+    per-doc numpy expansion — expanding the bit matrix for every token
+    occurrence at once moves 32x the data through memory and measured
+    SLOWER than the doc loop. Token MULTISET semantics preserved (every
+    occurrence contributes its ±1). One row out per doc, no shuffle.
     """
     import numpy as np
     import pandas as pd
 
+    from mongoshake_spark.functions.texthash import poly_hash_numpy
+
     weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+    bit_range = np.arange(SIMHASH_BITS)
 
     def sim_batches(batches):
-        cache: dict[str, int] = {}
         for pdf in batches:
-            out_ids, out_sims = [], []
+            doc_ids, all_toks, bounds = [], [], [0]
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
                 toks = txt.split(" ") if txt else [""]
-                hv = np.empty(len(toks), dtype=np.int64)
-                for j, t in enumerate(toks):
-                    h = cache.get(t)
-                    if h is None:
-                        h = _poly(t)
-                        cache[t] = h
-                    hv[j] = h
-                bits = ((hv[:, None] >> np.arange(SIMHASH_BITS)) & 1) * 2 - 1
-                sums = bits.sum(axis=0)
-                out_ids.append(doc_id)
-                out_sims.append(int(weights[sums > 0].sum()))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sims})
+                doc_ids.append(doc_id)
+                all_toks.extend(toks)
+                bounds.append(len(all_toks))
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "simhash": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            codes, distinct = pd.factorize(np.asarray(all_toks, dtype=object))
+            h = poly_hash_numpy(list(distinct))[codes]
+            sims = np.empty(len(doc_ids), dtype=np.int64)
+            for d in range(len(doc_ids)):
+                hv = h[bounds[d] : bounds[d + 1]]
+                sums = (((hv[:, None] >> bit_range) & 1) * 2 - 1).sum(axis=0)
+                sims[d] = (weights * (sums > 0)).sum()
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": sims})
 
     parallel = docs.sparkSession.sparkContext.defaultParallelism
     return (
@@ -383,6 +437,36 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+def _fnv1a64_numpy(strings) -> "np.ndarray":
+    """Vectorized batch form of :func:`_fnv1a64`: one uint64 per string,
+    bit-identical. Same column-by-column fold as
+    ``texthash.poly_hash_numpy`` — O(max_len) numpy passes instead of
+    per-character Python — with uint64 wraparound doing the mod 2^64."""
+    import numpy as np
+
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    h = np.full(n, FNV64_OFFSET, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return h
+    codes = (
+        np.frombuffer("".join(strings).encode("utf-32-le"), dtype=np.uint32)
+        .astype(np.uint64)
+        % np.uint64(256)
+    )
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    prime = np.uint64(FNV64_PRIME)
+    for j in range(int(lens.max())):
+        active = lens > j
+        idx = starts[active] + j
+        h[active] = (h[active] ^ codes[idx]) * prime
+    return h
+
+
 def _to_i64(u: int) -> int:
     return u - U64 if u >= (1 << 63) else u
 
@@ -393,33 +477,52 @@ def simhash_values64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out, no shuffle), but FNV-1a 64-bit token hashes so all 64 fingerprint
     bits carry signal (the 32-bit form's polynomial hash is mod 1e9+7,
     which dead-zeroes bits 30-31). Emitted as a SIGNED bigint (two's
-    complement) so downstream xor/bit_count stay JVM-side."""
+    complement) so downstream xor/bit_count stay JVM-side.
+
+    Hashing is batch-vectorized like :func:`simhash_values`: tokens
+    factorized batch-wide, distinct tokens hashed once in numpy
+    (:func:`_fnv1a64_numpy` — no per-character Python, bounded memory vs
+    the old unbounded memo dict); the ±1 bit sums stay a small per-doc
+    numpy expansion (the all-occurrences 64-wide bit matrix measured
+    slower — 64x memory traffic). Token multiset semantics kept.
+    Measured 3.4x the memoized scalar loop per core on a low-repetition
+    corpus (scripts/sig_throughput_pair.py)."""
     import numpy as np
     import pandas as pd
 
+    bit_range = np.arange(SIMHASH64_BITS, dtype=np.uint64)
+
     def sim_batches(batches):
-        cache: dict[str, int] = {}
         for pdf in batches:
-            out_ids, out_sims = [], []
+            doc_ids, all_toks, bounds = [], [], [0]
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
                 toks = txt.split(" ") if txt else [""]
-                hv = np.empty(len(toks), dtype=np.uint64)
-                for j, t in enumerate(toks):
-                    h = cache.get(t)
-                    if h is None:
-                        h = _fnv1a64(t)
-                        cache[t] = h
-                    hv[j] = h
-                bits = (
-                    (hv[:, None] >> np.arange(SIMHASH64_BITS, dtype=np.uint64)) & 1
-                ).astype(np.int64) * 2 - 1
-                sums = bits.sum(axis=0)
-                u = int(
-                    sum(1 << b for b in range(SIMHASH64_BITS) if sums[b] > 0)
+                doc_ids.append(doc_id)
+                all_toks.extend(toks)
+                bounds.append(len(all_toks))
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "simhash": pd.Series(dtype="int64"),
+                    }
                 )
-                out_ids.append(doc_id)
-                out_sims.append(_to_i64(u))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sims})
+                continue
+            codes, distinct = pd.factorize(np.asarray(all_toks, dtype=object))
+            h = _fnv1a64_numpy(list(distinct))[codes]
+            sims = np.empty(len(doc_ids), dtype=np.int64)
+            for d in range(len(doc_ids)):
+                hv = h[bounds[d] : bounds[d + 1]]
+                sums = (
+                    ((hv[:, None] >> bit_range) & np.uint64(1)).astype(np.int64)
+                    * 2
+                    - 1
+                ).sum(axis=0)
+                u = ((sums > 0).astype(np.uint64) << bit_range).sum(
+                    dtype=np.uint64
+                )
+                sims[d] = np.uint64(u).view(np.int64)
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": sims})
 
     parallel = docs.sparkSession.sparkContext.defaultParallelism
     return (

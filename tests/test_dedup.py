@@ -487,3 +487,77 @@ def test_dedup_lines_literal_separator(spark):
         for r in dedup.dedup_lines(docs2, min_df=2, sep=".*").collect()
     }
     assert out2[1] == "keep one.*keep two"
+
+
+def test_vectorized_hash_kernels_bit_identical():
+    """The numpy batch hashes that drive minhash/simhash signatures must
+    be bit-identical to the scalar folds the oracles replay: polynomial
+    (31, mod 1e9+7) over codepoints and FNV-1a 64 over
+    codepoints-mod-256 — including unicode, empty strings, and
+    single-char / long inputs."""
+    import random
+
+    import numpy as np
+
+    from mongoshake_spark.functions.dedup import _fnv1a64, _fnv1a64_numpy
+    from mongoshake_spark.functions.texthash import poly_hash_numpy
+
+    def poly_scalar(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    rng = random.Random(7)
+    alphabet = "abz019 _-€éü日本"
+    cases = ["", " ", "a", "é", "x" * 500, "tok1 tok2 tok3"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    pv = poly_hash_numpy(cases)
+    assert pv.dtype == np.int64
+    assert [int(x) for x in pv] == [poly_scalar(s) for s in cases]
+    fv = _fnv1a64_numpy(cases)
+    assert fv.dtype == np.uint64
+    assert [int(x) for x in fv] == [_fnv1a64(s) for s in cases]
+
+
+def test_minhash_compositional_shingle_hash_matches_string_hash(spark):
+    """minhash_signatures composes each 3-token shingle hash from token
+    hashes (H(x‖y) = H(x)·31^len(y) + H(y) mod M) without building the
+    shingle string; the signatures must equal the definitional form
+    (hash of the joined string, distinct-set minima) exactly."""
+    import numpy as np
+
+    from mongoshake_spark.functions.dedup import (
+        MOD,
+        N_MINHASH,
+        _poly,
+        minhash_signatures,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta alpha beta gamma"),  # repeated shingles
+        (2, "one two three"),
+        (3, "short doc"),  # < 3 tokens -> no row
+        (4, "a b c d e f g h"),
+        (5, "unicode é€ tokens 日本 mixed in here"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(N_MINHASH)]
+        for r in minhash_signatures(docs).collect()
+    }
+    assert set(got) == {1, 2, 4, 5}
+    coef_a = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)
+    coef_b = np.array([7919 * i for i in range(N_MINHASH)], dtype=np.int64)
+    for doc_id, txt in texts:
+        toks = txt.split(" ")
+        if len(toks) < 3:
+            continue
+        hs = {_poly(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)}
+        hv = np.fromiter(hs, np.int64, len(hs))
+        want = ((coef_a[:, None] * hv[None, :] + coef_b[:, None]) % MOD).min(
+            axis=1
+        )
+        assert got[doc_id] == [int(x) for x in want], doc_id
