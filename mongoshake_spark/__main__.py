@@ -89,10 +89,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-dir", help="target root for full/incr state")
     p.add_argument("--feed-dir", help="replayable oplog feed dir (incr/all)")
     p.add_argument("--checkpoint-dir", help="stream checkpoint location (incr/all)")
-    p.add_argument("--sync-mode", choices=("full", "incr", "all", "verify", "repair"),
+    p.add_argument("--sync-mode",
+                   choices=("full", "incr", "all", "verify", "repair",
+                            "receive"),
                    help="override the conf's sync_mode; 'verify' runs the "
                         "post-sync check, 'repair' applies plans written "
-                        "by verify --repair-dir to the target")
+                        "by verify --repair-dir to the target, 'receive' "
+                        "runs the standalone receiver daemon (cmd/receiver "
+                        "analog): drain a live TCP tunnel into the apply "
+                        "kernel at TARGET_DIR")
+    p.add_argument("--receive-listen", metavar="HOST:PORT",
+                   default="127.0.0.1:0",
+                   help="receive mode: bind address (port 0 = ephemeral; "
+                        "the bound port is announced on the first stdout "
+                        "line)")
+    p.add_argument("--receive-idle-timeout", type=float, default=10.0,
+                   help="receive mode: exit after this many idle seconds "
+                        "once at least one log was consumed (the bounded "
+                        "daemon contract; the reference receiver runs "
+                        "until killed)")
+    p.add_argument("--receive-max-wall", type=float, default=300.0,
+                   help="receive mode: unconditional wall-clock bound")
     p.add_argument("--multi-ns", action="store_true",
                    help="incr: route each oplog to a per-namespace target "
                         "under TARGET_DIR/<ns> (the reference's "
@@ -223,6 +240,13 @@ def main(argv: list[str] | None = None) -> int:
     if mode == "repair":
         # the plan is self-describing (op, key, payloads) — no source dir
         missing = [n for n in ("target_dir", "repair_dir") if not getattr(args, n)]
+    elif mode == "receive":
+        # the tunnel is the source; only the apply target is needed
+        missing = [] if args.target_dir else ["target_dir"]
+    elif mode == "incr" and extra["tunnel"].get("tunnel") == "tcp":
+        # collector side of a tcp tunnel ships the feed, applies nothing:
+        # no local source/target dirs (the receiver owns the target)
+        missing = []
     else:
         missing = [n for n in ("source_dir", "target_dir") if not getattr(args, n)]
     if mode in ("incr", "all"):
@@ -256,6 +280,35 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
     spark = get_spark("mongoshake_spark.cli")
+    if mode == "receive":
+        # cmd/receiver analog: serve the wire protocol, fold every
+        # received frame into the apply kernel, announce the bound port
+        # FIRST (flushed) so a supervising collector can connect
+        from mongoshake_spark.streaming.receive import run_receiver
+
+        host, _, port_s = args.receive_listen.partition(":")
+        try:
+            listen_port = int(port_s or 0)
+        except ValueError:
+            print(
+                f"conf error: --receive-listen must be HOST:PORT, got "
+                f"{args.receive_listen!r}",
+                file=sys.stderr,
+            )
+            return 2
+        summary = run_receiver(
+            spark,
+            args.target_dir,
+            host=host or "127.0.0.1",
+            port=listen_port,
+            idle_timeout=args.receive_idle_timeout,
+            max_wall=args.receive_max_wall,
+            on_ready=lambda p: print(
+                json.dumps({"mode": mode, "listening": p}), flush=True
+            ),
+        )
+        print(json.dumps({"mode": mode, **summary}))
+        return 0
     if mode == "full":
         from mongoshake_spark.plans.full_sync import full_sync
 
@@ -272,6 +325,45 @@ def main(argv: list[str] | None = None) -> int:
         # the DBTransform operator's job upstream).
         mirror = None
         t = extra["tunnel"]
+        if t.get("tunnel") == "tcp":
+            # collector side of the collector/receiver split: with a
+            # non-direct tunnel the reference collector SHIPS the oplog
+            # and applies nothing locally (tunnel/tcp_writer.go) — the
+            # standalone receiver (--sync-mode receive) owns the apply.
+            addr = str(t.get("tunnel.address") or "")
+            thost, _, tport = addr.partition(":")
+            if not thost or not tport.isdigit():
+                print(
+                    "conf error: tunnel = tcp needs tunnel.address = "
+                    f"host:port, got {addr!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            if not args.feed_dir or not args.checkpoint_dir:
+                print(
+                    "missing required flags for mode incr (tunnel=tcp): "
+                    "['feed_dir', 'checkpoint_dir']",
+                    file=sys.stderr,
+                )
+                return 2
+            from mongoshake_spark.sources.socket_tunnel import (
+                write_socket_tunnel,
+            )
+            from mongoshake_spark.streaming.apply import drain_feed
+
+            shipped = {"batches": 0, "rows": 0}
+
+            def ship(batch, _bid, _h=thost, _p=int(tport)):
+                shipped["rows"] += batch.count()
+                write_socket_tunnel(batch, _h, _p)
+                shipped["batches"] += 1
+
+            drain_feed(
+                spark, args.feed_dir, ship, args.checkpoint_dir,
+                cfg.files_per_trigger,
+            )
+            print(json.dumps({"mode": mode, "tunnel": "tcp", **shipped}))
+            return 0
         if t.get("tunnel") == "direct" and t.get("tunnel.address"):
             addr = str(t["tunnel.address"])
             # a configured live target that cannot be wired must fail

@@ -4039,6 +4039,60 @@ def stream_neardup_q(spark, sf_dir):
     )
 
 
+@_q(
+    "q40_receiver_daemon",
+    _O
+    + """SELECT user_id, value FROM (
+  SELECT user_id, arg_max(value, id) AS value, arg_max(op, id) AS last_op
+  FROM oplog_v WHERE op IN ('i','u','d') GROUP BY user_id)
+WHERE last_op <> 'd' ORDER BY user_id""",
+    "Standalone receiver daemon (cmd/receiver/receiver.go:1-92 + "
+    "receiver/replayer.go:54-146): the oplog streams through a live TCP "
+    "tunnel into run_receiver (wire protocol: retransmission handshake, "
+    "crc32-xor, per-shard ack watermarks), whose ApplyKernel folds the "
+    "received frames; the receiver's MATERIALIZED target must equal the "
+    "last-writer-wins reconstruction. CLI: --sync-mode receive paired "
+    "with a tunnel=tcp collector.",
+)
+def q40_receiver_daemon(spark, sf_dir):
+    import threading
+
+    from mongoshake_spark.sources import socket_tunnel as st
+    from mongoshake_spark.streaming.receive import run_receiver
+
+    ov = _oplog(spark, sf_dir)
+    tmp = _stream_tmpdir("q40_")
+    port_ready = threading.Event()
+    box: dict = {}
+
+    def _serve():
+        box["summary"] = run_receiver(
+            spark,
+            f"{tmp}/target",
+            idle_timeout=0.5,
+            max_wall=120,
+            poll=0.05,
+            n_buckets=8,
+            on_ready=lambda p: (box.__setitem__("port", p), port_ready.set()),
+        )
+
+    th = threading.Thread(target=_serve, daemon=True)
+    th.start()
+    if not port_ready.wait(30):
+        raise RuntimeError("q40: receiver did not bind within 30s")
+    st.write_socket_tunnel(ov, "127.0.0.1", box["port"], batch_size=4096)
+    th.join(120)
+    if th.is_alive():
+        raise RuntimeError("q40: receiver did not drain within 120s")
+    return (
+        spark.read.parquet(f"{tmp}/target")
+        .filter(F.col("op") != "d")
+        .select("user_id", "value")
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -606,3 +606,103 @@ def test_cli_rejects_unknown_tunnel_message(tmp_path, capsys):
     conf.write_text("tunnel.message = avro\n")
     assert main(["--conf", str(conf), "--dry-run"]) == 2
     assert "tunnel.message" in capsys.readouterr().err
+
+
+def test_cli_receiver_daemon_two_process_end_state(spark, sf_dir, tmp_path, capsys):
+    """The cmd/receiver split as two real processes (the
+    receiver/replayer_test.go shape): a --sync-mode receive daemon in its
+    own interpreter/JVM announces its bound port; a tunnel=tcp collector
+    ships the replay feed through the live socket (applying nothing
+    locally); the receiver's materialized target must equal the
+    last-writer-wins reconstruction of the feed."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.operators.merge import last_writer_wins
+    from mongoshake_spark.sources.oplog import oplog_view
+    from mongoshake_spark.sources.tables import load_table
+    from mongoshake_spark.streaming.replay import write_replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_replay_feed(spark, sf_dir, feed, batch_rows=500)
+    target = str(tmp_path / "recv_target")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="8",
+        SPARK_GRAFT_DRIVER_MEM="4g",
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "mongoshake_spark",
+            "--sync-mode", "receive",
+            "--target-dir", target,
+            "--receive-listen", "127.0.0.1:0",
+            "--receive-idle-timeout", "3",
+            "--receive-max-wall", "240",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())  # blocks until bound
+        assert ready["mode"] == "receive" and ready["listening"] > 0
+        conf = tmp_path / "collector.conf"
+        conf.write_text(
+            "sync_mode = incr\n"
+            "tunnel = tcp\n"
+            f"tunnel.address = 127.0.0.1:{ready['listening']}\n"
+        )
+        rc = main([
+            "--conf", str(conf),
+            "--feed-dir", feed,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ])
+        assert rc == 0
+        collector_out = json.loads(capsys.readouterr().out)
+        assert collector_out["tunnel"] == "tcp" and collector_out["rows"] > 0
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["logs"] == collector_out["rows"]
+    want = {
+        (r["user_id"], r["value"])
+        for r in last_writer_wins(
+            oplog_view(load_table(spark, sf_dir, "events"))
+        )
+        .select("user_id", "value")
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["value"])
+        for r in spark.read.parquet(target)
+        .filter(F.col("op") != "d")
+        .select("user_id", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cli_tcp_tunnel_address_validation(tmp_path, capsys):
+    """tunnel = tcp without a host:port address (or without the feed
+    flags) must exit 2 with a message, never a traceback."""
+    conf = tmp_path / "c.conf"
+    conf.write_text("sync_mode = incr\ntunnel = tcp\ntunnel.address = nope\n")
+    rc = main(["--conf", str(conf), "--feed-dir", "x", "--checkpoint-dir", "y"])
+    assert rc == 2
+    assert "host:port" in capsys.readouterr().err
+    conf.write_text(
+        "sync_mode = incr\ntunnel = tcp\ntunnel.address = 127.0.0.1:19\n"
+    )
+    rc = main(["--conf", str(conf)])
+    assert rc == 2
+    assert "feed_dir" in capsys.readouterr().err
