@@ -4093,6 +4093,88 @@ def q40_receiver_daemon(spark, sf_dir):
     )
 
 
+def _pq_d2(sv: str, cent: str) -> str:
+    """DuckDB squared-L2 between a subvector and a codeword — same
+    left-to-right fold and round(…, 6) as clustering._assign."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({sv}) + 1), "
+        f"i -> (CAST({sv}[i] AS DOUBLE) - {cent}[i]) "
+        f"* (CAST({sv}[i] AS DOUBLE) - {cent}[i]))), 6)"
+    )
+
+
+_PQ_ORACLE = f"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+sub AS (SELECT vec_id, CAST(t.s AS INT) AS sub,
+               embedding[CAST(t.s*16+1 AS BIGINT):CAST((t.s+1)*16 AS BIGINT)] AS sv
+        FROM v, unnest(range(0, 4)) AS t(s)),
+c0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster,
+              list_transform(sv, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+       FROM (SELECT sub, sv,
+                    row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+             FROM sub) WHERE rn <= 8),
+a1 AS (SELECT vec_id, sub, cluster FROM (
+         SELECT s.vec_id, s.sub, c.cluster,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub
+                  ORDER BY {_pq_d2('s.sv', 'c.centroid')}, c.cluster) AS rn
+         FROM sub s JOIN c0 c ON c.sub = s.sub) WHERE rn = 1),
+pos1 AS (SELECT a.sub, a.cluster, t.i AS pos, CAST(s.sv[t.i] AS DOUBLE) AS val
+         FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+              unnest(range(1, len(s.sv) + 1)) AS t(i)),
+c1 AS (SELECT sub, cluster, pos, round(avg(val), 6) AS mval
+       FROM pos1 GROUP BY 1, 2, 3),
+c1r AS (SELECT sub, cluster, list(mval ORDER BY pos) AS centroid
+        FROM c1 GROUP BY 1, 2),
+codes AS (SELECT vec_id, sub, cluster FROM (
+            SELECT s.vec_id, s.sub, c.cluster,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY {_pq_d2('s.sv', 'c.centroid')}, c.cluster) AS rn
+            FROM sub s JOIN c1r c ON c.sub = s.sub) WHERE rn = 1),
+cn AS (SELECT sub, cluster, {_dd_dot('centroid', 'centroid')} AS cn2 FROM c1r),
+qn AS (SELECT vec_id AS query_id,
+              sqrt({_dd_dot('embedding', 'embedding')}) AS qnorm
+       FROM v WHERE vec_id < 10),
+adc AS (SELECT s.vec_id AS query_id, s.sub, c.cluster,
+               {_dd_dot('s.sv', 'c.centroid')} AS dsub
+        FROM sub s JOIN c1r c ON c.sub = s.sub WHERE s.vec_id < 10),
+scored AS (
+  SELECT a.query_id, co.vec_id AS neighbor_id,
+         list_sum(list(a.dsub ORDER BY a.sub)) AS adc_dot,
+         list_sum(list(cn.cn2 ORDER BY a.sub)) AS cn2_sum
+  FROM codes co
+  JOIN adc a ON a.sub = co.sub AND a.cluster = co.cluster
+  JOIN cn ON cn.sub = co.sub AND cn.cluster = co.cluster
+  WHERE co.vec_id <> a.query_id
+  GROUP BY 1, 2),
+ranked AS (SELECT s.query_id, s.neighbor_id,
+                  round(s.adc_dot / (qn.qnorm * sqrt(s.cn2_sum)), 6) AS cos_sim
+           FROM scored s JOIN qn ON qn.query_id = s.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM ranked) WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_pq_adc",
+    _PQ_ORACLE,
+    "Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks "
+    "(m=4 x 16 dims, k=8, the deterministic 2-iteration k-means), corpus "
+    "encoded to 4-byte codes (~128x compression of the embedding store — "
+    "the actual 100TB cost), queries scored by asymmetric distance "
+    "computation against broadcast lookup tables; every cross-engine sum "
+    "folds in a fixed subspace order so the oracle reproduces identical "
+    "doubles (functions/quantization.pq_train/pq_encode/pq_topk).",
+)
+def ann_pq_adc_q(spark, sf_dir):
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_topk(
+        vecs, list(range(10)), k=5, m=4, k_code=8, iters=2
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

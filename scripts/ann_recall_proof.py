@@ -126,6 +126,34 @@ def main() -> int:
             }
         )
 
+    # D. product quantization: recall-vs-brute at increasing codebook
+    # resolution (m=4 subspaces; k_code doubles per point). The cost
+    # column is the COMPRESSION of the scored representation — m codes
+    # per vector vs the full float vector — which is the 100TB lever
+    # (the scoring pass reads 4 small ints + broadcast tables instead of
+    # 64 doubles per corpus vector).
+    from mongoshake_spark.functions import quantization as pq_mod
+
+    dim = len(vecs.select("embedding").first()["embedding"])
+    pq_curve = []
+    for m_sub, k_code in ((4, 4), (4, 8), (4, 16), (8, 16), (16, 16)):
+        t0 = time.perf_counter()
+        approx = topk_sets(
+            pq_mod.pq_topk(
+                vecs, query_ids, k=K, m=m_sub, k_code=k_code, iters=2
+            )
+        )
+        pq_curve.append(
+            {
+                "m": m_sub,
+                "k_code": k_code,
+                "recall_at_k": recall(approx, exact),
+                "code_bytes_per_vec": m_sub,
+                "compression_x": round(dim * 8 / m_sub, 1),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+
     buckets = similarity.lsh_buckets(vecs)
     bucket_sizes = [
         r["n"] for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -143,6 +171,7 @@ def main() -> int:
         "brute_sec": t_brute,
         "ivf": ivf_curve,
         "ivf_kmeans": km_curve,
+        "pq_adc": pq_curve,
         "lsh_mean_candidate_frac": lsh_cand_frac,
         "lsh_n_buckets": len(bucket_sizes),
     }
@@ -165,6 +194,7 @@ def main() -> int:
     out["kmeans_vs_sample_gain"] = round(
         sum(km_recalls) / len(km_recalls) - sum(recalls) / len(recalls), 4
     )
+    pq_recalls = [c["recall_at_k"] for c in pq_curve]
     ok = (
         all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))  # monotone
         and all(
@@ -172,6 +202,12 @@ def main() -> int:
         )  # concentration: beats a random same-sized scan >=2x
         and out["full_probe"]["recall_at_k"] == 1.0  # exact at p = #cells
         and all(a <= b + 1e-9 for a, b in zip(km_recalls, km_recalls[1:]))
+        # PQ: recall rises monotonically along the resolution sweep
+        # (k_code, then m) — the quantizer trades compression for recall,
+        # never noise (absolute recall on the fixture's near-isotropic
+        # vectors is the worst case; clustered real embeddings do far
+        # better at the same code budget)
+        and all(a <= b + 1e-9 for a, b in zip(pq_recalls, pq_recalls[1:]))
     )
     out["claims_hold"] = ok
     print(json.dumps(out))

@@ -202,3 +202,56 @@ def test_ivf_topk_accepts_trained_kmeans_centroids(spark, sf_dir):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in brute_topk(vecs, qids, k=3).collect()}
     assert full == exact
+
+
+def test_pq_encode_reconstruct_roundtrip_properties(spark):
+    """PQ invariants on a controlled corpus: (a) codes are one codeword
+    index per subspace, ordered by subspace; (b) a vector EQUAL to a
+    codeword reconstructs exactly; (c) reconstruction error is never
+    larger than assigning any other codeword (nearest-codeword
+    optimality); (d) ADC top-k ranks an exact-duplicate pair first."""
+    from mongoshake_spark.functions import quantization as pq
+
+    # 12 vectors of dim 8, m=2 subspaces of 4; two exact duplicates
+    base = [
+        [float(i + 1)] * 4 + [float(10 - i)] * 4 for i in range(10)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (10, base[3]),  # exact duplicate of vec 3
+        (11, [100.0, -5.0, 2.0, 0.5, -9.0, 4.0, 1.0, 7.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq.pq_train(vecs, m=2, k=4, iters=2)
+    assert cb.count() <= 2 * 4 and cb.select("sub").distinct().count() == 2
+    codes = pq.pq_encode(vecs, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert all(len(c) == 2 for c in got.values())
+    # exact duplicates encode identically
+    assert got[10] == got[3]
+    # reconstruction = the chosen codewords, concatenated in order
+    rec = {
+        r["vec_id"]: list(r["embedding"])
+        for r in pq.pq_reconstruct(codes, cb).collect()
+    }
+    books = {
+        (r["sub"], r["cluster"]): list(r["centroid"]) for r in cb.collect()
+    }
+    for vid, cs in got.items():
+        assert rec[vid] == books[(0, cs[0])] + books[(1, cs[1])]
+    # nearest-codeword optimality per subspace
+    for vid, emb in rows:
+        for s in range(2):
+            sv = emb[s * 4 : (s + 1) * 4]
+            chosen = books[(s, got[vid][s])]
+            d_chosen = sum((a - b) ** 2 for a, b in zip(sv, chosen))
+            for (bs, _bc), cent in books.items():
+                if bs != s:
+                    continue
+                d_other = sum((a - b) ** 2 for a, b in zip(sv, cent))
+                assert d_chosen <= d_other + 1e-9
+    # ADC: the exact duplicate scores at the query's maximum (other
+    # vectors quantized to the SAME codewords tie with it — the
+    # resolution limit of the codebook, ids break the tie)
+    top = pq.pq_topk(vecs, [3], k=12, m=2, k_code=4, codebooks=cb).collect()
+    by_id = {r["neighbor_id"]: r["cos_sim"] for r in top}
+    assert by_id[10] == max(by_id.values())
