@@ -124,3 +124,39 @@ def range_scan(
     if hi is not None:
         df = df.filter(F.col(key) <= hi)
     return df
+
+
+def infer_payload_schema(
+    df: DataFrame,
+    col: str = "o",
+    sample_ratio: float = 1.0,
+):
+    """Schema inference over a JSON payload column — the
+    ``tools/mongodb-schema.py`` gap's user-visible piece re-expressed for
+    this engine: MongoShake moves schemaless documents as opaque JSON
+    strings (our ``o`` column); downstream SQL wants a typed struct.
+
+    Delegates to Spark's own distributed JSON schema inference (the same
+    scan pass ``spark.read.json`` runs): every sampled row is parsed on
+    the executors and the per-partition schemas merge associatively, so
+    inference over a 100 TB payload column is one map-reduce pass, not a
+    driver loop. ``sample_ratio`` < 1 trades completeness for cost the
+    way ``spark.sql.sources.samplingRatio`` does — rare keys may be
+    missed, exactly the documented Spark trade.
+
+    Returns the inferred ``StructType``. Compose with
+    ``transforms.parse_payload`` (or ``F.from_json`` directly) to
+    materialize the typed column::
+
+        schema = infer_payload_schema(oplog, "o")
+        typed = oplog.withColumn("doc", F.from_json("o", schema))
+    """
+    ds = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if not 0 < sample_ratio <= 1:
+        raise ValueError("infer_payload_schema: sample_ratio must be (0, 1]")
+    if sample_ratio < 1.0:
+        ds = ds.sample(fraction=sample_ratio, seed=7)
+    spark = df.sparkSession
+    return spark.read.json(ds.rdd.map(lambda r: r["v"])).schema

@@ -599,3 +599,42 @@ def test_decode_raw_frames_multi_log_tmessage(spark):
     b3 = spark.createDataFrame([(3, bytes(huge))], "shard int, value binary")
     g3, c3 = decode_raw_frames(b3, "id bigint, op string, ns string, value double")
     assert g3.count() == 0 and c3.count() == 1
+
+
+def test_infer_payload_schema_events_and_nested(spark, sf_dir):
+    """tools/mongodb-schema.py gap: schema inference over the JSON
+    payload column. The events fixture's props column infers its real
+    key set; a synthetic nested/mixed corpus merges schemas across rows
+    (union of keys, widened types) because per-partition schemas merge
+    associatively; the typed parse round-trips values."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.sources.tables import infer_payload_schema, load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sch = infer_payload_schema(ev, "props")
+    assert "k" in sch.fieldNames()
+    typed = ev.withColumn("doc", F.from_json(F.col("props"), sch))
+    row = typed.filter(F.col("props").isNotNull()).select("props", "doc").first()
+    if row is not None and row["doc"] is not None:
+        import json as _json
+
+        assert row["doc"]["k"] == _json.loads(row["props"]).get("k")
+
+    docs = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "nested": {"x": "s"}}'),
+            (2, '{"a": 2.5, "b": [1, 2]}'),
+            (3, None),
+        ],
+        "id long, o string",
+    )
+    sch2 = infer_payload_schema(docs, "o")
+    names = set(sch2.fieldNames())
+    assert {"a", "b", "nested"} <= names
+    # int + double merge widens to double
+    assert sch2["a"].dataType.typeName() == "double"
+    assert sch2["nested"].dataType.typeName() == "struct"
+    with pytest.raises(ValueError):
+        infer_payload_schema(docs, "o", sample_ratio=0)
