@@ -2,10 +2,13 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 structs. The Spark-side contract — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested; the actual media decode is STUBBED
-(``decoder="fake"`` is a deterministic byte-level parser; ``decoder="pil"``
-raises NotImplementedError because image/audio libraries are not available
-in this environment — plug the real decoder into ``_decode_one``).
+UDF signatures — is real and tested. Decoders, in increasing dependency
+weight: ``fake`` (deterministic fixture header, what the oracle queries
+use), ``png`` and ``wav`` (REAL format parsing, stdlib-only — PNG
+signature/IHDR with CRC check, RIFF via the ``wave`` module — always-on
+in CI), and ``pil`` / ``soundfile`` (full pixel/sample decode,
+availability-gated on their optional libraries for a real media
+cluster).
 
 Design: decode/feature-extract run as ``mapInPandas`` so each Arrow batch
 moves binary payloads to Python exactly once; downstream filters/joins see
@@ -69,6 +72,37 @@ def _decode_one(payload: bytes, decoder: str) -> tuple[int, int, int]:
         w = _struct.unpack(">i", payload[4:8])[0]
         h = _struct.unpack(">i", payload[8:12])[0]
         return w, h, 3
+    if decoder == "png":
+        # REAL PNG parsing, stdlib-only: signature + IHDR chunk carry
+        # width/height/color-type (ISO/IEC 15948 §5.6, §11.2.2); the
+        # CRC of IHDR is verified so corrupt headers fail loudly. This
+        # is the always-on CI path for real image bytes — 'pil' adds
+        # full pixel decode when Pillow exists on the executors.
+        if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 33:
+            raise ValueError("png: bad signature")
+        length = _struct.unpack(">I", payload[8:12])[0]
+        if payload[12:16] != b"IHDR" or length != 13:
+            raise ValueError("png: first chunk is not a 13-byte IHDR")
+        import zlib as _zlib
+
+        crc = _struct.unpack(">I", payload[29:33])[0]
+        if _zlib.crc32(payload[12:29]) & 0xFFFFFFFF != crc:
+            raise ValueError("png: IHDR crc mismatch")
+        w, h = _struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"png: unknown color type {color_type}")
+        return w, h, channels
+    if decoder == "wav":
+        # REAL WAV parsing via the stdlib wave module (RIFF fmt chunk):
+        # same (frames, samplerate, channels) mapping as 'soundfile',
+        # always-on in CI — 'soundfile' adds the non-RIFF formats.
+        import io
+        import wave as _wave
+
+        with _wave.open(io.BytesIO(payload)) as snd:
+            return snd.getnframes(), snd.getframerate(), snd.getnchannels()
     if decoder == "pil":
         try:
             from PIL import Image
@@ -98,7 +132,8 @@ def _decode_one(payload: bytes, decoder: str) -> tuple[int, int, int]:
             # height=samplerate, channels=channels
             return snd.frames, snd.samplerate, snd.channels
     raise NotImplementedError(
-        f"decoder {decoder!r}: unknown — 'fake', 'pil', or 'soundfile'"
+        f"decoder {decoder!r}: unknown — 'fake', 'png', 'wav', 'pil', or "
+        "'soundfile'"
     )
 
 

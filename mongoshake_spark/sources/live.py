@@ -251,10 +251,14 @@ def write_kafka_tunnel(
     apply is idempotent (operators/merge), the same end-to-end argument
     the reference makes for its ack window.
     """
-    _require(df.sparkSession, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
     frames = encode_frames(df, n_shards=n_shards, message=message).select(
         F.col("shard").cast("string").alias("key"), "value"
     )
+    if brokers.startswith(EMBEDDED_SCHEME):
+        return _embedded_log_write(
+            frames, brokers, topic, n_shards, checkpoint_dir
+        )
+    _require(df.sparkSession, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
     opts = kafka_sink_options(brokers, topic)
     if df.isStreaming:
         writer = frames.writeStream.format("kafka").options(**opts)
@@ -278,6 +282,12 @@ def read_kafka_tunnel(
     Returns (decoded_good, corrupt) — the corrupt leg is the replayer's
     CRC-reject path (a real CRC check for raw frames) and belongs in the
     dead-letter table (W7)."""
+    if brokers.startswith(EMBEDDED_SCHEME):
+        raw = (
+            spark.readStream.schema(EMBEDDED_RECORD_SCHEMA)
+            .parquet(_embedded_dir(brokers, topic))
+        )
+        return _decode_kafka_records(raw, schema, message)
     _require(spark, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
     raw = (
         spark.readStream.format("kafka")
@@ -286,6 +296,17 @@ def read_kafka_tunnel(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return _decode_kafka_records(raw, schema, message)
+
+
+def _decode_kafka_records(
+    raw: DataFrame, schema, message: str
+) -> tuple[DataFrame, DataFrame]:
+    """The receiver's decode stage over Kafka-record-shaped rows
+    (``key binary, value binary, ...``) — SHARED verbatim between the
+    real ``format("kafka")`` source and the embedded log fixture, so CI
+    exercises every decode/CRC/dead-letter branch the cluster runs; only
+    the transport differs."""
     if message == "raw":
         # the TMessage block is binary — do NOT cast it to string
         return decode_raw_frames(
@@ -302,3 +323,67 @@ def read_kafka_tunnel(
     if message == "canonical_extended_json":
         return split_corrupt_ext_frames(frames, schema)
     return split_corrupt_frames(frames, schema)
+
+
+#: embedded log transport (the single-node Kafka-compatible fixture):
+#: ``brokers = "embedded:///some/dir"`` stores each topic as an
+#: append-only parquet log with the Kafka record shape, so the tunnel's
+#: encode/decode/CRC/dead-letter pipeline runs end-to-end in CI; a real
+#: cluster swaps ONLY the transport by passing host:port brokers.
+EMBEDDED_SCHEME = "embedded://"
+
+EMBEDDED_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp"
+)
+
+
+def _embedded_dir(brokers: str, topic: str) -> str:
+    root = brokers[len(EMBEDDED_SCHEME):]
+    if not root:
+        raise ValueError("embedded:// brokers need a directory path")
+    return f"{root.rstrip('/')}/{topic}"
+
+
+def _embedded_log_write(
+    frames: DataFrame,
+    brokers: str,
+    topic: str,
+    n_shards: int,
+    checkpoint_dir: str | None,
+):
+    """Append (key, value) frames to the embedded topic log with Kafka
+    record columns. Partition = shard % n_shards (tunnel/tunnel.go:
+    161-166's routing); offsets are unique per partition within a write
+    (fixture-grade — the decode path never consumes offsets)."""
+    from pyspark.sql import Window
+
+    path = _embedded_dir(brokers, topic)
+    records = frames.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("key").cast("int"), F.lit(n_shards))
+        .cast("int")
+        .alias("partition"),
+    )
+    if frames.isStreaming:
+        return (
+            records.withColumn("offset", F.lit(-1).cast("long"))
+            .withColumn("timestamp", F.current_timestamp())
+            .writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    w = Window.partitionBy("partition").orderBy(F.col("value"))
+    (
+        records.withColumn(
+            "offset", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn("timestamp", F.current_timestamp())
+        .write.mode("append")
+        .parquet(path)
+    )
+    return None

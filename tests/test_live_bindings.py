@@ -251,3 +251,70 @@ def test_apply_kernel_mirror_failure_replays_idempotently(spark, sf_dir, tmp_pat
         ).collect()
     }
     assert live == expect
+
+
+def test_kafka_tunnel_roundtrip_embedded_log(spark, sf_dir, tmp_path):
+    """Always-on S8/S12 coverage: the tunnel's full encode -> log ->
+    decode pipeline over the embedded Kafka-shaped log (brokers =
+    embedded:///dir) — the SAME _decode_kafka_records stage the real
+    format('kafka') source uses, all three message codecs, with the raw
+    codec's CRC dead-letter leg exercised by a corrupted record."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.sources.oplog import oplog_view
+    from mongoshake_spark.sources.tables import load_table
+
+    ov = oplog_view(load_table(spark, sf_dir, "events"))
+    n = ov.count()
+    brokers = f"embedded://{tmp_path}/log"
+    for codec in ("json", "canonical_extended_json", "raw"):
+        topic = f"t_{codec}"
+        live.write_kafka_tunnel(ov, brokers, topic, message=codec)
+        good, corrupt = live.read_kafka_tunnel(
+            spark, brokers, topic, message=codec
+        )
+        rows = []
+        q = (
+            good.writeStream.foreachBatch(
+                lambda df, bid: rows.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{codec}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        assert len(rows) == n, codec
+        assert sorted(r["id"] for r in rows) == [
+            r["id"] for r in ov.select("id").orderBy("id").collect()
+        ]
+    # per-partition ordering key survives as the kafka record key
+    recs = spark.read.parquet(f"{tmp_path}/log/t_json")
+    assert set(recs.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp"
+    }
+    assert recs.filter(
+        F.pmod(F.col("key").cast("string").cast("int"), F.lit(8))
+        != F.col("partition")
+    ).count() == 0
+    # corrupt one raw record -> the CRC reject leg dead-letters it
+    raw_dir = f"{tmp_path}/log/t_raw"
+    one = spark.read.parquet(raw_dir).limit(1).collect()[0]
+    bad_value = bytearray(bytes(one["value"]))
+    bad_value[-1] ^= 0xFF
+    spark.createDataFrame(
+        [(one["key"], bytes(bad_value), one["topic"], one["partition"],
+          999999, one["timestamp"])],
+        live.EMBEDDED_RECORD_SCHEMA,
+    ).write.mode("append").parquet(raw_dir)
+    good, corrupt = live.read_kafka_tunnel(spark, brokers, "t_raw", message="raw")
+    bad_rows = []
+    q = (
+        corrupt.writeStream.foreachBatch(
+            lambda df, bid: bad_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_bad"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(bad_rows) == 1
