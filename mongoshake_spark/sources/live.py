@@ -251,6 +251,14 @@ def write_kafka_tunnel(
     apply is idempotent (operators/merge), the same end-to-end argument
     the reference makes for its ack window.
     """
+    if not brokers.startswith(EMBEDDED_SCHEME):
+        # gate BEFORE building the frame plan: the operator must see the
+        # missing-package coordinates, not whatever analysis error the
+        # encode happens to hit first
+        _require(
+            df.sparkSession, "kafka",
+            "org.apache.spark:spark-sql-kafka-0-10_2.13",
+        )
     frames = encode_frames(df, n_shards=n_shards, message=message).select(
         F.col("shard").cast("string").alias("key"), "value"
     )
@@ -258,7 +266,6 @@ def write_kafka_tunnel(
         return _embedded_log_write(
             frames, brokers, topic, n_shards, checkpoint_dir
         )
-    _require(df.sparkSession, "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13")
     opts = kafka_sink_options(brokers, topic)
     if df.isStreaming:
         writer = frames.writeStream.format("kafka").options(**opts)
