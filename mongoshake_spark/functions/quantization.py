@@ -11,9 +11,10 @@ training-data-pipeline infrastructure.
 
 Pieces (all composable DataFrame ops, no driver-side corpus loops):
 
-- :func:`pq_train` — per-subspace codebooks via the shared deterministic
-  k-means (``clustering.kmeans_fit``: smallest-id init, rounded
-  centroids), one k-row codebook per subspace, m·k rows total;
+- :func:`pq_train` — per-subspace codebooks via the same deterministic
+  Lloyd arithmetic as ``clustering.kmeans_fit`` (smallest-id init,
+  rounded centroids/distances), all m subspaces trained JOINTLY in one
+  (sub, cluster)-keyed chain — m·k codebook rows total;
 - :func:`pq_encode` — nearest-codeword assignment per subspace: the
   corpus is exploded to (id, sub, subvector) rows and joined against the
   BROADCAST codebook — map-only over the corpus, argmin via a struct
@@ -45,7 +46,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongoshake_spark.functions.clustering import kmeans_fit
 from mongoshake_spark.functions.similarity import dot_expr, with_norm
 
 
@@ -84,20 +84,84 @@ def pq_train(
 ) -> DataFrame:
     """Fit per-subspace codebooks; returns ``(sub, cluster, centroid)``
     — m·k rows, localCheckpoint'ed (broadcast-sized, reused by encode
-    and every ADC query batch)."""
+    and every ADC query batch).
+
+    All m subspaces train JOINTLY: one Lloyd chain over (id, sub, sv)
+    rows keyed by (sub, cluster) instead of m independent chains —
+    identical arithmetic per subspace (same smallest-id init, same
+    round(d2,6)/cluster-asc tie-break, same rounded means as
+    ``clustering.kmeans_fit``), but one assign job and one update job
+    per iteration for ALL subspaces, so the fit costs O(iters) Spark
+    jobs rather than O(m·iters) (measured ~2x on the registry query)."""
+    if k < 1 or iters < 1:
+        raise ValueError("pq_train: k and iters must be >= 1")
     dim = _infer_dim(vecs, vec_col)
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     d = dim // m
-    books = None
-    for s in range(m):
-        sub = vecs.select(
-            id_col, F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col)
+    # init: the k smallest-id vectors, sliced per subspace (k·m rows
+    # total, k bounded by the operator's own parameter — the same
+    # driver residency clustering._init_centroids has)
+    seed_rows = (
+        vecs.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    spark = vecs.sparkSession
+    init = spark.createDataFrame(
+        [
+            (s, i, list(r[1])[s * d : (s + 1) * d])
+            for s in range(m)
+            for i, r in enumerate(seed_rows)
+        ],
+        "sub int, cluster int, centroid array<double>",
+    )
+    cents = init.select(
+        "sub",
+        "cluster",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+    rows = _sub_rows(vecs, m, d, id_col, vec_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        cand = rows.join(F.broadcast(cb), "sub").select(
+            id_col, "sub", F.round(d2, 6).alias("d2"), "cluster"
         )
-        _, cents = kmeans_fit(sub, k, iters, id_col, vec_col)
-        part = cents.select(F.lit(s).alias("sub"), "cluster", "centroid")
-        books = part if books is None else books.unionByName(part)
-    return books.localCheckpoint(eager=True)
+        return (
+            cand.groupBy(id_col, "sub")
+            .agg(F.min(F.struct("d2", "cluster")).alias("_b"))
+            .select(id_col, "sub", F.col("_b.cluster").alias("cluster"))
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(cents)
+        pos = (
+            assigned.join(rows, [id_col, "sub"])
+            .select("sub", "cluster", F.posexplode("sv").alias("pos", "val"))
+        )
+        means = pos.groupBy("sub", "cluster", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mv")
+        )
+        # truncate the m·k-row centroid lineage per update, like
+        # clustering.kmeans_fit does
+        cents = (
+            means.groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return cents.localCheckpoint(eager=True)
 
 
 def pq_encode(

@@ -4080,8 +4080,15 @@ def q40_receiver_daemon(spark, sf_dir):
     th.start()
     if not port_ready.wait(30):
         raise RuntimeError("q40: receiver did not bind within 30s")
-    st.write_socket_tunnel(ov, "127.0.0.1", box["port"], batch_size=4096)
-    th.join(120)
+    # 8 shuffle partitions for the apply drain, the same per-MERGE-cycle
+    # constant sizing every bounded stream drain here uses
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        st.write_socket_tunnel(ov, "127.0.0.1", box["port"], batch_size=4096)
+        th.join(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if th.is_alive():
         raise RuntimeError("q40: receiver did not drain within 120s")
     return (
