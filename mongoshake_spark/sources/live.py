@@ -375,6 +375,11 @@ def _embedded_log_write(
         .alias("partition"),
     )
     if frames.isStreaming:
+        if not checkpoint_dir:
+            raise ValueError(
+                "embedded:// streaming writes need checkpoint_dir (the "
+                "same contract as the real Kafka sink's checkpoint)"
+            )
         return (
             records.withColumn("offset", F.lit(-1).cast("long"))
             .withColumn("timestamp", F.current_timestamp())

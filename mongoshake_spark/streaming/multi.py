@@ -113,6 +113,20 @@ class MultiTableApplyKernel:
         self.max_parallel_ns = max_parallel_ns
         self.kernel_kwargs = kernel_kwargs
         self.kernels: dict[str, ApplyKernel] = {}
+        self._pool: ThreadPoolExecutor | None = None
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        # ONE pool for the kernel's lifetime, not one per micro-batch: in
+        # PySpark's pinned-thread mode every new Python thread binds a
+        # JVM-side thread/connection, so a long stream churning 8 fresh
+        # threads per batch would leak them; a persistent pool bounds
+        # the thread count at max_parallel_ns for the whole run
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.max_parallel_ns,
+                thread_name_prefix="ns-apply",
+            )
+        return self._pool
 
     def _kernel_for(self, ns: str, safe: str) -> ApplyKernel:
         k = self.kernels.get(ns)
@@ -202,6 +216,12 @@ class MultiTableApplyKernel:
           error re-raises out of foreachBatch (no half-submitted batch
           left racing a retry); the retry re-MERGEs idempotently per ns,
           the same replay argument the serial form had.
+        - a SHARED ddl_executor (kernel_kwargs) stays safe: spark.sql
+          catalog commands are thread-safe, its actions-list appends are
+          GIL-atomic, and cross-namespace ordering of its journal was
+          never promised (same as the reference's per-worker goroutines);
+          per-namespace DDL ordering is preserved because each ns's
+          commands run inside its own kernel's barrier sequence.
         """
         if not tasks:
             return
@@ -219,21 +239,17 @@ class MultiTableApplyKernel:
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
 
-        with ThreadPoolExecutor(
-            max_workers=min(self.max_parallel_ns, len(tasks)),
-            thread_name_prefix="ns-apply",
-        ) as pool:
-            futures = [
-                pool.submit(run, (i, k, df))
-                for i, (k, df) in enumerate(tasks)
-            ]
-            errors = []
-            for f in futures:
-                exc = f.exception()  # waits; never half-abandons a batch
-                if exc is not None:
-                    errors.append(exc)
-            if errors:
-                raise errors[0]
+        pool = self._get_pool()
+        futures = [
+            pool.submit(run, (i, k, df)) for i, (k, df) in enumerate(tasks)
+        ]
+        errors = []
+        for f in futures:
+            exc = f.exception()  # waits; never half-abandons a batch
+            if exc is not None:
+                errors.append(exc)
+        if errors:
+            raise errors[0]
 
     def state_view(self, ns: str) -> DataFrame | None:
         k = self.kernels.get(ns)
