@@ -79,6 +79,12 @@ def run_receiver(
             now = time.monotonic()
             with server._lock:
                 pending_upto = len(server.received)
+            if now - t0 >= max_wall:
+                # the harness bound is checked FIRST — a sender that
+                # never pauses must not starve it — and exits through a
+                # final flush so the bound never strands received logs
+                flush(pending_upto)
+                break
             if pending_upto - consumed >= batch_rows:
                 flush(pending_upto)
                 last_activity = time.monotonic()
@@ -92,8 +98,6 @@ def run_receiver(
                     flush(settled)
                 last_activity = time.monotonic()
             elif consumed > 0 and now - last_activity >= idle_timeout:
-                break
-            elif now - t0 >= max_wall:
                 break
             else:
                 time.sleep(poll)

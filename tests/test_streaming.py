@@ -1121,3 +1121,48 @@ def test_streaming_neardup_index_persists_across_runs(spark, tmp_path):
     ).collect()}
     assert (1, 3, "corpus") in pairs2
     assert all(p[1] == 3 for p in pairs2)  # only the new doc pairs
+
+
+def test_receiver_max_wall_flushes_pending(spark, tmp_path):
+    """The receiver's wall-clock bound must exit THROUGH a flush: logs
+    received but not yet batch-applied when max_wall strikes land in the
+    target instead of being stranded in memory."""
+    import json as _json
+    import threading
+    import time
+
+    from mongoshake_spark.sources import socket_tunnel as st
+    from mongoshake_spark.streaming.receive import run_receiver
+
+    box: dict = {}
+    ready = threading.Event()
+
+    def serve():
+        box["summary"] = run_receiver(
+            spark,
+            str(tmp_path / "t"),
+            idle_timeout=9999,  # idle exit unreachable: max_wall must fire
+            max_wall=6.0,
+            poll=0.1,
+            batch_rows=10_000,  # never reached -> tail only flushable at exit
+            n_buckets=4,
+            on_ready=lambda p: (box.__setitem__("port", p), ready.set()),
+        )
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    assert ready.wait(30)
+    client = st.TunnelClient("127.0.0.1", box["port"])
+    logs = [
+        _json.dumps(
+            {"id": i, "ts": "2024-01-01 00:00:00", "user_id": i % 5,
+             "op": "i", "ns": "db.c", "value": float(i), "o": "{}"}
+        ).encode()
+        for i in range(40)
+    ]
+    client.send(logs, 0, 39)
+    client.close()
+    th.join(60)
+    assert not th.is_alive()
+    s = box["summary"]
+    assert s["logs"] == 40 and s["state_rows"] == 5
