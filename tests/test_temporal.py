@@ -191,3 +191,52 @@ def test_range_join_rejects_bad_bounds_and_collisions(spark):
     bad = df.withColumn("_bkt", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         range_join(bad, df, "ts", "ts", 0, 10)
+
+
+def test_range_join_exact_at_large_timestamps(spark):
+    """Bucket ids use exact integer floor division: near 2^54 epoch
+    micros (~year 2541) double division misrounds numerators at bucket
+    top edges (floor((k*W-1)/W) -> k in float). The bucketized join must
+    equal a brute-force theta join on a cluster of rows packed around
+    exactly such an edge."""
+    import datetime
+
+    from mongoshake_spark.operators.temporal import range_join
+
+    lower, upper = 1, 3_600_000_000
+    width = upper - lower + 1
+    # x = k*width - 1 with floor(x/width) misrounding in float (verified
+    # witness for this width at 2^54)
+    x = 18014396399999999
+    assert (x + 1) % width == 0
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(us):
+        # exact integer micros — fromtimestamp(us/1e6) would round: float
+        # spacing at 1.8e10 seconds is coarser than a microsecond
+        return epoch + datetime.timedelta(microseconds=us)
+
+    offs = [-2, -1, 0, 1, 2, width // 2, -width // 3]
+    left = spark.createDataFrame(
+        [(i, ts(x + o)) for i, o in enumerate(offs)], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, ts(x + o)) for i, o in enumerate(offs)],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, "lts", "rts", lower, upper
+        ).collect()
+    }
+    # brute force in exact integer micros (timestamps here are micro-exact)
+    lus = {i: x + o for i, o in enumerate(offs)}
+    rus = {100 + i: x + o for i, o in enumerate(offs)}
+    want = {
+        (li, ri)
+        for li, lu in lus.items()
+        for ri, ru in rus.items()
+        if lu + lower <= ru <= lu + upper
+    }
+    assert got == want and len(want) > 0
