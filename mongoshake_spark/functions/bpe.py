@@ -1,0 +1,189 @@
+"""Distributed BPE merge learning — the tokenizer-training step of a
+training-data pipeline (Sennrich, Haddow, Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016).
+
+No reference analog (MongoShake moves documents; it does not train
+tokenizers); this is core LLM-corpus infrastructure: the corpus the
+engine curates is what the tokenizer is fitted on, and at 100 TB the
+fit must be distributed.
+
+Algorithm, re-expressed Spark-first:
+
+- the corpus collapses to its DISTINCT-WORD table once
+  (:func:`bpe_word_table`): BPE statistics are over word TYPES weighted
+  by frequency, so every later pass is bounded by vocabulary size, not
+  corpus size — the one shuffle that touches the corpus;
+- each merge step is (1) a pair-count aggregation over adjacent symbol
+  pairs (map-side combined, weighted by word count), (2) an argmax with
+  a total deterministic order (count desc, then pair lexicographic),
+  collected as ONE driver row — the same bounded driver residency
+  k-means seeds have, and inherent to BPE (step t+1's statistics depend
+  on step t's rewrite), and (3) an in-row rewrite of every word's
+  symbol array (left-to-right non-overlapping, a single
+  ``F.aggregate`` fold — no Python, no shuffle);
+- the word table is lineage-truncated per step (``localCheckpoint``),
+  the iterative-algorithm rule every Lloyd-style loop here follows.
+
+Encoding (:func:`bpe_encode`) replays the merge list over the
+distinct-word table — vocabulary-sized work — then joins the encoded
+words back to documents, so encoding a 100 TB corpus is one broadcast
+word-table join, not a per-document merge loop.
+
+Symbols are the word's codepoints plus a terminal ``</w>`` marker (the
+published formulation, so ``er`` mid-word and ``er</w>`` word-final
+learn separate merges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def bpe_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms) — the distinct-word table with initial symbol
+    arrays (codepoints + the end-of-word marker), lineage-truncated."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+    )
+    return words.withColumn("syms", syms).localCheckpoint(eager=True)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent symbol pairs weighted by word frequency —
+    map-side combined aggregation over the vocabulary."""
+    n = F.size("syms")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("syms", 1, n - 1),
+            F.slice("syms", 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        words.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def merge_rewrite(syms: Column, left: Column, right: Column, merged: Column) -> Column:
+    """Left-to-right non-overlapping replacement of the (left, right)
+    symbol pair with ``merged`` inside one symbol array — a single
+    in-row fold: the accumulator carries (emitted symbols, one pending
+    symbol); a merge consumes the pending ``left`` and the incoming
+    ``right`` without re-matching the merged token in the same pass
+    (``aaa`` + (a,a) -> [aa, a], the BPE scan order)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit(None).cast("string").alias("pv"),
+    )
+
+    def step(acc, s):
+        is_merge = acc["pv"].eqNullSafe(left) & s.eqNullSafe(right)
+        return F.when(
+            is_merge, F.struct(acc["done"].alias("done"), merged.alias("pv"))
+        ).otherwise(
+            F.struct(
+                F.when(acc["pv"].isNull(), acc["done"])
+                .otherwise(F.concat(acc["done"], F.array(acc["pv"])))
+                .alias("done"),
+                s.alias("pv"),
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pv"].isNull(), acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["pv"]))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    ``(step, lhs, rhs, merged, pair_count)`` in learning order. Stops
+    early if the vocabulary runs out of adjacent pairs. Pass a
+    pre-built ``words`` table to share it with other passes."""
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    spark = docs.sparkSession
+    if words is None:
+        words = bpe_word_table(docs, text_col)
+    merges: list[tuple] = []
+    for stp in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merged = l + r
+        merges.append((stp, l, r, merged, c))
+        words = words.withColumn(
+            "syms",
+            merge_rewrite(F.col("syms"), F.lit(l), F.lit(r), F.lit(merged)),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: encode each DISTINCT word once
+    (vocabulary-sized replay of the merges, in learning order), then
+    join the encoded words back onto the documents — the scale shape
+    for encoding a 100 TB corpus. Output: ``(id_col, out_col)`` with
+    the document's BPE symbols in order."""
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in merges.orderBy("step").collect()  # bounded by n_merges
+    ]
+    vocab = bpe_word_table(docs, text_col)
+    col = F.col("syms")
+    for i, (l, r, m) in enumerate(rules):
+        vocab = vocab.withColumn(
+            "syms", merge_rewrite(F.col("syms"), F.lit(l), F.lit(r), F.lit(m))
+        )
+        if (i + 1) % 4 == 0:  # bound the fold-nesting / plan depth
+            vocab = vocab.localCheckpoint(eager=True)
+    encoded = vocab.select("word", F.col("syms").alias("_enc"))
+    tokens = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    return (
+        tokens.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_enc"))),
+                    lambda s: s["_enc"],
+                )
+            ).alias(out_col)
+        )
+    )

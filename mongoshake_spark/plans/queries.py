@@ -4182,6 +4182,80 @@ def ann_pq_adc_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Generated staged replay of BPE merge learning: one (pair-count,
+    argmax, rewrite) CTE triple per merge. Symbol sequences ride as
+    chr(31)-joined strings (DuckDB 1.0's list_reduce drops list-typed
+    struct-accumulator fields, so the rewrite fold carries scalar
+    strings); pairs pack as l||chr(30)||r. The rewrite fold is the same
+    left-to-right non-overlapping scan bpe.merge_rewrite runs."""
+    base = """WITH w0 AS (
+  SELECT word, count(*) AS cnt,
+         array_to_string(list_transform(range(1, length(word) + 1),
+           i -> word[i:i]) || ['</w>'], chr(31)) AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)"""
+    stages = [base]
+    for i in range(n_merges):
+        stages.append(f"""p{i} AS (
+  SELECT string_split(pair, chr(30))[1] AS l,
+         string_split(pair, chr(30))[2] AS r, sum(cnt) AS c
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sv)),
+             j -> sv[j] || chr(30) || sv[j+1])) AS pair
+    FROM (SELECT cnt, string_split(s, chr(31)) AS sv FROM w{i})
+    WHERE len(sv) >= 2)
+  GROUP BY 1, 2),
+m{i} AS (SELECT l, r, l || r AS m, c FROM p{i}
+         ORDER BY c DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT word, cnt, fold.done ||
+         CASE WHEN fold.pv IS NULL THEN '' ELSE
+           CASE WHEN fold.done = '' THEN fold.pv
+                ELSE chr(31) || fold.pv END END AS s
+  FROM (
+    SELECT word, cnt,
+      list_reduce(
+        [struct_pack(done := CAST('' AS VARCHAR), pv := CAST(NULL AS VARCHAR))] ||
+        list_transform(string_split(s, chr(31)),
+                       x -> struct_pack(done := CAST('' AS VARCHAR), pv := x)),
+        (acc, x) -> CASE
+          WHEN acc.pv = m{i}.l AND x.pv = m{i}.r
+            THEN struct_pack(done := acc.done, pv := m{i}.m)
+          ELSE struct_pack(
+            done := CASE WHEN acc.pv IS NULL THEN acc.done
+                         WHEN acc.done = '' THEN acc.pv
+                         ELSE acc.done || chr(31) || acc.pv END,
+            pv := x.pv)
+        END) AS fold
+    FROM w{i} CROSS JOIN m{i}))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS lhs, r AS rhs, m AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    )
+    return ",\n".join(stages) + "\n" + union + "\nORDER BY step"
+
+
+@_q(
+    "bpe_train",
+    _bpe_oracle(6),
+    "Distributed BPE merge learning (Sennrich et al. 2016) — the "
+    "tokenizer-fit step of the training pipeline: the corpus collapses "
+    "to its distinct-word table once, then each merge is a map-side-"
+    "combined pair count over word types, a deterministic argmax "
+    "(count desc, pair lexicographic — one driver row, like k-means "
+    "seeds), and an in-row left-to-right rewrite fold; the word table "
+    "is lineage-truncated per step (functions/bpe.bpe_train). Every "
+    "pass is vocabulary-bounded, never corpus-bounded.",
+)
+def bpe_train_q(spark, sf_dir):
+    from mongoshake_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_train(docs, n_merges=6).orderBy("step")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

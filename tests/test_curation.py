@@ -538,3 +538,63 @@ def test_classifier_score_trained_weights_path(spark):
     assert zeroed == {
         d: (base[d][0], 0, False) for d in base
     }
+
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich et al. corpus shape: merges follow frequency order
+    with deterministic lexicographic tie-breaks, word-final contexts
+    learn distinct merges via the </w> marker, and the scan is
+    left-to-right non-overlapping."""
+    from mongoshake_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest newest widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r["step"]: (r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+         for r in bpe.bpe_train(docs, n_merges=4).collect()}
+    # 'es' appears in newest(6) + widest(3) = 9, the top pair
+    assert m[0] == ("e", "s", "es", 9)
+    assert m[1] == ("es", "t", "est", 9)
+    assert m[2] == ("est", "</w>", "est</w>", 9)
+    # then 'lo' from low(5) + lower(2) = 7
+    assert m[3] == ("l", "o", "lo", 7)
+
+
+def test_bpe_rewrite_nonoverlapping_and_encode_roundtrip(spark):
+    """'aaaa' under merge (a,a) becomes [aa, aa] (left-to-right,
+    non-overlapping — never [aa,a,a] or a re-merged [aaaa]); encoding
+    joins the per-word symbols back in document order and concatenating
+    the decoded symbols reproduces the original words."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa banana"), (2, "banana aaaa")],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(docs, n_merges=3)
+    rules = {r["step"]: r["merged"] for r in merges.collect()}
+    assert rules[0] == "aa"  # (a,a) dominates
+    enc = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    # every doc decodes back to its text: strip </w>, join symbols
+    for doc_id, text in ((1, "aaaa aaa banana"), (2, "banana aaaa")):
+        # merges may absorb </w> into a symbol ('a</w>') — decode by
+        # substring replacement, not by matching the bare marker
+        decoded = "".join(enc[doc_id]).replace(bpe.END_OF_WORD, " ").strip()
+        assert decoded == text, (doc_id, enc[doc_id])
+    # non-overlapping scan inside the encoded tokens for 'aaaa'/'aaa'
+    first_word_tokens = []
+    for s in enc[1]:
+        if s == bpe.END_OF_WORD:
+            break
+        first_word_tokens.append(s)
+    assert first_word_tokens == ["aa", "aa"]
