@@ -140,7 +140,13 @@ def bpe_train(
         words = words.withColumn(
             "syms",
             merge_rewrite(F.col("syms"), F.lit(l), F.lit(r), F.lit(merged)),
-        ).localCheckpoint(eager=True)
+        )
+        if stp % 2 == 1:
+            # truncate lineage every OTHER step: each skipped checkpoint
+            # saves a vocabulary materialization job, and two nested
+            # rewrite folds stay cheap to re-evaluate for the next
+            # step's pair count
+            words = words.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges,
         "step int, lhs string, rhs string, merged string, pair_count long",
