@@ -896,3 +896,49 @@ def test_classifier_score_laws(spark, texts, parts):
         for r in classifier_score(docs.repartition(parts)).collect()
     }
     assert reparted == base
+
+
+sym = st.sampled_from(["a", "b", "ab", "ba", "aa", "c"])
+
+
+@given(
+    st.lists(st.lists(sym, min_size=0, max_size=12), min_size=1, max_size=6),
+    sym,
+    sym,
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_merge_rewrite_matches_python_reference(spark, seqs, left, right):
+    """bpe.merge_rewrite's in-row fold == the textbook left-to-right
+    non-overlapping scan, over random symbol sequences including the
+    adversarial shapes: overlapping runs (aaa), merged token equal to a
+    later left symbol (ab + a), and empty sequences."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions.bpe import merge_rewrite
+
+    merged = left + right
+
+    def reference(xs):
+        out, i = [], 0
+        while i < len(xs):
+            if i + 1 < len(xs) and xs[i] == left and xs[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(xs[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, xs) for i, xs in enumerate(seqs)], "i long, syms array<string>"
+    )
+    got = {
+        r["i"]: list(r["r"])
+        for r in df.select(
+            "i",
+            merge_rewrite(
+                F.col("syms"), F.lit(left), F.lit(right), F.lit(merged)
+            ).alias("r"),
+        ).collect()
+    }
+    assert got == {i: reference(xs) for i, xs in enumerate(seqs)}
