@@ -814,7 +814,14 @@ def _shingle_index(
       recompute rather than OOM. The raw (pre-cut) rows are persisted
       only while the index materializes, so the cut's aggregate and
       probe legs don't each re-run the split/explode tree, then
-      released."""
+      released.
+
+    Cache lifetime contract: the index stays persisted after the call —
+    on purpose, so a same-corpus jaccard+containment pair shares one
+    entry — and is registered in ``_PERSISTED_INDEXES``. LRU eviction
+    bounds the memory cost, but a long-lived session that is DONE with
+    n-gram dedup should call :func:`release_shingle_indexes` so these
+    entries stop competing with other cached state for executor memory."""
     raw = hashed_shingle_rows(docs, text_col)
     sh = raw
     if max_df is not None:
@@ -830,7 +837,25 @@ def _shingle_index(
     sh.count()  # materialize the index before releasing the raw rows
     if max_df is not None:
         raw.unpersist()
+    _PERSISTED_INDEXES.append(sh)
     return sh
+
+
+#: shingle indexes persisted by :func:`_shingle_index` and not yet
+#: released — see the cache-lifetime contract in its docstring
+_PERSISTED_INDEXES: list[DataFrame] = []
+
+
+def release_shingle_indexes() -> int:
+    """Unpersist every shingle index still cached by
+    :func:`ngram_jaccard_pairs` / :func:`ngram_containment_pairs` calls in
+    this session; returns how many were released. Safe to call while a
+    consumer plan is still lazy — Spark recomputes uncached parents — so
+    call it once the pair outputs are materialized."""
+    n = len(_PERSISTED_INDEXES)
+    while _PERSISTED_INDEXES:
+        _PERSISTED_INDEXES.pop().unpersist()
+    return n
 
 
 def ngram_jaccard_pairs(

@@ -152,8 +152,20 @@ def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
     constraint, parallelism comes from the file count). Compose with
     ``tunnel.decode_frames`` after casting value to string for JSON
     logs. CRC-failing blocks keep their rows with ``crc_ok = false`` so
-    the caller owns the dead-letter policy, like decode_raw_frames."""
-    files = spark.read.format("binaryFile").load(path).select("content")
+    the caller owns the dead-letter policy, like decode_raw_frames.
+
+    ``*.tmp`` staging files are skipped: a writer attempt that died
+    between staging and rename (possible on object-store/FUSE mounts,
+    where rename is copy+delete — see ``write_dump_files``) must not be
+    read as a half-written dump."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(~F.col("path").endswith(".tmp"))
+        .select("content")
+    )
 
     def explode_logs(batches):
         for pdf in batches:
@@ -234,6 +246,10 @@ def write_dump_files(
         # Task retries / speculative attempts may run concurrently on
         # shared storage: stage under an attempt-unique temp name, then
         # atomically rename so the final part file is never interleaved.
+        # The rename is atomic on POSIX-local filesystems only; on
+        # object-store/FUSE mounts it degrades to copy+delete, and a
+        # failed attempt can strand its .attempt-N.tmp — read paths
+        # (read_dump_files) ignore *.tmp, so stranded stages are inert.
         from pyspark import TaskContext
 
         tc = TaskContext.get()

@@ -120,8 +120,12 @@ def _snappy_uncompressed_len(data: bytes) -> tuple[int, int]:
 
 
 #: fast ordinal extraction for json-codec logs (id is the wire
-#: struct's first column); non-matching shapes take the full parse
-_ID_PREFIX_RE = re.compile(rb'^\{"id":\s*(-?\d+)')
+#: struct's first column); non-matching shapes take the full parse.
+#: The integer must be TERMINATED by a delimiter — without it a
+#: non-plain-integer id (e.g. a double serialized as 1.0E9) would match
+#: its leading digits and silently corrupt the per-shard watermark;
+#: anchored this way such shapes fall through to json.loads.
+_ID_PREFIX_RE = re.compile(rb'^\{"id":\s*(-?\d+)\s*[,}]')
 
 
 def crc32_xor(logs: list[bytes]) -> int:
@@ -234,6 +238,12 @@ class TunnelServer:
     port: int = 0  # 0 = ephemeral
     corrupt_first_n: int = 0  # test hook: flip a byte in the first n writes
     received: list = field(default_factory=list)
+    #: absolute ordinal of received[0] — ``drain()`` trims consumed rows
+    #: (the reference replayer releases each TMessage after handoff,
+    #: receiver/replayer.go:54-146; retaining them would grow driver
+    #: memory linearly for the run-until-killed daemon), and the base
+    #: keeps consumer indices absolute across trims
+    received_base: int = 0
     ack: int = 0
     retransmit: bool = True  # "this always happen on receiver restart"
     # per-SHARD consumed watermark: retransmit dedupe must survive sender
@@ -361,8 +371,32 @@ class TunnelServer:
             self.ack = max(self.ack, conn_ack[0])
             return conn_ack[0]
 
+    @property
+    def total_received(self) -> int:
+        """Absolute count of logs ever consumed (survives ``drain`` trims).
+        Read under ``_lock`` for a consistent snapshot."""
+        return self.received_base + len(self.received)
+
+    def drain(self, upto: int) -> list:
+        """Remove and return the received rows with absolute index
+        ``[received_base, upto)``. This is the daemon consumer's handoff:
+        once a batch is applied downstream the rows are RELEASED, so
+        resident memory is bounded by one pending batch (the reference
+        replayer frees each TMessage the same way) instead of growing
+        with the lifetime of the feed."""
+        with self._lock:
+            n = upto - self.received_base
+            if n <= 0:
+                return []
+            rows = self.received[:n]
+            del self.received[:n]
+            self.received_base = upto
+            return rows
+
     def to_dataframe(self, spark: SparkSession, schema: str | None = None) -> DataFrame:
-        """Received frames as typed rows — the downstream of S12."""
+        """Received frames as typed rows — the downstream of S12.
+        Covers the rows not yet released via :meth:`drain` (in the
+        non-daemon roundtrip uses nothing drains, so this is everything)."""
         import pandas as pd
 
         from mongoshake_spark.sources.tunnel import OPLOG_WIRE_SCHEMA, decode_frames

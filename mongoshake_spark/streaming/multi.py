@@ -49,6 +49,7 @@ combination for the same reason).
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 
@@ -94,6 +95,7 @@ class MultiTableApplyKernel:
         journal_dir: str | None = None,
         dead_letter_dir: str | None = None,
         max_parallel_ns: int = 8,
+        max_live_kernels: int | None = None,
         **kernel_kwargs,
     ) -> None:
         if "mirror" in kernel_kwargs:
@@ -110,8 +112,20 @@ class MultiTableApplyKernel:
         self.dead_letter_dir = dead_letter_dir or f"{self.root_dir}/_dead_letter"
         if max_parallel_ns < 1:
             raise ValueError("max_parallel_ns must be >= 1")
+        if max_live_kernels is not None and max_live_kernels < 1:
+            raise ValueError("max_live_kernels must be >= 1 (or None)")
         self.max_parallel_ns = max_parallel_ns
+        # Deployment-scale hygiene: a 10k-namespace deployment with most
+        # namespaces idle would otherwise hold 10k kernel objects (each
+        # caching layout/watermark state) forever. Kernels are fully
+        # reconstructible from their state dirs (_layout.json persists
+        # n_buckets AND the compaction watermark), so least-recently-USED
+        # ones past this cap are dropped after each batch and lazily
+        # rebuilt on the namespace's next appearance. None = never evict.
+        self.max_live_kernels = max_live_kernels
         self.kernel_kwargs = kernel_kwargs
+        # insertion-ordered dict doubles as the LRU: _kernel_for moves a
+        # reused namespace to the back, eviction pops from the front
         self.kernels: dict[str, ApplyKernel] = {}
         self._pool: ThreadPoolExecutor | None = None
 
@@ -129,7 +143,7 @@ class MultiTableApplyKernel:
         return self._pool
 
     def _kernel_for(self, ns: str, safe: str) -> ApplyKernel:
-        k = self.kernels.get(ns)
+        k = self.kernels.pop(ns, None)
         if k is None:
             k = ApplyKernel(
                 self.spark,
@@ -137,8 +151,23 @@ class MultiTableApplyKernel:
                 dead_letter_dir=f"{self.dead_letter_dir}/{safe}",
                 **self.kernel_kwargs,
             )
-            self.kernels[ns] = k
+        # (re)insert at the back: the dict's insertion order is the LRU
+        self.kernels[ns] = k
         return k
+
+    def _evict_idle_kernels(self) -> list[str]:
+        """Drop least-recently-used kernels past ``max_live_kernels``;
+        returns the evicted namespaces. Called after each batch, so the
+        batch's own namespaces (just moved to the back) survive and only
+        idle ones fall out; their on-disk state dirs are untouched and a
+        rebuilt kernel re-reads ``_layout.json`` on first use."""
+        evicted = []
+        if self.max_live_kernels is not None:
+            while len(self.kernels) > self.max_live_kernels:
+                ns = next(iter(self.kernels))
+                del self.kernels[ns]
+                evicted.append(ns)
+        return evicted
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -190,6 +219,7 @@ class MultiTableApplyKernel:
                 unroutable.write.mode("append").parquet(
                     f"{self.dead_letter_dir}/{UNROUTABLE}"
                 )
+            self._evict_idle_kernels()
         finally:
             batch.unpersist()
 
@@ -252,8 +282,16 @@ class MultiTableApplyKernel:
             raise errors[0]
 
     def state_view(self, ns: str) -> DataFrame | None:
+        """Per-namespace state. A namespace whose kernel was LRU-evicted
+        is rebuilt from its state dir (eviction drops the OBJECT, never
+        the state), so views stay available across evictions."""
         k = self.kernels.get(ns)
-        return k.state_view() if k else None
+        if k is None:
+            safe = safe_ns_dir(ns)
+            if safe is None or not os.path.isdir(f"{self.root_dir}/{safe}"):
+                return None
+            k = self._kernel_for(ns, safe)
+        return k.state_view()
 
 
 def run_multi_incr_sync(

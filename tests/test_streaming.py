@@ -794,12 +794,15 @@ def test_multi_table_apply_parallel_fanout(spark, tmp_path):
     collector/coordinator/incr.go:60-74); a serial loop makes per-batch
     wall grow linearly in live-table count while executors idle. A
     12-namespace batch must (a) produce byte-identical per-ns state
-    under pool=1 and pool=8, and (b) run materially faster in parallel
-    (sublinear wall in table count)."""
+    under pool=1 and pool=8, and (b) actually OVERLAP kernel flushes —
+    asserted structurally (max observed in-flight kernels > 1) rather
+    than by wall-clock ratio, which flakes on loaded/low-core hosts."""
+    import threading
     import time
 
     from pyspark.sql import functions as F
 
+    from mongoshake_spark.streaming.apply import ApplyKernel
     from mongoshake_spark.streaming.multi import MultiTableApplyKernel
 
     n_ns = 12
@@ -820,6 +823,23 @@ def test_multi_table_apply_parallel_fanout(spark, tmp_path):
     )
     rows.count()
 
+    # instrument concurrency structurally: count kernels whose
+    # process_batch is in flight at once (deterministic on any host,
+    # unlike a wall-clock ratio)
+    gauge = {"now": 0, "max": 0}
+    gauge_lock = threading.Lock()
+    orig = ApplyKernel.process_batch
+
+    def counted(self, df, bid):
+        with gauge_lock:
+            gauge["now"] += 1
+            gauge["max"] = max(gauge["max"], gauge["now"])
+        try:
+            return orig(self, df, bid)
+        finally:
+            with gauge_lock:
+                gauge["now"] -= 1
+
     def run(par, root):
         m = MultiTableApplyKernel(spark, root, max_parallel_ns=par)
         t0 = time.monotonic()
@@ -829,7 +849,11 @@ def test_multi_table_apply_parallel_fanout(spark, tmp_path):
     try:
         run(1, str(tmp_path / "warm"))  # JVM/codegen warmup out of band
         w_serial, m1 = run(1, str(tmp_path / "serial"))
-        w_par, m8 = run(8, str(tmp_path / "parallel"))
+        ApplyKernel.process_batch = counted
+        try:
+            w_par, m8 = run(8, str(tmp_path / "parallel"))
+        finally:
+            ApplyKernel.process_batch = orig
     finally:
         rows.unpersist()
     assert set(m1.kernels) == set(m8.kernels) and len(m8.kernels) == n_ns
@@ -843,11 +867,14 @@ def test_multi_table_apply_parallel_fanout(spark, tmp_path):
             for r in m8.state_view(ns).collect()
         }
         assert got == want and len(got) > 0
-    # measured 0.41x on local[32]; 0.85 leaves headroom for loaded hosts
-    # while still failing if the fan-out ever degrades to a serial loop
-    assert w_par < 0.85 * w_serial, (
-        f"parallel fan-out not faster: {w_par:.2f}s vs serial "
-        f"{w_serial:.2f}s over {n_ns} namespaces"
+    # the fan-out must not degrade to a serial loop: with pool=8 over 12
+    # namespaces, >1 kernel must have been in flight simultaneously
+    # (wall-clock was 0.41x serial on an idle local[32], but that ratio
+    # is load-dependent — the structural gauge is not)
+    assert gauge["max"] > 1, (
+        f"no kernel overlap observed (max in-flight {gauge['max']}) — "
+        f"pool=8 over {n_ns} namespaces ran serially "
+        f"(par {w_par:.2f}s vs serial {w_serial:.2f}s)"
     )
 
 
@@ -891,6 +918,65 @@ def test_multi_table_parallel_failure_fails_whole_batch(spark, tmp_path):
     # the healthy namespaces were awaited and applied (at-least-once);
     # their second delivery on retry re-merges to the same state
     assert multi.state_view("db0.c0").filter("value > 9").count() > 0
+
+
+def test_multi_table_kernel_lru_eviction_rebuilds_from_state_dir(spark, tmp_path):
+    """VERDICT round-8 deployment hygiene: a 10k-namespace deployment must
+    not hold 10k kernel objects forever. With ``max_live_kernels`` set,
+    idle kernels are LRU-evicted after each batch; a later batch (or a
+    state_view) rebuilds the kernel from its state dir — and the rebuild
+    must re-read ``_layout.json`` (watermark + layout), so an
+    evict-then-reuse namespace stays byte-correct."""
+    import datetime
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    multi = MultiTableApplyKernel(
+        spark, str(tmp_path / "root"), max_parallel_ns=2,
+        max_live_kernels=2, n_buckets=4,
+    )
+    b0 = spark.createDataFrame(
+        [(i, t0, i % 3, "i", f"db0.c{i % 4}", float(i), "{}") for i in range(12)],
+        schema,
+    )
+    multi.process_batch(b0, 0)
+    assert len(multi.kernels) == 2  # 4 namespaces seen, cap held
+    evicted = [f"db0.c{j}" for j in range(4) if f"db0.c{j}" not in multi.kernels]
+    assert len(evicted) == 2
+
+    # view of an evicted namespace: rebuilt lazily, state intact
+    ns = evicted[0]
+    j = int(ns[-1])
+    got = {(r["user_id"], r["value"]) for r in multi.state_view(ns).collect()}
+    assert got == {(i % 3, float(i)) for i in range(12) if i % 4 == j}
+    # the rebuild re-read _layout.json: the persisted compaction
+    # watermark (this namespace's batch-0 max ordinal) came back
+    assert multi.kernels[ns]._watermark == max(
+        i for i in range(12) if i % 4 == j
+    )
+
+    # update + delete routed through ANOTHER evict/rebuild cycle still
+    # converge (the layout re-read kept bucketing consistent, so no
+    # double-counted generations). Every ns holds users {0,1,2}
+    # (ids j, j+4, j+8 -> all three residues): update user 0, delete
+    # user 1, leave user 2.
+    b1 = spark.createDataFrame(
+        [
+            (100, t0, 0, "u", ns, 999.0, "{}"),
+            (101, t0, 1, "d", ns, 0.0, "{}"),
+        ],
+        schema,
+    )
+    multi.process_batch(b1, 1)
+    assert len(multi.kernels) <= 2
+    final = {(r["user_id"], r["value"]) for r in multi.state_view(ns).collect()}
+    (v2,) = [float(i) for i in range(12) if i % 4 == j and i % 3 == 2]
+    assert final == {(0, 999.0), (2, v2)}
 
 
 def test_multi_table_ns_sanitization_is_collision_free(tmp_path):
