@@ -57,22 +57,36 @@ def bpe_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return words.withColumn("syms", syms).localCheckpoint(eager=True)
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
-    """(l, r, c): adjacent symbol pairs weighted by word frequency —
-    map-side combined aggregation over the vocabulary."""
-    n = F.size("syms")
-    pairs = F.when(
+def _adjacent_pairs(syms) -> Column:
+    """array<struct<l,r>> of the adjacent symbol pairs of one word."""
+    n = F.size(syms)
+    return F.when(
         n >= 2,
         F.zip_with(
-            F.slice("syms", 1, n - 1),
-            F.slice("syms", 2, n - 1),
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent symbol pairs weighted by word frequency —
+    map-side combined aggregation over the vocabulary."""
     return (
-        words.select("cnt", F.explode(pairs).alias("p"))
+        words.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _has_adjacent_pair(syms, left: Column, right: Column) -> Column:
+    """True when the word contains the (left, right) adjacency — the
+    membership test that restricts each merge step's work to the words
+    the merge can actually change."""
+    return F.exists(
+        _adjacent_pairs(syms),
+        lambda p: (p["l"] == left) & (p["r"] == right),
     )
 
 
@@ -114,32 +128,108 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     words: DataFrame | None = None,
+    incremental: bool = True,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     ``(step, lhs, rhs, merged, pair_count)`` in learning order. Stops
     early if the vocabulary runs out of adjacent pairs. Pass a
-    pre-built ``words`` table to share it with other passes."""
+    pre-built ``words`` table to share it with other passes.
+
+    ``incremental=True`` (default) maintains the pair-count table with
+    DELTAS — Sennrich's own optimization: a merge of ``(l, r)`` only
+    changes the pair statistics of words that CONTAIN the ``(l, r)``
+    adjacency, so each step subtracts those words' old pairs and adds
+    their rewritten pairs instead of re-exploding the whole vocabulary.
+    At a production 32k-merge fit this is the difference between 2·32k
+    full-vocabulary jobs and affected-fraction work (late-stage merges
+    touch a vanishing share of words — see the A/B in BASELINE.md).
+    ``incremental=False`` keeps the full-recount form; both produce the
+    identical merge table (property-tested) because the maintained
+    counts are exact, not approximate."""
     if n_merges < 1:
         raise ValueError("bpe_train: n_merges must be >= 1")
     spark = docs.sparkSession
     if words is None:
         words = bpe_word_table(docs, text_col)
     merges: list[tuple] = []
+    counts: dict[tuple[str, str], int] | None = None
+    if incremental:
+        # The pair-statistics table is over word TYPES — its size is
+        # O(active distinct symbol pairs), the same bound every standard
+        # BPE trainer (Sennrich's own, HF tokenizers) holds in one
+        # process's RAM even for 32k-merge fits over web-scale corpora.
+        # Holding it driver-side (like k-means seeds: bounded model
+        # state, not corpus state) makes the argmax free and leaves
+        # exactly ONE distributed job per merge — the affected-slice
+        # delta below. The CORPUS-bounded work (word table build) and
+        # the VOCABULARY-bounded work (rewrites, delta scans) stay
+        # distributed.
+        counts = {
+            (r["l"], r["r"]): int(r["c"]) for r in _pair_counts(words).collect()
+        }
     for stp in range(n_merges):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        if incremental:
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        else:
+            top = (
+                _pair_counts(words)
+                .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merged = l + r
         merges.append((stp, l, r, merged, c))
+        has_pair = _has_adjacent_pair(F.col("syms"), F.lit(l), F.lit(r))
+        rewrite = merge_rewrite(F.col("syms"), F.lit(l), F.lit(r), F.lit(merged))
+        if incremental:
+            # exact delta, computed in ONE scan: only words holding the
+            # (l, r) adjacency change, so each affected word emits its
+            # old adjacent pairs with weight -cnt and its rewritten
+            # pairs with weight +cnt; unaffected words are pruned BEFORE
+            # the explode — which is where the recount form pays
+            # V·len shuffle rows every step. The collected delta is
+            # bounded by the affected slice's distinct pairs.
+            signed = F.concat(
+                F.transform(
+                    _adjacent_pairs(F.col("syms")),
+                    lambda p: F.struct(
+                        p["l"].alias("l"), p["r"].alias("r"),
+                        (-F.col("cnt")).alias("w"),
+                    ),
+                ),
+                F.transform(
+                    _adjacent_pairs(rewrite),
+                    lambda p: F.struct(
+                        p["l"].alias("l"), p["r"].alias("r"),
+                        F.col("cnt").alias("w"),
+                    ),
+                ),
+            )
+            delta = (
+                words.filter(has_pair)
+                .select(F.explode(signed).alias("x"))
+                .groupBy(F.col("x.l").alias("l"), F.col("x.r").alias("r"))
+                .agg(F.sum("x.w").alias("c"))
+                .collect()
+            )
+            for row in delta:
+                key = (row["l"], row["r"])
+                nc = counts.get(key, 0) + int(row["c"])
+                if nc > 0:
+                    counts[key] = nc
+                else:
+                    counts.pop(key, None)
+        # the rewrite fold only runs on words that can change — everything
+        # else passes through untouched (no fold evaluation, no copy)
         words = words.withColumn(
-            "syms",
-            merge_rewrite(F.col("syms"), F.lit(l), F.lit(r), F.lit(merged)),
+            "syms", F.when(has_pair, rewrite).otherwise(F.col("syms"))
         )
         if stp % 2 == 1:
             # truncate lineage every OTHER step: each skipped checkpoint

@@ -274,6 +274,7 @@ def incremental_minhash_pairs(
     increment: DataFrame,
     text_col: str = "text",
     broadcast_increment: bool = True,
+    increment_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup — the daily-crawl production shape: dedupe a
     NEW batch of documents against an existing corpus using the corpus's
@@ -298,8 +299,17 @@ def incremental_minhash_pairs(
     then shuffles both sides on (band, band_key). This is the reason
     band indexes are worth persisting: full re-dedup is O(corpus
     self-join), the increment path is O(one index scan) per day.
+
+    Pass ``increment_bands`` (a MATERIALIZED minhash_bands output for
+    the same increment) when the caller also needs the bands — e.g. the
+    streaming ingest path appends them to the index — so the signature
+    kernel runs once per batch, not twice.
     """
-    inc_bands = minhash_bands(increment, text_col).localCheckpoint(eager=True)
+    inc_bands = (
+        minhash_bands(increment, text_col).localCheckpoint(eager=True)
+        if increment_bands is None
+        else increment_bands
+    )
     probe = F.broadcast(inc_bands) if broadcast_increment else inc_bands
     vs_corpus = (
         corpus_bands.alias("a")

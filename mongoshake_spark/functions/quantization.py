@@ -46,7 +46,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongoshake_spark.functions.similarity import dot_expr, with_norm
+from mongoshake_spark.functions.similarity import (
+    assign_nearest_centroid,
+    dot_expr,
+    with_norm,
+)
 
 
 def _infer_dim(vecs: DataFrame, vec_col: str) -> int:
@@ -233,11 +237,22 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k by ADC over PQ codes. Queries score with
     their EXACT vectors against the quantized corpus; pass pre-trained
     ``codebooks`` to reuse a fitted quantizer (the production shape —
-    train once, encode incrementally)."""
+    train once, encode incrementally).
+
+    ``rerank=C`` adds the standard two-stage production finisher (Jégou
+    et al. §V: ADC shortlists, exact re-rank): the top-C ADC candidates
+    per query are re-scored with EXACT cosine against their stored
+    vectors, then the final top-k is taken by the exact score. The
+    re-rank I/O is candidate-sized: the Q·C-row shortlist is BROADCAST
+    against the corpus scan (one semi-probe, never a corpus shuffle), so
+    the full-precision vectors are read for C rows per query only — the
+    ADC pass still scans nothing but m-byte codes. Recall@k at C=10·k is
+    measured in scripts/ann_recall_proof.py (gated >= 0.9 at sf0.1)."""
     if codebooks is None:
         codebooks = pq_train(vecs, m, k_code, iters, id_col, vec_col)
     m_d = codebooks.agg(
@@ -304,8 +319,243 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
+        shortlist = (
+            out.withColumn("adc_rank", F.row_number().over(w))
+            .filter(F.col("adc_rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        nb = unit.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            F.col("vnorm").alias("_nn"),
+        )
+        qv = unit.filter(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("vnorm").alias("_qn"),
+        )
+        # candidate-sized: the tiny shortlist broadcasts onto the corpus
+        # scan, so exact vectors are read for Q*C rows only
+        out = (
+            nb.join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.expr(dot_expr("_qv", "_nv")) / (F.col("_qn") * F.col("_nn")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
     return (
         out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivfpq_topk(
+    vecs: DataFrame,
+    query_ids,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    k_code: int = 8,
+    iters: int = 2,
+    centroid_mod: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the production ANN
+    composition: a coarse quantizer partitions the corpus into cells
+    (the same deterministic id-sample `similarity.ivf_topk` uses), PQ
+    codebooks are trained on the RESIDUALS ``v - centroid(cell)`` (the
+    residual distribution is tighter than the raw vectors, so the same
+    code budget quantizes finer), and a query scans only its ``n_probe``
+    nearest cells' codes with a per-(query, cell) ADC table built from
+    the query's residual against that cell.
+
+    Approximate cosine is reconstructed exactly from decomposable terms,
+    every cross-engine sum folding in a fixed subspace order:
+
+        dot(q, v)  ≈ dot(q, c) + Σ_sub dot(q_sub - c_sub, codeword)
+        ‖v‖²       ≈ ‖c‖² + 2·Σ_sub dot(c_sub, codeword) + Σ_sub ‖codeword‖²
+
+    Scale shape: coarse assignment is one broadcast-centroid aggregate;
+    residual train/encode are the pq_train/pq_encode passes (map-only +
+    k·m-row model state); the scoring pass reads m-byte codes of the
+    PROBED cells only (probe map broadcast), so per-query I/O is
+    n_probe/|cells| of a code-sized store — the two compression levers
+    (cell restriction × code compression) multiply.
+    """
+    unit = with_norm(vecs, vec_col)
+    cents = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    if cents.isEmpty():
+        raise ValueError(
+            f"ivfpq_topk: no {id_col} divisible by {centroid_mod} — "
+            "choose a centroid_mod matching the corpus id space"
+        )
+    dim = _infer_dim(vecs, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    d = dim // m
+    assigned = assign_nearest_centroid(unit, cents, vec_col, id_col, carry=(vec_col,))
+    # residuals v - centroid(cell): what PQ quantizes in IVFADC
+    res = (
+        assigned.join(
+            F.broadcast(cents.select(F.col("cid").alias("cell"), "cvec")), "cell"
+        )
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("res"),
+        )
+        .localCheckpoint(eager=True)  # feeds train + encode + the cell map
+    )
+    codebooks = pq_train(res, m, k_code, iters, id_col, "res")
+    codes = pq_encode(res, codebooks, id_col, "res").join(
+        res.select(id_col, "cell"), id_col
+    )
+    queries = unit.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    # probe map: per query, the n_probe nearest cells (tiny, broadcast)
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cid",
+        (
+            F.expr(dot_expr("qvec", "cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cs"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("cid").asc()
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # per-(query, probed cell) terms: dot(q, c) and the query residual
+    qc = (
+        probes.join(
+            F.broadcast(
+                cents.select(F.col("cid").alias("cell"), "cvec", "cnorm")
+            ),
+            "cell",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "cell",
+            F.expr(dot_expr("qvec", "cvec")).alias("q_dot_c"),
+            F.col("cnorm"),
+            F.col("qnorm"),
+            F.zip_with(
+                F.col("qvec"),
+                F.col("cvec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("qr"),
+        )
+    )
+
+    def sub_explode(df, src, key_cols):
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"), F.slice(F.col(src), s * d + 1, d).alias("sv")
+                )
+                for s in range(m)
+            ]
+        )
+        return df.select(*key_cols, F.explode(subs).alias("x")).select(
+            *key_cols, "x.sub", "x.sv"
+        )
+
+    # ADC tables: Q·n_probe·m·k rows — dot of each query-cell residual
+    # subvector against every codeword
+    adc = sub_explode(qc, "qr", ["query_id", "cell"]).join(
+        F.broadcast(codebooks), "sub"
+    ).select(
+        "query_id", "cell", "sub", "cluster",
+        F.expr(dot_expr("sv", "centroid")).alias("dsub"),
+    )
+    # centroid × codeword cross terms and codeword norms (cells·m·k and
+    # m·k rows — both broadcast model state)
+    cdot = sub_explode(
+        cents.select(F.col("cid").alias("cell"), "cvec"), "cvec", ["cell"]
+    ).join(F.broadcast(codebooks), "sub").select(
+        "cell", "sub", "cluster",
+        F.expr(dot_expr("sv", "centroid")).alias("cdsub"),
+    )
+    rn2 = codebooks.select(
+        "sub", "cluster", F.expr(dot_expr("centroid", "centroid")).alias("rn2")
+    )
+
+    def _ordered_sum(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", F.col(col).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            F.posexplode("codes").alias("sub", "cluster"),
+        )
+        .join(F.broadcast(adc), ["cell", "sub", "cluster"])
+        .join(F.broadcast(cdot), ["cell", "sub", "cluster"])
+        .join(F.broadcast(rn2), ["sub", "cluster"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(
+            _ordered_sum("dsub").alias("adc_sum"),
+            _ordered_sum("cdsub").alias("cd_sum"),
+            _ordered_sum("rn2").alias("rn2_sum"),
+        )
+    )
+    out = scored.join(
+        F.broadcast(qc.select("query_id", "cell", "q_dot_c", "cnorm", "qnorm")),
+        ["query_id", "cell"],
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            (F.col("q_dot_c") + F.col("adc_sum"))
+            / (
+                F.col("qnorm")
+                * F.sqrt(
+                    F.col("cnorm") * F.col("cnorm")
+                    + 2 * F.col("cd_sum")
+                    + F.col("rn2_sum")
+                )
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

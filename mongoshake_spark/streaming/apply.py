@@ -89,6 +89,16 @@ class ApplyKernel:
     ord: str = "id"
     strict_barriers: bool = False
     n_buckets: int = 64
+    # State-plane format. "parquet" (default) is the self-contained local
+    # form: bucket-pruned slice reads + dynamic partition overwrite.
+    # "delta" is the 100 TB production form (DEPLOYMENT.md): the same
+    # per-batch fold lands as a transactional Delta MERGE INTO keyed on
+    # (_bucket, key) — partition-pruned by the bucket equi-term, ACID
+    # commit per segment, tombstone compaction as a partition-scoped
+    # DELETE. Requires the delta-spark package and a session built with
+    # its extensions (configure_spark_with_delta_pip); availability-gated
+    # at construction so a missing package fails loudly, not mid-stream.
+    state_format: str = "parquet"
     # W6: optional catalog-backed DDL executor (streaming/ddl.SparkCatalogDDL).
     # None keeps the record-only behavior (no catalog to mutate in oracle
     # fixtures); with an executor, each barrier statement really runs.
@@ -126,6 +136,34 @@ class ApplyKernel:
     # levels Janino's generated code exhausts driver heap. localCheckpoint
     # materializes the small state and resets plan depth.
     LINEAGE_TRUNCATE_EVERY = 8
+
+    def __post_init__(self) -> None:
+        if self.state_format not in ("parquet", "delta"):
+            raise ValueError(
+                f"state_format must be 'parquet' or 'delta', "
+                f"got {self.state_format!r}"
+            )
+        if self.state_format == "delta":
+            try:
+                from delta.tables import DeltaTable  # noqa: F401
+            except ImportError as exc:
+                raise RuntimeError(
+                    "state_format='delta' requires the delta-spark package "
+                    "(pip install delta-spark) and a SparkSession built with "
+                    "its extensions (delta.pip_utils."
+                    "configure_spark_with_delta_pip)"
+                ) from exc
+
+    @property
+    def _is_delta(self) -> bool:
+        return self.state_format == "delta"
+
+    def _delta_table(self):
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(self.spark, self.target_dir):
+            return DeltaTable.forPath(self.spark, self.target_dir)
+        return None
 
     # -- target state -------------------------------------------------------
 
@@ -170,6 +208,19 @@ class ApplyKernel:
             return
         self._layout_checked = True
         if not os.path.isdir(self.target_dir):
+            return
+        if self._is_delta:
+            # Delta owns its file layout (no rebucket migration to run);
+            # only the compaction watermark rides in the marker, which
+            # Delta ignores (leading-underscore file)
+            if os.path.isfile(self._marker_path()):
+                try:
+                    with open(self._marker_path()) as f:
+                        doc = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    doc = {}
+                if self._watermark is None:
+                    self._watermark = doc.get("watermark")
             return
         entries = os.listdir(self.target_dir)
         flat = [f for f in entries if f.endswith(".parquet")]
@@ -231,6 +282,11 @@ class ApplyKernel:
         self._ensure_layout()
         self.last_state_files_read = 0
         self.last_state_rows_read = 0
+        if self._is_delta:
+            # MERGE INTO reads (and prunes) the target itself; there is
+            # no in-memory slice to stage
+            self._state = None
+            return
         if not self._bucket_dirs():
             self._state = None
             return
@@ -253,9 +309,13 @@ class ApplyKernel:
         self._state = sliced
 
     def _apply_segment(self, segment: DataFrame) -> None:
-        """One MERGE into the in-batch state slice (tombstones retained —
-        see operators/merge.merge_upsert). Swap point for Delta ``MERGE
-        INTO`` on a cluster."""
+        """One MERGE into the state (tombstones retained — see
+        operators/merge.merge_upsert). This is the format swap point:
+        parquet folds into the in-batch slice; delta lands the same
+        per-segment fold as a transactional ``MERGE INTO``."""
+        if self._is_delta:
+            self._apply_segment_delta(segment)
+            return
         new_state = merge.merge_upsert(self._state, segment, self.key, self.val, self.ord)
         self._merges_since_truncate += 1
         if self._merges_since_truncate >= self.LINEAGE_TRUNCATE_EVERY:
@@ -267,6 +327,47 @@ class ApplyKernel:
         if self._state is not None:
             self._state.unpersist()
         self._state = staged
+
+    def _apply_segment_delta(self, segment: DataFrame) -> None:
+        """The production MERGE INTO (executor/db_writer_bulk.go's ladder
+        collapsed, same as the parquet fold): the segment reduces to its
+        net per-key rows (max-ordinal value/op — merge_upsert's batch
+        fold), then merges on ``(_bucket, key)``. The ``_bucket``
+        equi-term prunes the Delta scan to the batch's partitions — the
+        same O(touched buckets) I/O contract the parquet slice read
+        carries — and ``s.ord >= t.ord`` makes a replayed batch converge
+        to identical state (last-writer-wins by ordinal, idempotent)."""
+        from delta.tables import DeltaTable
+
+        net = merge.merge_upsert(
+            None, segment, self.key, self.val, self.ord
+        ).withColumn("_bucket", self._bucket_expr())
+        if not DeltaTable.isDeltaTable(self.spark, self.target_dir):
+            (
+                net.write.format("delta")
+                .partitionBy("_bucket")
+                .mode("overwrite")
+                .save(self.target_dir)
+            )
+            return
+        t = DeltaTable.forPath(self.spark, self.target_dir)
+        (
+            t.alias("t")
+            .merge(
+                net.alias("s"),
+                f"t._bucket = s._bucket AND t.{self.key} = s.{self.key}",
+            )
+            .whenMatchedUpdate(
+                condition=f"s.{self.ord} >= t.{self.ord}",
+                set={
+                    self.val: f"s.{self.val}",
+                    self.ord: f"s.{self.ord}",
+                    "op": "s.op",
+                },
+            )
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     def _flush(self, touched_buckets: list[int]) -> None:
         """Durability point, once per micro-batch: the committed state the
@@ -281,6 +382,19 @@ class ApplyKernel:
         replaces (and is O(slice), the lineage reset the old full re-read
         used to pay O(state) for).
         """
+        if self._is_delta:
+            # each segment's MERGE already committed; the flush-time work
+            # left is the same lazy tombstone compaction the parquet path
+            # runs — scoped to the batch's partitions by the _bucket
+            # predicate, so compaction I/O stays O(touched buckets)
+            t = self._delta_table() if touched_buckets else None
+            if t is not None and self._watermark is not None:
+                buckets = ", ".join(str(int(b)) for b in touched_buckets)
+                t.delete(
+                    f"op = 'd' AND {self.ord} <= {int(self._watermark)} "
+                    f"AND _bucket IN ({buckets})"
+                )
+            return
         if self._state is None or not touched_buckets:
             if self._state is not None:
                 self._state.unpersist()
@@ -311,6 +425,14 @@ class ApplyKernel:
         the single source of truth (no cached full-state copy to keep in
         sync)."""
         self._ensure_layout()
+        if self._is_delta:
+            if self._delta_table() is None:
+                return None
+            return merge.visible(
+                self.spark.read.format("delta")
+                .load(self.target_dir)
+                .drop("_bucket")
+            )
         if not self._bucket_dirs():
             return None
         return merge.visible(
@@ -378,8 +500,13 @@ class ApplyKernel:
                 # this batch's keys — O(batch) via the same bucket-pruned
                 # slice read _begin_batch uses, never O(state)
                 keys = crud.select(self.key).distinct()
+                committed_scan = (
+                    self.spark.read.format("delta").load(self.target_dir)
+                    if self._is_delta
+                    else self.spark.read.parquet(self.target_dir)
+                )
                 committed = (
-                    self.spark.read.parquet(self.target_dir)
+                    committed_scan
                     .filter(F.col("_bucket").isin(touched))
                     .drop("_bucket")
                 )

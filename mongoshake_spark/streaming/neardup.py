@@ -55,10 +55,16 @@ def streaming_lsh_dedup(
         # first batch has no index yet -> increment-internal pairs only
         if _index_exists(index_dir):
             corpus_bands = spark.read.parquet(index_dir)
-            pairs = incremental_minhash_pairs(
-                corpus_bands, batch_df, text_col=text_col
+            # bands materialize ONCE per batch and serve both the pair
+            # probe and the index append — without the shared handle the
+            # signature kernel (the batch's dominant compute) ran twice
+            inc_bands = minhash_bands(batch_df, text_col).localCheckpoint(
+                eager=True
             )
-            inc_bands = minhash_bands(batch_df, text_col)
+            pairs = incremental_minhash_pairs(
+                corpus_bands, batch_df, text_col=text_col,
+                increment_bands=inc_bands,
+            )
         else:
             inc_bands = minhash_bands(batch_df, text_col).localCheckpoint(
                 eager=True

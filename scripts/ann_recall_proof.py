@@ -154,6 +154,55 @@ def main() -> int:
             }
         )
 
+    # E. two-stage PQ: ADC shortlist of C candidates, exact cosine
+    # re-rank — the production finisher. Recall@k must rise in C and
+    # reach >= 0.9 by C = 10k (GATED: this is the claim that makes the
+    # compressed store usable for retrieval, not just storage). The
+    # quantizer under the shortlist is m=16, k=32 (16-byte codes, 32x
+    # store compression): re-rank recall IS the shortlist hit rate, and
+    # on the fixture's worst-case isotropic vectors a 4-byte code's
+    # shortlist caps out near 0.35 at C=100 — the production trade is
+    # exactly this: spend bytes/vector until the shortlist captures the
+    # true neighbors, let the exact re-rank fix the ordering. One
+    # codebook is trained once and shared across the C sweep.
+    cb = pq_mod.pq_train(vecs, m=16, k=32, iters=2)
+    rr_curve = []
+    for c_short in (K, 2 * K, 5 * K, 10 * K):
+        t0 = time.perf_counter()
+        approx = topk_sets(
+            pq_mod.pq_topk(
+                vecs, query_ids, k=K, codebooks=cb, rerank=c_short
+            )
+        )
+        rr_curve.append(
+            {
+                "C": c_short,
+                "recall_at_k": recall(approx, exact),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+
+    # F. IVF-PQ (IVFADC): cells + residual codes + probe-restricted ADC.
+    # Reported, not gated on absolute recall (two approximations stack on
+    # the worst-case isotropic fixture); the n_probe sweep must still be
+    # monotone.
+    ivfpq_curve = []
+    for p in (1, 2, 4):
+        t0 = time.perf_counter()
+        approx = topk_sets(
+            pq_mod.ivfpq_topk(
+                vecs, query_ids, k=K, n_probe=p, m=4, k_code=8, iters=2,
+                centroid_mod=CENTROID_MOD,
+            )
+        )
+        ivfpq_curve.append(
+            {
+                "n_probe": p,
+                "recall_at_k": recall(approx, exact),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+
     buckets = similarity.lsh_buckets(vecs)
     bucket_sizes = [
         r["n"] for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -172,6 +221,8 @@ def main() -> int:
         "ivf": ivf_curve,
         "ivf_kmeans": km_curve,
         "pq_adc": pq_curve,
+        "pq_rerank": rr_curve,
+        "ivfpq": ivfpq_curve,
         "lsh_mean_candidate_frac": lsh_cand_frac,
         "lsh_n_buckets": len(bucket_sizes),
     }
@@ -208,6 +259,20 @@ def main() -> int:
         # vectors is the worst case; clustered real embeddings do far
         # better at the same code budget)
         and all(a <= b + 1e-9 for a, b in zip(pq_recalls, pq_recalls[1:]))
+        # two-stage re-rank: monotone in C, and >= 0.9 recall by C = 10k
+        # (the exact re-score can only fix ADC ordering errors INSIDE
+        # the shortlist, so recall == shortlist hit rate — which is what
+        # widening C buys)
+        and all(
+            a["recall_at_k"] <= b["recall_at_k"] + 1e-9
+            for a, b in zip(rr_curve, rr_curve[1:])
+        )
+        and rr_curve[-1]["recall_at_k"] >= 0.9
+        # IVF-PQ: wider probes never lose recall
+        and all(
+            a["recall_at_k"] <= b["recall_at_k"] + 1e-9
+            for a, b in zip(ivfpq_curve, ivfpq_curve[1:])
+        )
     )
     out["claims_hold"] = ok
     print(json.dumps(out))

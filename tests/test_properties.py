@@ -942,3 +942,56 @@ def test_bpe_merge_rewrite_matches_python_reference(spark, seqs, left, right):
         ).collect()
     }
     assert got == {i: reference(xs) for i, xs in enumerate(seqs)}
+
+
+word = st.text(alphabet="ab c", min_size=1, max_size=12)
+
+
+@given(st.lists(word, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_train_incremental_matches_recount_and_textbook(spark, texts):
+    """bpe_train's delta-maintained pair counts are EXACT: the incremental
+    form, the full-recount form, and a textbook driver-side BPE trainer
+    (Counter over word types, same deterministic tie-break) must all
+    learn the identical merge table on random corpora."""
+    from collections import Counter
+
+    from mongoshake_spark.functions.bpe import END_OF_WORD, bpe_train
+
+    def textbook(texts, n):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    vocab[tuple(list(w) + [END_OF_WORD])] += 1
+        out = []
+        for step in range(n):
+            pairs = Counter()
+            for syms, cnt in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += cnt
+            if not pairs:
+                break
+            (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, l, r, l + r, c))
+            nv = Counter()
+            for syms, cnt in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nv[tuple(res)] += cnt
+            vocab = nv
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = textbook(texts, 4)
+    inc = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=True).collect()]
+    full = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=False).collect()]
+    assert inc == want and full == want

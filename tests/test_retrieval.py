@@ -255,3 +255,69 @@ def test_pq_encode_reconstruct_roundtrip_properties(spark):
     top = pq.pq_topk(vecs, [3], k=12, m=2, k_code=4, codebooks=cb).collect()
     by_id = {r["neighbor_id"]: r["cos_sim"] for r in top}
     assert by_id[10] == max(by_id.values())
+
+
+def test_pq_rerank_recovers_exact_order_at_full_shortlist(spark):
+    """Two-stage PQ: with rerank C covering every corpus vector, the
+    final ranking IS the exact brute-force cosine order — the re-rank
+    stage's exact arithmetic fully overrides ADC's quantization error.
+    Also pins the candidate-sized contract: rerank < k is rejected."""
+    import pytest
+
+    from mongoshake_spark.functions import quantization as pq
+    from mongoshake_spark.functions import similarity
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_topk(vecs, [0, 1], k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq.pq_topk(
+            vecs, [0, 1], k=5, m=2, k_code=4, rerank=11
+        ).collect()
+    }
+    assert got == exact
+    with pytest.raises(ValueError, match="rerank"):
+        pq.pq_topk(vecs, [0], k=5, m=2, k_code=4, rerank=3)
+
+
+def test_ivfpq_validations_and_full_probe_shape(spark):
+    """IVF-PQ guards: empty coarse sample and indivisible dims are loud;
+    with every cell probed and k = corpus, every non-query vector is
+    scored exactly once with contiguous ranks (cell restriction drops
+    nothing at full probe), deterministically across repartitionings."""
+    import pytest
+
+    from mongoshake_spark.functions import quantization as pq
+
+    rows = [
+        (i, [float((i * 5 + j) % 7) + (1.0 if i == 4 else 0.0) for j in range(8)])
+        for i in range(10)
+    ] + [(10, [float((3 * 5 + j) % 7) for j in range(8)])]  # dup of vec 3
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="centroid_mod"):
+        # ids 1..10 only: no id divisible by 97 (id 0 divides everything)
+        pq.ivfpq_topk(vecs.filter("vec_id > 0"), [1], centroid_mod=97)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.ivfpq_topk(vecs, [0], m=3, centroid_mod=5)
+    top = pq.ivfpq_topk(
+        vecs, [3], k=11, n_probe=3, m=2, k_code=4, centroid_mod=5
+    ).collect()
+    # all 10 non-query vectors scored once, ranks contiguous
+    assert sorted(r["neighbor_id"] for r in top) == [
+        i for i in range(11) if i != 3
+    ]
+    assert sorted(r["rank"] for r in top) == list(range(1, 11))
+    again = pq.ivfpq_topk(
+        vecs.repartition(7), [3], k=11, n_probe=3, m=2, k_code=4,
+        centroid_mod=5,
+    ).collect()
+    assert {(r["rank"], r["neighbor_id"], r["cos_sim"]) for r in again} == {
+        (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in top
+    }
