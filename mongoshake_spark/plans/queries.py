@@ -1560,11 +1560,11 @@ def q31(spark, sf_dir):
             .parquet(feed_dir)
         )
         out_dir = f"{tmp}/out"
-        # 8 state-store partitions instead of the session's 32: per-batch
+        # 4 state-store partitions instead of the session's 32: per-batch
         # cost of a stateful stream scales with store instances, and this
-        # bounded drain runs 6 micro-batches over a small session-key space
+        # bounded drain runs 3 micro-batches over a small session-key space
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             q = (
                 reassemble_transactions(stream)
@@ -2099,11 +2099,14 @@ def decontaminate_spans_q(spark, sf_dir):
     "SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY 1",
     "Streaming ingest dedup: the documents table PLUS a full re-crawl "
     "copy (ids shifted so every copy lands in a LATER micro-batch than "
-    "its original) replayed as a 4-micro-batch stream through "
+    "its original) replayed as a 2-micro-batch stream through "
     "dropDuplicatesWithinWatermark on the content hash — the dedup state "
     "store must suppress every cross-batch re-arrival, leaving exactly "
     "the batch-distinct hash set (fixture texts are exact-distinct, so "
-    "emitted cardinality = |docs|, input = 2x that).",
+    "emitted cardinality = |docs|, input = 2x that; the id-range split "
+    "puts ALL originals in batch 1 and ALL re-crawls in batch 2, so "
+    "every duplicate crosses the batch boundary — more batches add "
+    "state-store rounds, not coverage).",
 )
 def stream_dedup_q(spark, sf_dir):
     import os
@@ -2132,7 +2135,7 @@ def stream_dedup_q(spark, sf_dir):
     feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
     try:
         (
-            docs.repartitionByRange(4, "doc_id")
+            docs.repartitionByRange(2, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(feed_dir)
@@ -3373,8 +3376,10 @@ WHERE last_op <> 'd' ORDER BY ns, user_id""",
     "namespaces streams through MultiTableApplyKernel — one checkpoint, "
     "one kernel per ns, per-ns bucketed state/watermark — and each "
     "namespace's materialized target must equal ITS OWN last-writer-wins "
-    "reconstruction. Runs a real 3-micro-batch stream "
-    "(streaming/multi.py; CLI --multi-ns).",
+    "reconstruction. Runs a real 2-micro-batch stream (cross-batch "
+    "accumulation + watermark advance need one boundary; each extra "
+    "batch costs a MERGE cycle per namespace on the bench's critical "
+    "path) (streaming/multi.py; CLI --multi-ns).",
 )
 def q37_multi_ns(spark, sf_dir):
     import os
@@ -3391,7 +3396,7 @@ def q37_multi_ns(spark, sf_dir):
     tmp = _stream_tmpdir("q37_")
     feed, root, ckpt = (os.path.join(tmp, d) for d in ("feed", "root", "ck"))
     (
-        two_ns.repartitionByRange(3, "ts", "id")
+        two_ns.repartitionByRange(2, "ts", "id")
         .sortWithinPartitions("ts", "id")
         .write.parquet(feed)
     )
@@ -3619,13 +3624,13 @@ def stream_join_q(spark, sf_dir):
     joined = stream_interval_join(
         ls, rs, "user_id", "l_ts", "r_ts", 0, 1800, watermark="720 hours"
     )
-    # 8 state-store partitions instead of the session's 32: a
+    # 4 state-store partitions instead of the session's 32: a
     # stream-stream join keeps TWO stores per partition and commits all
     # of them every micro-batch — per-batch wall scales with store
     # instances, not data, on this bounded drain (same sizing rule as
     # q31/stream_dedup/session_window_stream)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.select("user_id", "l_id", "r_id")

@@ -73,7 +73,15 @@ def run_receiver(
             rows = server.drain(upto)
             if not rows:
                 return
-            frames = spark.createDataFrame(rows, "shard int, value string")
+            import pandas as pd
+
+            # pandas first: createDataFrame over a pandas frame takes the
+            # Arrow path (one columnar batch), ~an order of magnitude
+            # cheaper than row-tuple conversion at 10k+ logs per flush
+            frames = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["shard", "value"]),
+                "shard int, value string",
+            )
             kernel.process_batch(
                 decode_frames(frames, OPLOG_WIRE_SCHEMA), batch_id
             )
