@@ -4340,6 +4340,60 @@ def ann_ivfpq_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+_SQ8_ORACLE = f"""WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
+  FROM embeddings),
+b AS (SELECT t.i AS pos,
+             min(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY 1),
+rec AS (
+  SELECT e.vec_id,
+         list(CASE WHEN b.mx > b.mn
+                   THEN b.mn + CAST(CAST(round(
+                          (CAST(e.embedding[b.pos] AS DOUBLE) - b.mn)
+                          / (b.mx - b.mn) * 255, 0) AS INT) AS DOUBLE)
+                        / 255.0 * (b.mx - b.mn)
+                   ELSE b.mn END ORDER BY b.pos) AS nvec
+  FROM embeddings e, b GROUP BY 1),
+nrm AS (SELECT vec_id AS neighbor_id, nvec,
+               sqrt({_dd_dot('nvec', 'nvec')}) AS nnorm
+        FROM rec),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, vnorm AS qnorm
+      FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         round({_dd_dot('q.qvec', 'n.nvec')} / (q.qnorm * n.nnorm), 6) AS cos_sim
+  FROM q CROSS JOIN nrm n WHERE n.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+@_q(
+    "ann_sq8",
+    _SQ8_ORACLE,
+    "SQ8 scalar quantization (the FAISS SQ8 shape): per-DIMENSION "
+    "min/max fit (one map-side-combined aggregate), each dim linearly "
+    "encoded to one byte (8x store compression of float64, no codebook "
+    "search — encode is a pure in-row map with the dim-sized bounds as "
+    "array literals), corpus scored asymmetrically through its int8 "
+    "reconstruction; near-exact recall at 8x, bracketing the "
+    "store/recall frontier opposite PQ's 32-128x "
+    "(functions/quantization.sq8_train/encode/reconstruct/topk).",
+)
+def ann_sq8_q(spark, sf_dir):
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq.sq8_topk(vecs, list(range(10)), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """Generated staged replay of BPE merge learning: one (pair-count,
     argmax, rewrite) CTE triple per merge. Symbol sequences ride as

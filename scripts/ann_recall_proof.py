@@ -182,6 +182,19 @@ def main() -> int:
             }
         )
 
+    # E2. SQ8 scalar quantization: 8x compression must be near-lossless
+    # for retrieval (GATED >= 0.9 recall@k) — per-dim int8 keeps ~8 bits
+    # of signal per axis, the opposite end of the store/recall frontier
+    # from PQ's 32-128x.
+    t0 = time.perf_counter()
+    sq8 = {
+        "recall_at_k": recall(
+            topk_sets(pq_mod.sq8_topk(vecs, query_ids, k=K)), exact
+        ),
+        "compression_x": 8.0,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
     # F. IVF-PQ (IVFADC): cells + residual codes + probe-restricted ADC.
     # Reported, not gated on absolute recall (two approximations stack on
     # the worst-case isotropic fixture); the n_probe sweep must still be
@@ -222,6 +235,7 @@ def main() -> int:
         "ivf_kmeans": km_curve,
         "pq_adc": pq_curve,
         "pq_rerank": rr_curve,
+        "sq8": sq8,
         "ivfpq": ivfpq_curve,
         "lsh_mean_candidate_frac": lsh_cand_frac,
         "lsh_n_buckets": len(bucket_sizes),
@@ -268,6 +282,7 @@ def main() -> int:
             for a, b in zip(rr_curve, rr_curve[1:])
         )
         and rr_curve[-1]["recall_at_k"] >= 0.9
+        and sq8["recall_at_k"] >= 0.9  # int8 is near-lossless
         # IVF-PQ: wider probes never lose recall
         and all(
             a["recall_at_k"] <= b["recall_at_k"] + 1e-9

@@ -321,3 +321,43 @@ def test_ivfpq_validations_and_full_probe_shape(spark):
     assert {(r["rank"], r["neighbor_id"], r["cos_sim"]) for r in again} == {
         (r["rank"], r["neighbor_id"], r["cos_sim"]) for r in top
     }
+
+
+def test_sq8_roundtrip_and_extremes_exact(spark):
+    """SQ8: codes are one byte per dimension (0..255); per-dim min and
+    max reconstruct EXACTLY (they are the quantizer's anchor points);
+    every reconstruction stays inside [mn, mx]; constant dimensions
+    encode to 0 and reconstruct to their value."""
+    from mongoshake_spark.functions import quantization as pq
+
+    rows = [
+        (0, [0.0, -4.0, 7.5, 3.0]),
+        (1, [10.0, 2.0, -2.5, 3.0]),
+        (2, [5.0, -1.0, 0.0, 3.0]),  # dim 3 is constant
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bounds = pq.sq8_train(vecs)
+    b = {r["pos"]: (r["mn"], r["mx"]) for r in bounds.collect()}
+    assert b == {0: (0.0, 10.0), 1: (-4.0, 2.0), 2: (-2.5, 7.5), 3: (3.0, 3.0)}
+    codes = pq.sq8_encode(vecs, bounds)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+    assert got[0][0] == 0 and got[1][0] == 255  # min/max anchor codes
+    assert [cs[3] for cs in got.values()] == [0, 0, 0]  # constant dim
+    rec = {
+        r["vec_id"]: list(r["embedding"])
+        for r in pq.sq8_reconstruct(codes, bounds).collect()
+    }
+    for vid, emb in rows:
+        for i, x in enumerate(emb):
+            mn, mx = b[i]
+            assert mn - 1e-12 <= rec[vid][i] <= mx + 1e-12
+            if x in (mn, mx):
+                assert rec[vid][i] == x  # anchors are exact
+    # top-k through the compressed store ranks the identical vector pair
+    dup = vecs.union(
+        spark.createDataFrame([(3, [10.0, 2.0, -2.5, 3.0])],
+                              "vec_id long, embedding array<double>")
+    )
+    top = pq.sq8_topk(dup, [1], k=3).collect()
+    assert top[0]["neighbor_id"] == 3 and top[0]["rank"] == 1
