@@ -14,13 +14,16 @@ Algorithm, re-expressed Spark-first:
   by frequency, so every later pass is bounded by vocabulary size, not
   corpus size — the one shuffle that touches the corpus;
 - each merge step is (1) a pair-count aggregation over adjacent symbol
-  pairs (map-side combined, weighted by word count), (2) an argmax with
-  a total deterministic order (count desc, then pair lexicographic),
-  collected as ONE driver row — the same bounded driver residency
-  k-means seeds have, and inherent to BPE (step t+1's statistics depend
-  on step t's rewrite), and (3) an in-row rewrite of every word's
-  symbol array (left-to-right non-overlapping, a single
-  ``F.aggregate`` fold — no Python, no shuffle);
+  pairs (map-side combined, weighted by word count) — maintained with
+  exact DELTAS over the affected word slice in the default incremental
+  form (pair statistics are word-TYPE-bounded model state, held
+  driver-side like k-means seeds; see ``bpe_train``), (2) an argmax
+  with a total deterministic order (count desc, then pair
+  lexicographic) — free on the driver table, or ONE collected row in
+  the recount form — and (3) an in-row rewrite of the symbol arrays of
+  the words that CAN change (left-to-right non-overlapping, a single
+  ``F.aggregate`` fold behind an adjacency predicate — no Python, no
+  shuffle);
 - the word table is lineage-truncated per step (``localCheckpoint``),
   the iterative-algorithm rule every Lloyd-style loop here follows.
 

@@ -4394,13 +4394,31 @@ def ann_sq8_q(spark, sf_dir):
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Generated staged replay of BPE merge learning: one (pair-count,
-    argmax, rewrite) CTE triple per merge. Symbol sequences ride as
-    chr(31)-joined strings (DuckDB 1.0's list_reduce drops list-typed
-    struct-accumulator fields, so the rewrite fold carries scalar
-    strings); pairs pack as l||chr(30)||r. The rewrite fold is the same
-    left-to-right non-overlapping scan bpe.merge_rewrite runs."""
+def _bpe_stages(n_merges: int) -> str:
+    """The staged BPE-merge CTE chain shared by the train and encode
+    oracles: one (pair-count, argmax, rewrite) CTE triple per merge.
+    Symbol sequences ride as chr(31)-joined strings; pairs pack as
+    l||chr(30)||r.
+
+    The rewrite step is a plain string ``replace`` over the
+    DOUBLE-DELIMITED form — each token wrapped as |tok| so adjacent
+    tokens share '||' and the pattern '|l||r|' consumes exactly one
+    adjacency per match: replace()'s left-to-right non-overlapping
+    semantics then EQUAL bpe.merge_rewrite's BPE scan ('aaa' + (a,a)
+    -> [aa, a], because the second 'a' has its own delimiters and the
+    consumed span cannot be re-matched). Tokens never contain chr(31)
+    by construction (split characters + their concatenations).
+
+    Why not a list_reduce fold (the original form): DuckDB evaluates a
+    lambda referencing a cross-joined column MISALIGNED against the
+    outer row under multi-threaded execution — (word, s) pairings come
+    back scrambled nondeterministically at sf0.1 (observed: 'filter'
+    carrying 'hasher''s symbols; PRAGMA threads=1 is stable and
+    correct). A scalar replace() over the materialized one-row merge
+    has no lambda, so no misalignment surface (verified stable across
+    repeated multi-threaded runs, equal to the single-threaded
+    result). m{{i}} is MATERIALIZED: inlined scalar references would
+    re-derive the whole prior stage chain per evaluation."""
     base = """WITH w0 AS (
   SELECT word, count(*) AS cnt,
          array_to_string(list_transform(range(1, length(word) + 1),
@@ -4418,35 +4436,50 @@ def _bpe_oracle(n_merges: int) -> str:
     FROM (SELECT cnt, string_split(s, chr(31)) AS sv FROM w{i})
     WHERE len(sv) >= 2)
   GROUP BY 1, 2),
-m{i} AS (SELECT l, r, l || r AS m, c FROM p{i}
+m{i} AS MATERIALIZED (SELECT l, r, l || r AS m, c FROM p{i}
          ORDER BY c DESC, l, r LIMIT 1),
 w{i + 1} AS (
-  SELECT word, cnt, fold.done ||
-         CASE WHEN fold.pv IS NULL THEN '' ELSE
-           CASE WHEN fold.done = '' THEN fold.pv
-                ELSE chr(31) || fold.pv END END AS s
+  SELECT word, cnt,
+         replace(substr(x, 2, len(x) - 2),
+                 chr(31) || chr(31), chr(31)) AS s
   FROM (
     SELECT word, cnt,
-      list_reduce(
-        [struct_pack(done := CAST('' AS VARCHAR), pv := CAST(NULL AS VARCHAR))] ||
-        list_transform(string_split(s, chr(31)),
-                       x -> struct_pack(done := CAST('' AS VARCHAR), pv := x)),
-        (acc, x) -> CASE
-          WHEN acc.pv = m{i}.l AND x.pv = m{i}.r
-            THEN struct_pack(done := acc.done, pv := m{i}.m)
-          ELSE struct_pack(
-            done := CASE WHEN acc.pv IS NULL THEN acc.done
-                         WHEN acc.done = '' THEN acc.pv
-                         ELSE acc.done || chr(31) || acc.pv END,
-            pv := x.pv)
-        END) AS fold
+      replace(
+        chr(31) || replace(s, chr(31), chr(31) || chr(31)) || chr(31),
+        chr(31) || m{i}.l || chr(31) || chr(31) || m{i}.r || chr(31),
+        chr(31) || m{i}.m || chr(31)
+      ) AS x
     FROM w{i} CROSS JOIN m{i}))""")
+    return ",\n".join(stages)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, l AS lhs, r AS rhs, m AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM m{i}"
         for i in range(n_merges)
     )
-    return ",\n".join(stages) + "\n" + union + "\nORDER BY step"
+    return _bpe_stages(n_merges) + "\n" + union + "\nORDER BY step"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode oracle: replay the merges to the final word table, then
+    join each document's words (in position order) to their encoded
+    symbol strings — exactly the vocabulary-replay + join-back shape
+    bpe_encode runs."""
+    return f"""{_bpe_stages(n_merges)},
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+enc AS (
+  SELECT t.doc_id, t.pos, w.s
+  FROM tok t JOIN w{n_merges} w ON w.word = t.word
+  WHERE t.word <> '')
+SELECT doc_id,
+       array_to_string(list(s ORDER BY pos), chr(31)) AS bpe,
+       CAST(sum(len(string_split(s, chr(31)))) AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
 
 
 @_q(
@@ -4471,6 +4504,31 @@ def bpe_train_q(spark, sf_dir):
     # is large enough that the per-step explode dominates scheduling
     # constants); both forms are property-tested identical
     return bpe_train(docs, n_merges=6, incremental=False).orderBy("step")
+
+
+@_q(
+    "bpe_encode",
+    _bpe_encode_oracle(4),
+    "BPE corpus encoding at scale (the deploy side of bpe_train): the "
+    "learned merge list replays over the DISTINCT-WORD table only "
+    "(vocabulary-sized work, lineage-bounded fold chain), then encoded "
+    "words join back onto documents by position — encoding a 100 TB "
+    "corpus is one word-table join, never a per-document merge loop. "
+    "Output is each document's full subword sequence (chr(31)-joined) "
+    "plus its token count; the oracle replays the identical staged "
+    "merge chain and join (functions/bpe.bpe_encode).",
+)
+def bpe_encode_q(spark, sf_dir):
+    from mongoshake_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=4, incremental=False)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", "\x1f").alias("bpe"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
