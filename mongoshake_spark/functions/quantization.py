@@ -380,10 +380,18 @@ def ivfpq_topk(
     the query's residual against that cell.
 
     Approximate cosine is reconstructed exactly from decomposable terms,
-    every cross-engine sum folding in a fixed subspace order:
+    every cross-engine sum folding in a fixed subspace order. With
+    v̂ = c + r̂ (cell centroid plus reconstructed residual) and the ADC
+    table built from the QUERY residual q-c:
 
-        dot(q, v)  ≈ dot(q, c) + Σ_sub dot(q_sub - c_sub, codeword)
-        ‖v‖²       ≈ ‖c‖² + 2·Σ_sub dot(c_sub, codeword) + Σ_sub ‖codeword‖²
+        dot(q, v̂) = dot(q, c) + dot(q, r̂)
+                   = dot(q, c) + Σ_sub dot(q_sub - c_sub, codeword)
+                              + Σ_sub dot(c_sub, codeword)
+        ‖v̂‖²      = ‖c‖² + 2·Σ_sub dot(c_sub, codeword) + Σ_sub ‖codeword‖²
+
+    (the centroid-residual cross term appears in BOTH numerator and
+    denominator — the residual ADC sum alone is dot(q-c, r̂), not
+    dot(q, r̂))
 
     Scale shape: coarse assignment is one broadcast-centroid aggregate;
     residual train/encode are the pq_train/pq_encode passes (map-only +
@@ -422,8 +430,13 @@ def ivfpq_topk(
                 lambda x, y: x.cast("double") - y.cast("double"),
             ).alias("res"),
         )
-        .localCheckpoint(eager=True)  # feeds train + encode + the cell map
+        # persist, NOT an eager localCheckpoint: checkpointing an AQE
+        # plan can materialize at ~2 coalesced partitions, which would
+        # serialize every downstream Lloyd pass and the code scan; the
+        # cache keeps full stage width (blocks LRU-evict under pressure)
+        .persist()
     )
+    res.count()  # materialize once for train + encode + the cell map
     codebooks = pq_train(res, m, k_code, iters, id_col, "res")
     codes = pq_encode(res, codebooks, id_col, "res").join(
         res.select(id_col, "cell"), id_col
@@ -539,7 +552,7 @@ def ivfpq_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            (F.col("q_dot_c") + F.col("adc_sum"))
+            (F.col("q_dot_c") + F.col("adc_sum") + F.col("cd_sum"))
             / (
                 F.col("qnorm")
                 * F.sqrt(
@@ -649,7 +662,10 @@ def sq8_topk(
     scripts/ann_recall_proof.py) at 8x compression; PQ goes further
     (32-128x) by trading recall — the two quantizers bracket the
     store-size/recall frontier."""
-    bounds = sq8_train(vecs, vec_col)
+    # the dim-sized bounds table is collected twice (encode + reconstruct
+    # each build their array literals from it) — checkpoint it so the
+    # corpus-wide min/max aggregation runs ONCE, not per collect
+    bounds = sq8_train(vecs, vec_col).localCheckpoint(eager=True)
     recon = sq8_reconstruct(
         sq8_encode(vecs, bounds, id_col, vec_col), bounds, id_col
     )

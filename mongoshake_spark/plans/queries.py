@@ -2134,12 +2134,18 @@ def stream_dedup_q(spark, sf_dir):
     tmp = _stream_tmpdir("sdedup_")
     feed_dir, ckpt_dir, out_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
     try:
-        (
-            docs.repartitionByRange(2, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(feed_dir)
-        )
+        # DETERMINISTIC split (not repartitionByRange, whose sampled
+        # boundary could leak a few originals into batch 2 next to their
+        # copies and quietly weaken the cross-batch claim): batch 1 =
+        # every original, batch 2 = every re-crawl copy, by id threshold
+        os.makedirs(feed_dir, exist_ok=True)
+        for i, pred in enumerate(
+            (F.col("doc_id") < shift, F.col("doc_id") >= shift)
+        ):
+            d = f"{tmp}/b{i}"
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
         parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
         t0 = time.time() - len(parts) - 10
         for i, f in enumerate(parts):
@@ -4306,7 +4312,7 @@ scored AS (
   GROUP BY 1, 2, 3),
 ranked AS (
   SELECT s.query_id, s.neighbor_id,
-         round((qc.q_dot_c + s.adc_sum)
+         round((qc.q_dot_c + s.adc_sum + s.cd_sum)
                / (qc.qnorm * sqrt(qc.cnorm * qc.cnorm + 2 * s.cd_sum + s.rn2_sum)), 6) AS cos_sim
   FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.cell = s.cell)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (

@@ -211,14 +211,28 @@ class ApplyKernel:
             return
         if self._is_delta:
             # Delta owns its file layout (no rebucket migration to run);
-            # only the compaction watermark rides in the marker, which
-            # Delta ignores (leading-underscore file)
+            # the marker carries the compaction watermark AND the bucket
+            # count, which Delta's own log does not know about — the
+            # MERGE condition includes `t._bucket = s._bucket`, so
+            # reopening with a different n_buckets would hash keys into
+            # different buckets, miss every match and silently DUPLICATE
+            # keys (the same hazard the parquet path migrates away from;
+            # for delta we refuse loudly instead of rewriting the table)
             if os.path.isfile(self._marker_path()):
                 try:
                     with open(self._marker_path()) as f:
                         doc = json.load(f)
                 except (json.JSONDecodeError, OSError):
                     doc = {}
+                marker_buckets = doc.get("n_buckets")
+                if marker_buckets is not None and marker_buckets != self.n_buckets:
+                    raise RuntimeError(
+                        f"delta state at {self.target_dir} was written with "
+                        f"n_buckets={marker_buckets}; reopening with "
+                        f"n_buckets={self.n_buckets} would merge on "
+                        "mismatched _bucket values and silently duplicate "
+                        "keys — reopen with the original bucket count"
+                    )
                 if self._watermark is None:
                     self._watermark = doc.get("watermark")
             return

@@ -283,14 +283,23 @@ class MultiTableApplyKernel:
 
     def state_view(self, ns: str) -> DataFrame | None:
         """Per-namespace state. A namespace whose kernel was LRU-evicted
-        is rebuilt from its state dir (eviction drops the OBJECT, never
-        the state), so views stay available across evictions."""
+        gets a TRANSIENT read-only kernel built from its state dir
+        (eviction drops the OBJECT, never the state), so views stay
+        available across evictions. The transient kernel is deliberately
+        NOT registered in ``self.kernels``: that dict is only mutated on
+        the batch thread (the thread-safety argument in _run_ns_tasks),
+        and a monitoring thread's view must not race the LRU order."""
         k = self.kernels.get(ns)
         if k is None:
             safe = safe_ns_dir(ns)
             if safe is None or not os.path.isdir(f"{self.root_dir}/{safe}"):
                 return None
-            k = self._kernel_for(ns, safe)
+            k = ApplyKernel(
+                self.spark,
+                f"{self.root_dir}/{safe}",
+                dead_letter_dir=f"{self.dead_letter_dir}/{safe}",
+                **self.kernel_kwargs,
+            )
         return k.state_view()
 
 

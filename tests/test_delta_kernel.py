@@ -189,3 +189,23 @@ def test_delta_new_kernel_resumes_from_state_dir(delta_spark, tmp_path):
     got = {(r["user_id"], r["value"]) for r in k2.state_view().collect()}
     assert got == {(1, 1.0), (2, 2.0)}
     assert k2._watermark == 2  # marker round-trip across kernel objects
+
+
+@needs_delta
+def test_delta_rejects_bucket_count_mismatch(delta_spark, tmp_path):
+    """Reopening a delta state dir with a different n_buckets must fail
+    loudly: the MERGE condition includes the bucket column, so a silent
+    reopen would miss every match and duplicate keys (the parquet path
+    migrates; delta refuses)."""
+    from mongoshake_spark.streaming.apply import ApplyKernel
+
+    d = str(tmp_path / "t")
+    k1 = ApplyKernel(delta_spark, d, state_format="delta", n_buckets=8)
+    k1.process_batch(_batch(delta_spark, [
+        (1, T0, 1, "i", "db.c", 1.0, "{}"),
+    ]), 0)
+    k2 = ApplyKernel(delta_spark, d, state_format="delta", n_buckets=4)
+    with pytest.raises(RuntimeError, match="n_buckets"):
+        k2.process_batch(_batch(delta_spark, [
+            (2, T0, 2, "i", "db.c", 2.0, "{}"),
+        ]), 1)

@@ -949,16 +949,22 @@ def test_multi_table_kernel_lru_eviction_rebuilds_from_state_dir(spark, tmp_path
     evicted = [f"db0.c{j}" for j in range(4) if f"db0.c{j}" not in multi.kernels]
     assert len(evicted) == 2
 
-    # view of an evicted namespace: rebuilt lazily, state intact
+    # view of an evicted namespace: a TRANSIENT kernel reads the state
+    # dir; the kernel map is NOT mutated (state_view may run off the
+    # batch thread — see _run_ns_tasks' thread-safety argument)
     ns = evicted[0]
     j = int(ns[-1])
     got = {(r["user_id"], r["value"]) for r in multi.state_view(ns).collect()}
     assert got == {(i % 3, float(i)) for i in range(12) if i % 4 == j}
-    # the rebuild re-read _layout.json: the persisted compaction
-    # watermark (this namespace's batch-0 max ordinal) came back
-    assert multi.kernels[ns]._watermark == max(
-        i for i in range(12) if i % 4 == j
-    )
+    assert ns not in multi.kernels and len(multi.kernels) == 2
+    # the rebuild re-read _layout.json: a fresh kernel over the same dir
+    # recovers the persisted compaction watermark (this namespace's
+    # batch-0 max ordinal)
+    from mongoshake_spark.streaming.apply import ApplyKernel
+
+    probe = ApplyKernel(spark, f"{multi.root_dir}/{ns}", n_buckets=4)
+    probe.state_view()
+    assert probe._watermark == max(i for i in range(12) if i % 4 == j)
 
     # update + delete routed through ANOTHER evict/rebuild cycle still
     # converge (the layout re-read kept bucketing consistent, so no
