@@ -23,10 +23,14 @@ dumps scans at cluster width.
 from __future__ import annotations
 
 import struct
-import zlib
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# ONE checksum implementation for every wire form: the dump-file blocks
+# carry the identical XOR-of-crc32 the TCP tunnel's TMessages carry
+# (tunnel/tunnel.go:53-59), so the fold must never fork
+from mongoshake_spark.sources.socket_tunnel import crc32_xor  # noqa: F401
 
 FILE_MAGIC = 0xEEEEEEEEEE201314
 FILE_PROTOCOL = 1
@@ -37,13 +41,6 @@ MSG_STORAGE_BACKEND = 0x00010000
 
 _FILE_HEADER = struct.Struct(">QII16s")
 _BLOCK_HEADER = struct.Struct(">IIIIII")
-
-
-def crc32_xor(logs: list[bytes]) -> int:
-    v = 0
-    for log in logs:
-        v ^= zlib.crc32(log)
-    return v
 
 
 def write_dump_file(

@@ -68,6 +68,7 @@ import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MAGIC = 0xCAFE
 VERSION = 1
@@ -133,6 +134,20 @@ def crc32_xor(logs: list[bytes]) -> int:
     for log in logs:
         v ^= zlib.crc32(log)
     return v & 0xFFFFFFFF
+
+
+def _ordinal(log: bytes) -> int:
+    """Oplog ordinal of one json-codec log. The json tunnel codec emits
+    the wire struct in column order, id first — a prefix match reads the
+    ordinal without parsing the whole document (the per-log json.loads
+    was the receiver's hot path: ~25x slower over a 100k-log drain).
+    Any other shape falls back to the full parse, same semantics."""
+    import json as _json
+
+    m = _ID_PREFIX_RE.match(log)
+    if m:
+        return int(m.group(1))
+    return int(_json.loads(log).get("id", 0))
 
 
 def _compress_one(data: bytes, cid: int) -> bytes:
@@ -292,7 +307,17 @@ class TunnelServer:
                 if ptype == PACKET_GET_ACK:
                     reply = self.ack
                 elif ptype == PACKET_WRITE:
-                    reply = self._sync(payload, conn_ack)
+                    try:
+                        reply = self._sync(payload, conn_ack)
+                    except (struct.error, IndexError):
+                        # a structurally malformed TMessage (log count
+                        # past the payload, truncated header) must get
+                        # an error REPLY and re-arm the retransmit gate
+                        # — not kill this handler thread silently and
+                        # leave the sender hanging until socket timeout
+                        with self._lock:
+                            self.retransmit = True
+                        reply = REPLY_CHECKSUM_INVALID
                 else:
                     return
                 conn.sendall(
@@ -301,49 +326,54 @@ class TunnelServer:
 
     def _sync(self, payload: bytes, conn_ack: list) -> int:
         """replayer.go Sync(): retransmit gate -> checksum -> decompress ->
-        dedupe -> consume -> ack (the batch's max ordinal, per connection)."""
+        dedupe -> consume -> ack (the batch's max ordinal, per connection).
+
+        The CPU-bound work — TMessage decode, checksum fold,
+        per-log decompression and ordinal parsing — runs OUTSIDE the
+        server lock, so N sender connections actually stream
+        concurrently (the module's design claim); the lock covers only
+        the shared-state window: the retransmit gate, the per-shard
+        dedupe watermarks, and the append/ack."""
         with self._lock:
             if self.corrupt_first_n > 0:
                 self.corrupt_first_n -= 1
                 payload = payload[:-1] + bytes([payload[-1] ^ 0xFF])
-            msg = decode_tmessage(payload)
-            if self.retransmit:
-                if not msg["tag"] & MSG_RETRANSMISSION:
-                    return REPLY_RETRANSMISSION
-                self.retransmit = False
-            if msg["checksum"] != 0 and crc32_xor(msg["logs"]) != msg["checksum"]:
-                self.retransmit = True
-                return REPLY_CHECKSUM_INVALID
+        msg = decode_tmessage(payload)
+        cksum_ok = (
+            msg["checksum"] == 0 or crc32_xor(msg["logs"]) == msg["checksum"]
+        )
+        logs: list[bytes] = []
+        decode_reply = 0
+        if cksum_ok:
             try:
-                logs = [_decompress_one(log, msg["compress"]) for log in msg["logs"]]
+                logs = [
+                    _decompress_one(log, msg["compress"]) for log in msg["logs"]
+                ]
             except (DecompressError, zlib.error, gzip.BadGzipFile, EOFError):
                 # EOFError: gzip.decompress raises it (not BadGzipFile) on a
                 # TRUNCATED stream — without this clause it would kill the
                 # handler thread with no reply and leave the sender hanging
-                self.retransmit = True
-                return REPLY_DECOMPRESS_INVALID
+                decode_reply = REPLY_DECOMPRESS_INVALID
             except ValueError:
+                decode_reply = REPLY_COMPRESSOR_NOT_SUPPORTED
+        ordinals = [_ordinal(log) for log in logs]
+        with self._lock:
+            if self.retransmit:
+                if not msg["tag"] & MSG_RETRANSMISSION:
+                    return REPLY_RETRANSMISSION
+                self.retransmit = False
+            if not cksum_ok:
                 self.retransmit = True
-                return REPLY_COMPRESSOR_NOT_SUPPORTED
+                return REPLY_CHECKSUM_INVALID
+            if decode_reply:
+                self.retransmit = True
+                return decode_reply
             if not logs:  # probe request
                 return self.ack
-            import json as _json
-
-            def _ordinal(log: bytes) -> int:
-                # the json tunnel codec emits the wire struct in column
-                # order, id first — a prefix match reads the ordinal
-                # without parsing the whole document (the per-log
-                # json.loads was the receiver's hot path: ~25x slower
-                # over a 100k-log drain). Any other shape falls back to
-                # the full parse, same semantics.
-                m = _ID_PREFIX_RE.match(log)
-                if m:
-                    return int(m.group(1))
-                return int(_json.loads(log).get("id", 0))
-
             # dedupe against the PRE-batch per-SHARD watermark: the shard
             # is the single-writer ordering unit (P7 routing — ordinals
-            # monotone within a shard), so it is the correct dedupe key
+            # monotone within a shard, one sender partition per shard —
+            # see write_socket_tunnel), so it is the correct dedupe key
             # both across reconnects (a fresh connection's conn_ack
             # restarts at -1, but the shard's watermark survives — without
             # it an ack-lost-in-flight retransmission appends the consumed
@@ -353,8 +383,7 @@ class TunnelServer:
             shard = msg["shard"]
             prev_ack = self.shard_ack.get(shard, -1)
             batch_max = prev_ack
-            for log in logs:
-                ordinal = _ordinal(log)
+            for log, ordinal in zip(logs, ordinals):
                 # a retransmitted frame may replay logs already consumed
                 # (rejection AFTER a consumed batch, or a reconnect) —
                 # dropping them here is what keeps the receiver append-only
@@ -494,12 +523,29 @@ def write_socket_tunnel(
     resends its partition; the receiver's per-shard ordinal watermark
     (and every downstream apply's idempotent MERGE) absorbs duplicates —
     the same at-least-once + idempotent-consumer argument the reference
-    makes for its ack window."""
+    makes for its ack window.
+
+    SINGLE WRITER PER SHARD (P7, the invariant the receiver's per-shard
+    dedupe watermark is sound under): the frames repartition ON the
+    shard column — every row of a shard flows through exactly one
+    partition/connection — and sort within the partition by ordinal, so
+    a shard's ordinals arrive monotone. Without this, two connections
+    carrying one shard could interleave ordinal ranges, and a
+    retransmission after a transient reject would be deduped against
+    the OTHER connection's higher watermark — acked but never consumed
+    (permanent loss)."""
     import pandas as pd
 
     from mongoshake_spark.sources.tunnel import encode_frames
 
-    frames = encode_frames(df, n_shards=n_shards)
+    frames = (
+        encode_frames(df, n_shards=n_shards)
+        .withColumn(
+            "_ord", F.get_json_object("value", "$.id").cast("long")
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord")
+    )
 
     def send_batches(batches):
         client = None
@@ -511,18 +557,15 @@ def write_socket_tunnel(
                     client = TunnelClient(host, port, compress)
                 for sh, group in pdf.groupby("shard", sort=False):
                     vals = group["value"].to_numpy()
+                    ords = group["_ord"].fillna(0).to_numpy()
                     for i in range(0, len(vals), batch_size):
                         logs = [v.encode() for v in vals[i : i + batch_size]]
-                        client.send(logs, int(sh), _max_id(logs))
+                        client.send(
+                            logs, int(sh), int(ords[i : i + batch_size].max())
+                        )
             yield pd.DataFrame({"sent": [1]})
         finally:
             if client is not None:
                 client.close()
 
     frames.mapInPandas(send_batches, schema="sent int").count()
-
-
-def _max_id(logs: list[bytes]) -> int:
-    import json as _json
-
-    return max(int(_json.loads(log).get("id", 0)) for log in logs)

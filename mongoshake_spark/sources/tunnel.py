@@ -289,6 +289,14 @@ def decode_raw_frames(
     ok = F.coalesce(
         (F.col("_nlogs") == F.col("_nc"))
         & (F.col("_nlogs") >= 1)
+        # compressor id 0 only: a frame a reference collector wrote with
+        # compression would pass the CRC (computed over wire bytes) yet
+        # from_json over compressed bytes would emit all-NULL rows into
+        # the GOOD leg — route it to the dead-letter leg instead, where
+        # the operator sees the frame (this pure-Catalyst decoder has no
+        # codegen decompression; the socket tunnel handles compressed
+        # TMessages)
+        & (F.conv(F.substring(F.col("_h"), 25, 8), 16, 10).cast("bigint") == 0)
         # structural closure: the last offset is exactly one past the end
         & (F.expr("element_at(_offs, -1)") - 1 == F.length(F.col("_h")))
         & (

@@ -210,6 +210,23 @@ class ApplyKernel:
         if not os.path.isdir(self.target_dir):
             return
         if self._is_delta:
+            # an EXISTING non-delta state dir must refuse loudly: the
+            # first delta segment write is mode("overwrite") on an
+            # is-not-yet-DeltaTable path, which would replace the whole
+            # accumulated parquet state with one batch's net rows
+            entries_ = os.listdir(self.target_dir)
+            has_parquet_state = any(
+                e.startswith("_bucket=") or e.endswith(".parquet")
+                for e in entries_
+            )
+            if has_parquet_state and "_delta_log" not in entries_:
+                raise RuntimeError(
+                    f"{self.target_dir} holds parquet-format kernel state "
+                    "but state_format='delta' was requested; reopen with "
+                    "state_format='parquet' (or migrate explicitly) — a "
+                    "delta write here would overwrite the accumulated "
+                    "state"
+                )
             # Delta owns its file layout (no rebucket migration to run);
             # the marker carries the compaction watermark AND the bucket
             # count, which Delta's own log does not know about — the

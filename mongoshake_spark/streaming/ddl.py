@@ -80,11 +80,23 @@ class SparkCatalogDDL:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._tbl(db, coll)}").collect()
         for r in rows:
             if r["key"] == prop:
-                return json.loads(r["value"])
+                try:
+                    return json.loads(r["value"])
+                except (json.JSONDecodeError, TypeError):
+                    # a corrupt stored payload (e.g. written by a foreign
+                    # tool) must degrade to "no recorded specs" — raising
+                    # here would poison the stream permanently, since
+                    # every checkpoint retry replays the same command
+                    return []
         return []
 
     def _set_prop(self, db: str, coll: str, prop: str, value) -> None:
-        payload = json.dumps(value).replace("'", "''")
+        # Spark SQL string literals interpret BOTH quote doubling and
+        # backslash escapes (escapedStringLiterals=false default), so a
+        # json.dumps payload containing \" or \\ must have its
+        # backslashes doubled too — single-quote-only escaping would
+        # store corrupted JSON that _get_prop can never parse back
+        payload = json.dumps(value).replace("\\", "\\\\").replace("'", "''")
         self.spark.sql(
             f"ALTER TABLE {self._tbl(db, coll)} SET TBLPROPERTIES ('{prop}' = '{payload}')"
         )

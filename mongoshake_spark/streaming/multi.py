@@ -194,6 +194,7 @@ class MultiTableApplyKernel:
             # same effective semantics the catalog-less kernel records.
             cmd_ns = {ns for ns in names if ns.endswith(".$cmd")}
             tasks: list[tuple[ApplyKernel, DataFrame]] = []
+            cmd_delivered = set()
             for ns in names:
                 if ns in cmd_ns:
                     continue
@@ -207,11 +208,28 @@ class MultiTableApplyKernel:
                 ns_pred = F.col(self.ns_col) == ns
                 if f"{db}.$cmd" in cmd_ns:
                     ns_pred = ns_pred | (F.col(self.ns_col) == f"{db}.$cmd")
+                    cmd_delivered.add(f"{db}.$cmd")
                 # kernels are created HERE, on the batch thread — the
                 # pool workers below never touch self.kernels
                 tasks.append(
                     (self._kernel_for(ns, safe), batch.filter(ns_pred))
                 )
+            # a $cmd namespace whose db has NO CRUD rows in THIS batch
+            # still has to reach that db's LIVE kernels (a single-row DDL
+            # micro-batch is routine at maxFilesPerTrigger=1): without
+            # this, the drop/collMod would be applied to nothing and
+            # silently lost despite live targets — violating W7. Only a
+            # db with no live kernel at all makes its commands no-ops
+            # (collection state materializes on first CRUD).
+            for cmd in cmd_ns - cmd_delivered:
+                db_prefix = cmd[: -len("$cmd")]  # 'db0.'
+                live = [
+                    ns for ns in list(self.kernels)
+                    if ns.startswith(db_prefix)
+                ]
+                cmd_rows = batch.filter(F.col(self.ns_col) == cmd)
+                for ns in live:
+                    tasks.append((self._kernel_for(ns, safe_ns_dir(ns)), cmd_rows))
             self._run_ns_tasks(tasks, batch_id)
             # W7: rows that cannot be routed must be RECORDED, never
             # dropped — unconditionally (the dir defaults under root)

@@ -116,9 +116,8 @@ def run_receiver(
                 time.sleep(poll)
     finally:
         server.stop()
-    state_rows = (
-        kernel.state_view().count() if kernel.state_view() is not None else 0
-    )
+    sv = kernel.state_view()
+    state_rows = sv.count() if sv is not None else 0
     return {
         "port": server.port,
         "logs": consumed,

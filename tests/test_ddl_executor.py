@@ -175,3 +175,21 @@ def test_drop_indexes_array_and_keypattern_forms(spark, ddl):
         "w6a.$cmd", json.dumps({"dropIndexes": "c1", "index": {"c": 1}})
     ) == "dropIndexes"
     assert ddl._get_prop("w6a", "c1", INDEX_PROP) == []
+
+
+def test_prop_roundtrip_survives_backslashes_and_quotes(spark):
+    """W12 spec storage: payloads containing backslash escapes and
+    quotes (a validator regex like \\d, an apostrophe) must round-trip
+    through TBLPROPERTIES — Spark string literals interpret BOTH quote
+    doubling and backslash escapes, so both need escaping on write."""
+    import json
+
+    from mongoshake_spark.streaming.ddl import SparkCatalogDDL
+
+    ddl = SparkCatalogDDL(spark)
+    ddl.execute("propdb.$cmd", json.dumps({"create": "c1"}))
+    spec = [{"name": "ix1", "key": {"f": 1}, "pattern": "\\d+'s \"quoted\""}]
+    ddl._set_prop("propdb", "c1", "mongoshake.indexes", spec)
+    got = ddl._get_prop("propdb", "c1", "mongoshake.indexes")
+    assert got == spec
+    ddl.execute("propdb.$cmd", json.dumps({"dropDatabase": 1}))

@@ -209,3 +209,40 @@ def test_delta_rejects_bucket_count_mismatch(delta_spark, tmp_path):
         k2.process_batch(_batch(delta_spark, [
             (2, T0, 2, "i", "db.c", 2.0, "{}"),
         ]), 1)
+
+
+def test_delta_refuses_existing_parquet_state(spark, tmp_path):
+    """Reopening a parquet-format state dir with state_format='delta'
+    must refuse loudly BEFORE any write: the first delta segment is a
+    mode('overwrite') save that would replace the accumulated state.
+    This guard needs no delta package (it fires before any Delta API),
+    so it runs everywhere — with a stub module when delta is absent."""
+    import datetime
+    import sys
+    import types
+
+    from mongoshake_spark.streaming.apply import ApplyKernel
+
+    d = str(tmp_path / "t")
+    pk = ApplyKernel(spark, d, n_buckets=4)
+    pk.process_batch(spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "i", "db.c", 1.0, "{}")],
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"), 0)
+
+    if not HAVE_DELTA:
+        # satisfy the availability gate with a stub delta.tables module;
+        # _ensure_layout's refusal fires before any attribute is used
+        fake = types.ModuleType("delta")
+        fake_tables = types.ModuleType("delta.tables")
+        fake_tables.DeltaTable = object
+        fake.tables = fake_tables
+        sys.modules["delta"] = fake
+        sys.modules["delta.tables"] = fake_tables
+    try:
+        dk = ApplyKernel(spark, d, state_format="delta", n_buckets=4)
+        with pytest.raises(RuntimeError, match="parquet-format"):
+            dk.state_view()
+    finally:
+        if not HAVE_DELTA:
+            del sys.modules["delta"], sys.modules["delta.tables"]

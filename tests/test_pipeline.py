@@ -712,3 +712,31 @@ def test_multimodal_png_wav_stdlib_decoders(spark):
     )
     with pytest.raises(Exception, match="crc mismatch|bad signature"):
         multimodal.decode_media(bad_media, decoder="png").collect()
+
+
+def test_decode_raw_frames_compressed_frame_dead_letters(spark):
+    """A raw TMessage a reference collector wrote WITH compression
+    passes the CRC (computed over the wire bytes) but cannot be decoded
+    by the pure-Catalyst raw path — it must land in the CORRUPT leg
+    where the operator sees the whole frame, never as all-NULL rows in
+    the good leg."""
+    import json as _json
+    import struct
+    import zlib
+
+    from mongoshake_spark.sources.socket_tunnel import _compress_one
+    from mongoshake_spark.sources.tunnel import decode_raw_frames
+
+    raw_log = _json.dumps(
+        {"id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "op": "i",
+         "ns": "db.c", "value": 1.0, "o": "{}"}
+    ).encode()
+    wire = _compress_one(raw_log, 1)  # gzip, reference compressor id 1
+    frame = struct.pack(
+        ">IIIII", zlib.crc32(wire) & 0xFFFFFFFF, 0, 0, 1, 1
+    ) + struct.pack(">I", len(wire)) + wire
+    frames = spark.createDataFrame([(0, bytearray(frame))],
+                                   "shard int, value binary")
+    good, corrupt = decode_raw_frames(frames)
+    assert good.count() == 0
+    assert corrupt.count() == 1

@@ -407,3 +407,33 @@ def test_non_integer_id_takes_full_parse_not_prefix_digits(server):
         assert server.shard_ack[3] == 1500
     finally:
         sock.close()
+
+
+def test_malformed_tmessage_gets_error_reply_not_dead_thread(server):
+    """A structurally malformed TMessage (log count past the payload)
+    must produce an error REPLY and re-arm the retransmit gate — before
+    the fix it raised struct.error inside the handler, killing the
+    thread silently and leaving the sender blocked until socket
+    timeout."""
+    import socket as pysock
+    import struct
+
+    server.retransmit = False
+    # header claims 5 logs; payload carries none
+    body = struct.pack(">IIIII", 0, st.MSG_NORMAL, 0, st.NO_COMPRESS, 5)
+    sock = pysock.create_connection(("127.0.0.1", server.port))
+    sock.settimeout(5)
+    try:
+        sock.sendall(st.encode_packet(st.PACKET_WRITE, body))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == st.REPLY_CHECKSUM_INVALID
+        assert server.retransmit is True
+        # the connection stays serviceable: a valid tagged resend lands
+        sock.sendall(st.encode_packet(
+            st.PACKET_WRITE,
+            st.encode_tmessage(_logs([1]), 0, tag=st.MSG_RETRANSMISSION),
+        ))
+        _, payload = st.read_packet(sock)
+        assert struct.unpack(">q", payload)[0] == 1
+    finally:
+        sock.close()

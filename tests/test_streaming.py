@@ -1258,3 +1258,28 @@ def test_receiver_max_wall_flushes_pending(spark, tmp_path):
     assert not th.is_alive()
     s = box["summary"]
     assert s["logs"] == 40 and s["state_rows"] == 5
+
+
+def test_multi_table_cmd_only_batch_reaches_live_kernels(spark, tmp_path):
+    """A micro-batch whose ONLY rows for a db are db.$cmd commands must
+    still reach that db's live kernels (single-row DDL batches are
+    routine at maxFilesPerTrigger=1) — before the fix they were silently
+    dropped: not applied, not ddl_logged, not dead-lettered."""
+    import datetime
+
+    from mongoshake_spark.streaming.multi import MultiTableApplyKernel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "id long, ts timestamp, user_id long, op string, ns string, "
+        "value double, o string"
+    )
+    multi = MultiTableApplyKernel(spark, str(tmp_path / "root"), n_buckets=4)
+    multi.process_batch(spark.createDataFrame(
+        [(1, t0, 1, "i", "db0.c1", 1.0, "{}"),
+         (2, t0, 2, "i", "db1.c9", 2.0, "{}")], schema), 0)
+    # batch 1: ONLY a db0 command — no db0 CRUD rows anywhere
+    multi.process_batch(spark.createDataFrame(
+        [(3, t0, 0, "c", "db0.$cmd", 0.0, '{"drop":"c1"}')], schema), 1)
+    assert [o[0] for o in multi.kernels["db0.c1"].ddl_log] == [3]
+    assert multi.kernels["db1.c9"].ddl_log == []  # other dbs untouched
