@@ -684,6 +684,43 @@ def sample_exact_k(
     ).drop("_neg_u")
 
 
+def sample_weighted(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — sequential
+    Poisson sampling (Ohlsson 1998, the πps design survey and stream
+    pipelines use): row i draws the uniform ``u_i = knuth_u32(id)+1``
+    (scale cancels in ranking) and survives iff its priority
+    ``ξ_i = u_i / w_i`` is in the global bottom-``k``, so inclusion
+    probability ≈ ``k·w_i/Σw``. Mixture builders use this to sample a
+    quality- or length-weighted subset in ONE pass, no RNG state.
+
+    Why this key and not Efraimidis–Spirakis ``u^(1/w)``: the E-S key
+    needs pow/ln whose libm rounding differs per engine; ``ξ`` is one
+    bigint→double division — IEEE-identical in Spark and the DuckDB
+    oracle, so the selected SET matches exactly. Rows with NULL or
+    non-positive weight carry zero mass and are excluded.
+
+    Scale shape: the key is computed in-row (map-only); the global
+    bottom-k materializes through ``orderBy(ξ).limit(k)``, which
+    Catalyst plans as TakeOrderedAndProject — per-partition top-k then
+    a k-row merge, never a global sort/exchange of the corpus.
+    """
+    w = F.col(weight_col).cast("double")
+    key = (knuth_u32(id_col, seed) + F.lit(1)).cast("double") / w
+    return (
+        docs.filter(w > 0)
+        .withColumn("_xi", key)
+        .orderBy(F.col("_xi").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_xi")
+    )
+
+
 def quality_deciles(
     docs: DataFrame,
     score_col: str = "n_chars",

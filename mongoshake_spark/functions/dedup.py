@@ -1209,6 +1209,96 @@ def source_duplicate_stats(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Corpus-level overlap between sources: for every source pair, the
+    EXACT vocabulary Jaccard and its MinHash sketch estimate — the
+    dataset-mixing dashboard ("how much does crawl B re-cover crawl A,
+    and can a 16-long sketch stand in for the exact join at 100 TB?").
+    The sketch column is the scale path: per-source signatures aggregate
+    in ONE map-side-combined pass and live as ``n_sources × n_hashes``
+    longs, so day-over-day overlap tracking never re-joins vocabularies;
+    the exact column (a vocabulary-keyed self-join) is the fixture-scale
+    calibration baseline the estimate is judged against.
+
+    Returns ``(src_a, src_b, n_a, n_b, n_common, exact_jaccard,
+    minhash_est)`` for src_a < src_b.
+
+    Hash family: the dedup module's (2i+1)·H + 7919·i (mod 1e9+7)
+    permutations over the portable polynomial token hash — min over the
+    token MULTISET equals min over the vocabulary SET, so the signature
+    aggregate needs no distinct. Coefficients keep every product under
+    31·MOD < 2^35 (exact in bigint on both engines).
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    h = F.expr(poly_hash_spark("tok"))
+    sig = toks.groupBy("src").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * h + F.lit(7919 * i)) % F.lit(MOD)).alias(
+                f"m{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    vocab = toks.distinct()
+    sizes = vocab.groupBy("src").agg(F.count("*").alias("n"))
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "tok")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    # pairwise enumerations below are inequality-only joins over the
+    # n_sources-row rollups: broadcast the right side so the plan is a
+    # BroadcastNestedLoopJoin over model-sized state, never a
+    # CartesianProduct of anything corpus-sized
+    pairs = (
+        sizes.alias("sa")
+        .join(F.broadcast(sizes.alias("sb")), F.col("sa.src") < F.col("sb.src"))
+        .select(
+            F.col("sa.src").alias("src_a"),
+            F.col("sb.src").alias("src_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+    )
+    agree = sum(
+        (F.col(f"ga.m{i}") == F.col(f"gb.m{i}")).cast("int") for i in range(n_hashes)
+    )
+    est = (
+        sig.alias("ga")
+        .join(F.broadcast(sig.alias("gb")), F.col("ga.src") < F.col("gb.src"))
+        .select(
+            F.col("ga.src").alias("src_a"),
+            F.col("gb.src").alias("src_b"),
+            (agree.cast("double") / F.lit(float(n_hashes))).alias("minhash_est"),
+        )
+    )
+    return pairs.join(F.broadcast(est), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("exact_jaccard"),
+        F.round("minhash_est", 6).alias("minhash_est"),
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -19,7 +19,7 @@ per-partition partial top-k + a k-row driver merge (TakeOrderedAndProject).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tokenizer shared with the oracle: lowercase, split on non-alphanumeric
@@ -203,4 +203,55 @@ def bm25_topk(
         scored.select(id_col, F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` terms by tf-idf,
+    ``score = tf · N / df`` — the LINEAR idf variant (Sparck Jones'
+    ``n/df`` family). Why linear and not ``ln(N/df)``: the ranking is
+    the product of three exact integers mapped through one IEEE
+    division, so the selected terms and their scores reproduce
+    bit-identically in the DuckDB oracle with no libm dependence (BM25
+    already covers the log-idf shape). Downstream uses: per-doc topical
+    routing, cluster labeling, index pruning.
+
+    Returns ``(id_col, term, rank, score)`` with rank 1..top_k per doc.
+
+    Scale shape: tokenization and the (doc, term) count run map-side
+    partial aggregation; ``df`` is a second vocabulary-keyed aggregate
+    of the tf table (already distinct per doc — no extra distinct), and
+    the tf⋈df join is term-keyed, so both sides share the vocabulary
+    partitioning. The per-doc rank window partitions by doc — groups
+    bounded by a document's distinct-term count, never corpus-global.
+    """
+    tok = tokenize(docs.select(id_col, text_col), text_col)
+    stats = tok.agg(F.count("*").cast("double").alias("n_docs"))
+    tf = (
+        tok.select(id_col, F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "rank", F.round("score", 6).alias("score"))
     )

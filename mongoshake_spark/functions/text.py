@@ -185,6 +185,49 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document word-distribution signals: Shannon entropy (bits) of
+    the token frequency distribution and the type-token ratio — the
+    standard gibberish/boilerplate detectors complementing the Gopher
+    repetition counts (a keyboard-mash doc has HIGH type-token ratio but
+    low stopword mass; a template doc has LOW entropy for its length).
+
+    Entropy folds as ``log2(n) - (Σ c·log2 c)/n`` over the per-token
+    counts c (algebraically identical to ``-Σ (c/n)·log2(c/n)`` but one
+    aggregate instead of a per-row p·log p after a second join). log2
+    crosses the oracle boundary rounded to 6 digits, the same contract
+    ``curation.lm_score`` ships.
+
+    Scale shape: explode → groupBy(doc_id, tok) → count with map-side
+    partial aggregation, then one more hash aggregate per doc_id; the
+    shuffles carry (doc_id, token) pairs, never the text. No windows.
+    """
+    toks = tokens(F.col(text_col))
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            (
+                F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n
+            ).alias("_h"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+            F.round("_h", 6).alias("entropy_bits"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: rolling polynomial hash (oracle-portable) plus
     md5 (both engines agree on md5 of the raw text). For pure-Spark use at

@@ -4537,6 +4537,144 @@ def bpe_encode_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "sample_weighted",
+    """SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           ORDER BY (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296 + 1.0)
+                    / n_chars, doc_id) AS rk
+  FROM documents WHERE n_chars > 0)
+WHERE rk <= 40 ORDER BY doc_id""",
+    "Weighted sampling without replacement (sequential Poisson / Ohlsson "
+    "pps sampling, k=40 weighted by document length): each row's "
+    "priority is u/w with u the portable multiplicative hash — inclusion "
+    "probability ~ k*w/sum(w) in ONE pass, no RNG state, and the key is "
+    "a single bigint->double division so the selected SET reproduces "
+    "bit-identically cross-engine (the Efraimidis-Spirakis u^(1/w) key "
+    "would ride on libm pow). The global bottom-k plans as "
+    "TakeOrderedAndProject: per-partition top-k, k-row driver merge, "
+    "never a corpus sort (functions/curation.sample_weighted).",
+)
+def sample_weighted_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_weighted(docs, k=40).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@_q(
+    "tfidf_topterms",
+    """WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t != '') AS toks
+  FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+              CAST(tf.tf AS DOUBLE) * n_docs / df AS score
+       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "Per-document keyword extraction: top-3 terms by tf-idf with the "
+    "LINEAR idf variant (score = tf*N/df — three exact integers through "
+    "one IEEE division, so ranks and scores are engine-identical with "
+    "no libm dependence; BM25 covers the log-idf shape). tf and df are "
+    "map-side-combined aggregates, the tf-df join is vocabulary-keyed "
+    "on both sides, and the rank window partitions per doc — bounded "
+    "groups, nothing corpus-global "
+    "(functions/retrieval.tfidf_top_terms).",
+)
+def tfidf_topterms_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
+
+
+_OVERLAP_MINS = ",\n       ".join(
+    f"min(({2 * i + 1} * h + {7919 * i}) % {MOD}) AS m{i}" for i in range(16)
+)
+_OVERLAP_AGREE = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+@_q(
+    "corpus_overlap",
+    f"""WITH toks AS (
+  SELECT source AS src, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT src, {poly_hash_duckdb('tok')} AS h FROM toks),
+sig AS (SELECT src, {_OVERLAP_MINS}
+        FROM h GROUP BY 1),
+v AS (SELECT DISTINCT src, tok FROM toks),
+sz AS (SELECT src, count(*) AS n FROM v GROUP BY 1),
+inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+          FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src GROUP BY 1, 2),
+pairs AS (SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b
+          FROM sz a JOIN sz b ON a.src < b.src),
+est AS (SELECT a.src AS src_a, b.src AS src_b,
+               ({_OVERLAP_AGREE}) / 16.0 AS minhash_est
+        FROM sig a JOIN sig b ON a.src < b.src)
+SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+       coalesce(i.n_common, 0) AS n_common,
+       round(coalesce(i.n_common, 0)
+             / CAST(p.n_a + p.n_b - coalesce(i.n_common, 0) AS DOUBLE), 6)
+         AS exact_jaccard,
+       round(e.minhash_est, 6) AS minhash_est
+FROM pairs p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+ORDER BY p.src_a, p.src_b""",
+    "Corpus-level source overlap: for every source PAIR, the exact "
+    "vocabulary Jaccard and its 16-permutation MinHash sketch estimate "
+    "side by side — the dataset-mixing dashboard, with the sketch as "
+    "the 100TB path (per-source signatures fold in ONE map-side-"
+    "combined aggregate over the token stream — min over the multiset "
+    "equals min over the set, so no distinct — and persist as "
+    "n_sources x 16 longs; day-over-day overlap tracking never rejoins "
+    "vocabularies) and the exact join as the fixture-scale calibration "
+    "baseline. Pairwise enumerations are BroadcastNestedLoop over "
+    "model-sized rollups (functions/dedup.source_overlap).",
+)
+def corpus_overlap_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_overlap(docs).orderBy("src_a", "src_b")
+
+
+@_q(
+    "text_entropy",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             log2(CAST(sum(cnt) AS DOUBLE))
+               - sum(cnt * log2(CAST(cnt AS DOUBLE)))
+                 / CAST(sum(cnt) AS DOUBLE) AS h
+      FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       round(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+       round(h, 6) AS entropy_bits
+FROM a ORDER BY doc_id""",
+    "Word-distribution quality signals: Shannon entropy (bits) of each "
+    "document's token frequency distribution plus the type-token ratio "
+    "— the gibberish/boilerplate detectors complementing the Gopher "
+    "repetition counts. Entropy folds as log2(n) - sum(c*log2 c)/n in "
+    "ONE aggregate (no second pass over per-token probabilities); log2 "
+    "crosses the oracle boundary rounded to 6 digits, the lm_score "
+    "contract (functions/text.entropy_signals).",
+)
+def text_entropy_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.entropy_signals(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # export helpers for __spark_entry__
 # ---------------------------------------------------------------------------

@@ -598,3 +598,43 @@ def test_bpe_rewrite_nonoverlapping_and_encode_roundtrip(spark):
             break
         first_word_tokens.append(s)
     assert first_word_tokens == ["aa", "aa"]
+
+
+def test_sample_weighted_matches_reference_selection(spark):
+    from mongoshake_spark.functions.curation import sample_weighted
+
+    rows = [(i, f"doc {i}", (i % 7) + 1) for i in range(1, 101)]
+    docs = _docs(spark, rows, "doc_id bigint, text string, w int")
+    got = sorted(
+        r["doc_id"] for r in sample_weighted(docs, k=10, weight_col="w").collect()
+    )
+    # reference: same priority formula in plain Python
+    def key(i, w):
+        return (((i * KNUTH_MULT) % HASH_MOD) + 1) / w
+
+    expect = sorted(
+        i for i, _, w in sorted(rows, key=lambda r: (key(r[0], r[2]), r[0]))[:10]
+    )
+    assert got == expect
+
+
+def test_sample_weighted_excludes_nonpositive_weights(spark):
+    from mongoshake_spark.functions.curation import sample_weighted
+
+    rows = [(1, "a", 0), (2, "b", -3), (3, "c", None), (4, "d", 5), (5, "e", 1)]
+    docs = _docs(spark, rows, "doc_id bigint, text string, w int")
+    got = {r["doc_id"] for r in sample_weighted(docs, k=10, weight_col="w").collect()}
+    assert got == {4, 5}
+
+
+def test_sample_weighted_heavier_rows_sampled_more(spark):
+    from mongoshake_spark.functions.curation import sample_weighted
+
+    # half the corpus carries weight 100, half weight 1: the heavy rows
+    # should dominate any fixed-k sample (statistical but with a 100x
+    # weight ratio over 200 rows the expectation is overwhelming)
+    rows = [(i, "t", 100 if i % 2 == 0 else 1) for i in range(200)]
+    docs = _docs(spark, rows, "doc_id bigint, text string, w int")
+    got = [r["doc_id"] for r in sample_weighted(docs, k=20, weight_col="w").collect()]
+    heavy = sum(1 for i in got if i % 2 == 0)
+    assert heavy >= 15

@@ -561,3 +561,40 @@ def test_minhash_compositional_shingle_hash_matches_string_hash(spark):
             axis=1
         )
         assert got[doc_id] == [int(x) for x in want], doc_id
+
+
+def test_source_overlap_exact_jaccard_and_sketch_bounds(spark):
+    # srcA vocab {a,b,c}, srcB vocab {b,c,d}, srcC vocab {x}
+    rows = [
+        (1, "a b c", "srcA"),
+        (2, "b c d", "srcB"),
+        (3, "x", "srcC"),
+        (4, "x x", "srcC"),  # multiset min == set min: dup tokens no-op
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r for r in dedup.source_overlap(docs).collect()
+    }
+    ab = got[("srcA", "srcB")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (3, 3, 2)
+    assert ab["exact_jaccard"] == 0.5
+    ac = got[("srcA", "srcC")]
+    assert ac["n_common"] == 0 and ac["exact_jaccard"] == 0.0
+    # disjoint vocabularies: sketch coordinates agree only by collision
+    # (none among 4 distinct tokens and 16 permutations of a 1e9+7 space)
+    assert ac["minhash_est"] == 0.0
+    # every estimate is a fraction of 16 agreements in [0, 1]
+    for r in got.values():
+        assert 0.0 <= r["minhash_est"] <= 1.0
+        assert round(r["minhash_est"] * 16, 6) == int(round(r["minhash_est"] * 16))
+
+
+def test_source_overlap_identical_sources_estimate_one(spark):
+    rows = [
+        (1, "p q r s", "s1"),
+        (2, "p q r s", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = dedup.source_overlap(docs).collect()[0]
+    assert r["exact_jaccard"] == 1.0
+    assert r["minhash_est"] == 1.0  # identical vocab -> identical signature

@@ -361,3 +361,38 @@ def test_sq8_roundtrip_and_extremes_exact(spark):
     )
     top = pq.sq8_topk(dup, [1], k=3).collect()
     assert top[0]["neighbor_id"] == 3 and top[0]["rank"] == 1
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    from mongoshake_spark.functions.retrieval import tfidf_top_terms
+
+    # 'zebra' appears only in doc 1 (df=1), 'the' in all 3 (df=3).
+    docs = _docs(
+        spark,
+        [
+            (1, "the zebra the cat"),
+            (2, "the cat sat"),
+            (3, "the dog"),
+        ],
+    )
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # doc 1: zebra tf=1 df=1 -> 3.0; cat tf=1 df=2 -> 1.5; the tf=2 df=3 -> 2.0
+    ranked1 = sorted(by_doc[1])
+    assert ranked1[0][1] == "zebra" and ranked1[0][2] == 3.0
+    assert ranked1[1][1] == "the" and ranked1[1][2] == 2.0
+    # every doc emits at most top_k rows, ranks are 1..n
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert sorted(r for r, _, _ in ranked1) == [1, 2]
+
+
+def test_tfidf_tie_breaks_by_term_ascending(spark):
+    from mongoshake_spark.functions.retrieval import tfidf_top_terms
+
+    # both terms unique to the doc with tf=1 -> equal scores; 'apple' < 'pear'
+    docs = _docs(spark, [(1, "pear apple"), (2, "filler words here")])
+    out = [r for r in tfidf_top_terms(docs, top_k=2).collect() if r["doc_id"] == 1]
+    out.sort(key=lambda r: r["rank"])
+    assert [r["term"] for r in out] == ["apple", "pear"]

@@ -274,3 +274,32 @@ def test_scrub_pii_mixed_case_and_phone_inside_email(spark):
     # INSIDE the second email is part of the <EMAIL>, not a phone
     assert r["n_emails"] == 2
     assert r["n_phones"] == 1
+
+
+def test_entropy_signals_exact_values(spark):
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a a"),      # one type: entropy 0, ttr 1/4
+            (2, "a b c d"),      # uniform over 4: entropy 2 bits, ttr 1
+            (3, "a a b"),        # H = log2(3) - (2*1)/3 = 1.584963-0.666667
+        ],
+    )
+    got = {r["doc_id"]: r for r in textfn.entropy_signals(docs).collect()}
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[1]["n_tokens"] == 4 and got[1]["n_types"] == 1
+    assert got[1]["type_token_ratio"] == 0.25
+    assert got[2]["entropy_bits"] == 2.0
+    assert got[2]["type_token_ratio"] == 1.0
+    h3 = round(math.log2(3) - (2 * math.log2(2)) / 3, 6)
+    assert got[3]["entropy_bits"] == h3
+    assert got[3]["n_types"] == 2
+
+
+def test_entropy_single_token_doc_is_zero(spark):
+    docs = _docs(spark, [(9, "lonely")])
+    row = textfn.entropy_signals(docs).collect()[0]
+    assert row["entropy_bits"] == 0.0
+    assert row["n_tokens"] == 1 and row["n_types"] == 1
