@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mongoshake_spark.functions.packing import HASH_MOD, KNUTH_MULT, knuth_u32
+from mongoshake_spark.functions.texthash import MOD
 from mongoshake_spark.functions.text import _ngram_col, token_count, tokens
 from mongoshake_spark.operators.parallel import fan_out_scan
 from mongoshake_spark.operators.prefix import running_total
@@ -536,6 +537,82 @@ def chunk_documents(
             F.array_join(
                 F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
             ).alias("chunk_text"),
+        )
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/Rabin scheme storage dedup and
+    rsync-style delta pipelines use): a chunk boundary falls AFTER every
+    character position whose ``window``-character rolling hash is ≡ 0
+    (mod ``divisor``), so boundaries depend only on LOCAL content —
+    insert a sentence into a document and every chunk outside the edited
+    region keeps its identity, where fixed-size chunking shifts ALL
+    downstream chunks. Chunk-level dedup over these hashes is the
+    insertion-robust complement to document minhash (near-identical docs
+    with splices share most CDC chunks) and the storage-dedup answer at
+    100 TB (expected chunk size ≈ ``divisor`` chars).
+
+    Returns ``(id_col, chunk_idx, start, n_chars_chunk, chunk_md5)``:
+    1-based chunk index and character start, and md5 of the chunk text
+    (dedup by grouping on ``chunk_md5``). Empty documents yield no rows.
+
+    The window hash is Σ_{t=0..window-1} code[i-t]·31^t (mod 1e9+7) — 8
+    exact-integer array lookups per position, every intermediate <
+    2.5e16, reproduced literally by the DuckDB oracle. Scale shape:
+    map-ONLY — codepoint array, boundary filter, and chunk slicing are
+    in-row higher-order expressions inside one whole-stage-codegen
+    projection; no shuffle, no UDF. (For hot production paths the same
+    fold vectorizes in an Arrow batch like texthash.poly_hash_numpy.)
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError("cdc_chunks: window and divisor must be >= 1")
+    pows = [31**t for t in range(window)]
+    terms = " + ".join(
+        f"element_at(_codes, CAST(i AS INT) - {t}) * {pows[t]}"
+        for t in range(window)
+    )
+    cuts = (
+        f"CASE WHEN _n > {window} THEN "
+        f"filter(sequence({window}, _n - 1), i -> "
+        f"(({terms}) % {MOD}) % {divisor} = 0) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    return (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) > 0)
+        .withColumn("_n", F.length(text_col))
+        .withColumn(
+            "_codes",
+            F.expr(
+                # BIGINT elements: ANSI mode overflows INT on code*31^t
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT))"
+            ),
+        )
+        .withColumn("_bounds", F.expr(f"concat(array(0), {cuts}, array(_n))"))
+        .select(
+            id_col,
+            text_col,
+            F.expr(
+                "inline(transform(sequence(1, size(_bounds) - 1), j -> struct("
+                "CAST(j AS INT) AS chunk_idx, "
+                "element_at(_bounds, j) + 1 AS start, "
+                "element_at(_bounds, j + 1) - element_at(_bounds, j) AS len)))"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("start").cast("int").alias("start"),
+            F.col("len").cast("int").alias("n_chars_chunk"),
+            F.md5(F.expr(f"substring({text_col}, start, len)")).alias("chunk_md5"),
         )
     )
 

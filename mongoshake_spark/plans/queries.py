@@ -4647,6 +4647,47 @@ def corpus_overlap_q(spark, sf_dir):
     return dedup.source_overlap(docs).orderBy("src_a", "src_b")
 
 
+_CDC_TERMS = " + ".join(f"codes[i - {t}] * {31**t}" for t in range(8))
+
+@_q(
+    "cdc_chunks",
+    f"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+c AS (SELECT doc_id, text, n,
+             list_transform(range(1, n + 1),
+               i -> CAST(ascii(text[CAST(i AS BIGINT):CAST(i AS BIGINT)]) AS BIGINT)) AS codes
+      FROM d),
+k AS (SELECT doc_id, text, n,
+             [CAST(0 AS BIGINT)]
+               || list_filter(range(8, n),
+                    i -> (({_CDC_TERMS}) % 1000000007) % 64 = 0)
+               || [CAST(n AS BIGINT)] AS bounds
+      FROM c)
+SELECT doc_id, CAST(t.j AS INT) AS chunk_idx,
+       CAST(bounds[t.j] + 1 AS INT) AS start,
+       CAST(bounds[t.j + 1] - bounds[t.j] AS INT) AS n_chars_chunk,
+       md5(text[CAST(bounds[t.j] + 1 AS BIGINT):CAST(bounds[t.j + 1] AS BIGINT)])
+         AS chunk_md5
+FROM k, unnest(range(1, len(bounds))) AS t(j)
+ORDER BY doc_id, chunk_idx""",
+    "Content-defined chunking (LBFS/Rabin): a chunk boundary falls after "
+    "every position whose 8-char rolling hash is 0 mod 64, so boundaries "
+    "depend only on LOCAL content — splice a sentence into a document "
+    "and every chunk outside the edit keeps its md5 identity (fixed-size "
+    "chunking shifts ALL downstream chunks). Grouping the chunk_md5 "
+    "column is insertion-robust chunk-level dedup, the storage-dedup "
+    "complement to document minhash. The window hash is 8 exact-integer "
+    "array lookups folded in-row; the whole operator is map-ONLY "
+    "higher-order expressions in one codegen projection — no shuffle, "
+    "no UDF (functions/curation.cdc_chunks).",
+)
+def cdc_chunks_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
 @_q(
     "text_entropy",
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -638,3 +638,46 @@ def test_sample_weighted_heavier_rows_sampled_more(spark):
     got = [r["doc_id"] for r in sample_weighted(docs, k=20, weight_col="w").collect()]
     heavy = sum(1 for i in got if i % 2 == 0)
     assert heavy >= 15
+
+
+def test_cdc_chunks_reconstruct_and_short_doc(spark):
+    from mongoshake_spark.functions.curation import cdc_chunks
+
+    t1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = _docs(spark, [(1, t1), (2, "tiny"), (3, "")])
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start"], r["n_chars_chunk"])
+        for r in cdc_chunks(docs).collect()
+    )
+    by_doc = {}
+    for d, i, s, ln in rows:
+        by_doc.setdefault(d, []).append((i, s, ln))
+    # chunks tile the document exactly: starts chain, lengths sum to len
+    for d, chunks in by_doc.items():
+        text_len = {1: len(t1), 2: 4}[d]
+        assert chunks[0][1] == 1
+        assert sum(ln for _, _, ln in chunks) == text_len
+        for (i1, s1, l1), (i2, s2, _) in zip(chunks, chunks[1:]):
+            assert i2 == i1 + 1 and s2 == s1 + l1
+    assert by_doc[2] == [(1, 1, 4)]  # shorter than the window: one chunk
+    assert 3 not in by_doc  # empty doc yields no rows
+
+
+def test_cdc_chunks_boundaries_survive_prefix_insertion(spark):
+    from mongoshake_spark.functions.curation import cdc_chunks
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    edited = "INSERTED PREAMBLE SENTENCE. " + base
+    docs = _docs(spark, [(1, base), (2, edited)])
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["chunk_md5"])
+    # content-defined boundaries re-sync after the edit: the unedited
+    # tail's chunks keep their hashes (fixed-size chunking would share 0)
+    shared = got[1] & got[2]
+    assert len(shared) >= len(got[1]) - 2
+    assert len(shared) >= 1
