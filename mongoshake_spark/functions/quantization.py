@@ -369,6 +369,7 @@ def ivfpq_topk(
     centroid_mod: int = 29,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the production ANN
     composition: a coarse quantizer partitions the corpus into cells
@@ -399,6 +400,14 @@ def ivfpq_topk(
     PROBED cells only (probe map broadcast), so per-query I/O is
     n_probe/|cells| of a code-sized store — the two compression levers
     (cell restriction × code compression) multiply.
+
+    ``rerank=C`` adds the exact re-rank finisher (same two-stage shape
+    as ``pq_topk(rerank=...)``): the top-C IVFADC candidates per query
+    are re-scored with EXACT cosine against their stored vectors via a
+    broadcast of the Q·C-row shortlist onto the corpus scan —
+    candidate-sized I/O, and the final top-k ranks by the exact score.
+    This is the full production composition: cell restriction × code
+    compression × exact finish.
     """
     unit = with_norm(vecs, vec_col)
     cents = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
@@ -567,6 +576,36 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"ivfpq_topk: rerank={rerank} must be >= k={k}")
+        shortlist = (
+            out.withColumn("adc_rank", F.row_number().over(w))
+            .filter(F.col("adc_rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        nb = unit.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            F.col("vnorm").alias("_nn"),
+        )
+        qv = queries.select(
+            "query_id", F.col("qvec").alias("_qv"), F.col("qnorm").alias("_qn")
+        )
+        # candidate-sized: the Q*C shortlist broadcasts onto the corpus
+        # scan, so full-precision vectors are read for C rows per query
+        out = (
+            nb.join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.expr(dot_expr("_qv", "_nv")) / (F.col("_qn") * F.col("_nn")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
     return (
         out.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

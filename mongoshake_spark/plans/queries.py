@@ -4232,7 +4232,7 @@ def ann_pq_rerank_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-_IVFPQ_ORACLE = f"""WITH v AS (
+_IVFPQ_BASE = f"""WITH v AS (
   SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
   FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding AS cvec, vnorm AS cnorm FROM v WHERE vec_id % 29 = 0),
@@ -4314,11 +4314,33 @@ ranked AS (
   SELECT s.query_id, s.neighbor_id,
          round((qc.q_dot_c + s.adc_sum + s.cd_sum)
                / (qc.qnorm * sqrt(qc.cnorm * qc.cnorm + 2 * s.cd_sum + s.rn2_sum)), 6) AS cos_sim
-  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.cell = s.cell)
+  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.cell = s.cell)"""
+
+_IVFPQ_ORACLE = _IVFPQ_BASE + """
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM ranked) WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+_IVFPQ_RERANK_ORACLE = _IVFPQ_BASE + f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS adc_rank
+    FROM ranked) WHERE adc_rank <= 25),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_dd_dot('q.qvec', 'n.embedding')} / (q.qnorm * n.vnorm), 6)
+           AS cos_sim
+  FROM shortlist s
+  JOIN q ON q.query_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM exact) WHERE rank <= 5
 ORDER BY query_id, rank"""
 
 
@@ -4343,6 +4365,26 @@ def ann_ivfpq_q(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
     return pq.ivfpq_topk(
         vecs, list(range(10)), k=5, n_probe=2, m=4, k_code=8, iters=2
+    ).orderBy("query_id", "rank")
+
+
+@_q(
+    "ann_ivfpq_rerank",
+    _IVFPQ_RERANK_ORACLE,
+    "IVF-PQ with the exact re-rank finisher — the FULL production ANN "
+    "composition (cell restriction x code compression x exact finish): "
+    "the IVFADC pass shortlists top-C=25 per query from probed-cell "
+    "m-byte codes, then ONLY those Q*C rows are re-scored with exact "
+    "cosine against their stored vectors (shortlist broadcasts onto the "
+    "corpus scan — candidate-sized I/O) and the final top-k ranks by "
+    "the exact score (functions/quantization.ivfpq_topk(rerank=25)).",
+)
+def ann_ivfpq_rerank_q(spark, sf_dir):
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq.ivfpq_topk(
+        vecs, list(range(10)), k=5, n_probe=2, m=4, k_code=8, iters=2, rerank=25
     ).orderBy("query_id", "rank")
 
 

@@ -220,6 +220,30 @@ def main() -> int:
             }
         )
 
+    # F2. IVF-PQ + exact re-rank (the full production composition). The
+    # gateable claim is STRUCTURAL: a true top-k neighbor inside the
+    # shortlist always survives the exact re-rank (only k-1 vectors can
+    # beat it globally, so it is within the exact top-k of ANY subset
+    # containing it) — hence rerank recall >= plain IVFADC recall at the
+    # same n_probe, and is monotone in C.
+    ivfpq_rr_curve = []
+    for c_short in (25, 100):
+        t0 = time.perf_counter()
+        approx = topk_sets(
+            pq_mod.ivfpq_topk(
+                vecs, query_ids, k=K, n_probe=2, m=4, k_code=8, iters=2,
+                centroid_mod=CENTROID_MOD, rerank=c_short,
+            )
+        )
+        ivfpq_rr_curve.append(
+            {
+                "n_probe": 2,
+                "rerank": c_short,
+                "recall_at_k": recall(approx, exact),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+
     buckets = similarity.lsh_buckets(vecs)
     bucket_sizes = [
         r["n"] for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -241,6 +265,7 @@ def main() -> int:
         "pq_rerank": rr_curve,
         "sq8": sq8,
         "ivfpq": ivfpq_curve,
+        "ivfpq_rerank": ivfpq_rr_curve,
         "lsh_mean_candidate_frac": lsh_cand_frac,
         "lsh_n_buckets": len(bucket_sizes),
     }
@@ -288,6 +313,14 @@ def main() -> int:
         and rr_curve[-1]["recall_at_k"] >= 0.9
         and sq8["recall_at_k"] >= 0.9  # int8 is near-lossless
         # (ivfpq_curve is reported, not gated — see section F)
+        # IVFADC + re-rank: monotone in C, and never below the plain
+        # IVFADC recall at the same n_probe (structural — see F2)
+        and all(
+            a["recall_at_k"] <= b["recall_at_k"] + 1e-9
+            for a, b in zip(ivfpq_rr_curve, ivfpq_rr_curve[1:])
+        )
+        and ivfpq_rr_curve[0]["recall_at_k"]
+        >= ivfpq_curve[1]["recall_at_k"] - 1e-9
     )
     out["claims_hold"] = ok
     print(json.dumps(out))

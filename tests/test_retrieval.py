@@ -396,3 +396,35 @@ def test_tfidf_tie_breaks_by_term_ascending(spark):
     out = [r for r in tfidf_top_terms(docs, top_k=2).collect() if r["doc_id"] == 1]
     out.sort(key=lambda r: r["rank"])
     assert [r["term"] for r in out] == ["apple", "pear"]
+
+
+def test_ivfpq_rerank_full_probe_full_shortlist_is_exact(spark):
+    """IVFADC + exact re-rank: with every cell probed and C covering the
+    whole corpus, the two-stage result IS the exact brute-force order —
+    the probe map hides nothing and the exact re-score overrides all
+    residual-quantization error. Also pins rerank < k rejection."""
+    import pytest
+
+    from mongoshake_spark.functions import quantization as pq
+    from mongoshake_spark.functions import similarity
+
+    rows = [
+        (i, [float((i * 5 + j * 7) % 13) - 6.0 for j in range(8)])
+        for i in range(24)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroid_mod=6 -> 4 cells; probe all of them
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_topk(vecs, [1, 2], k=4).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq.ivfpq_topk(
+            vecs, [1, 2], k=4, n_probe=4, m=2, k_code=4, centroid_mod=6,
+            rerank=23,
+        ).collect()
+    }
+    assert got == exact
+    with pytest.raises(ValueError, match="rerank"):
+        pq.ivfpq_topk(vecs, [1], k=4, m=2, k_code=4, centroid_mod=6, rerank=2)
