@@ -227,6 +227,52 @@ def pq_reconstruct(
     )
 
 
+def _exact_rerank(
+    out: DataFrame,
+    w,
+    unit: DataFrame,
+    qv: DataFrame,
+    rerank: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    fn_name: str,
+) -> DataFrame:
+    """Shared two-stage exact-re-rank finisher (Jégou et al. §V) for the
+    quantized ANN paths: shortlist the top-``rerank`` approximate
+    candidates per query from ``out`` (ranked by window ``w``), then
+    re-score ONLY those Q·C rows with exact cosine against their stored
+    vectors. The shortlist broadcasts onto the corpus scan — one
+    candidate-sized semi-probe, never a corpus shuffle — so
+    full-precision vectors are read for C rows per query only.
+    ``qv`` carries ``(query_id, _qv, _qn)``.
+    """
+    if rerank < k:
+        raise ValueError(f"{fn_name}: rerank={rerank} must be >= k={k}")
+    shortlist = (
+        out.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nb = unit.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col("vnorm").alias("_nn"),
+    )
+    return (
+        nb.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("_qv", "_nv")) / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
 def pq_topk(
     vecs: DataFrame,
     query_ids,
@@ -320,36 +366,13 @@ def pq_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     if rerank is not None:
-        if rerank < k:
-            raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
-        shortlist = (
-            out.withColumn("adc_rank", F.row_number().over(w))
-            .filter(F.col("adc_rank") <= rerank)
-            .select("query_id", "neighbor_id")
-        )
-        nb = unit.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_nv"),
-            F.col("vnorm").alias("_nn"),
-        )
         qv = unit.filter(F.col(id_col).isin(list(query_ids))).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             F.col("vnorm").alias("_qn"),
         )
-        # candidate-sized: the tiny shortlist broadcasts onto the corpus
-        # scan, so exact vectors are read for Q*C rows only
-        out = (
-            nb.join(F.broadcast(shortlist), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(
-                    F.expr(dot_expr("_qv", "_nv")) / (F.col("_qn") * F.col("_nn")),
-                    6,
-                ).alias("cos_sim"),
-            )
+        out = _exact_rerank(
+            out, w, unit, qv, rerank, k, id_col, vec_col, "pq_topk"
         )
     return (
         out.withColumn("rank", F.row_number().over(w))
@@ -577,34 +600,11 @@ def ivfpq_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     if rerank is not None:
-        if rerank < k:
-            raise ValueError(f"ivfpq_topk: rerank={rerank} must be >= k={k}")
-        shortlist = (
-            out.withColumn("adc_rank", F.row_number().over(w))
-            .filter(F.col("adc_rank") <= rerank)
-            .select("query_id", "neighbor_id")
-        )
-        nb = unit.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_nv"),
-            F.col("vnorm").alias("_nn"),
-        )
         qv = queries.select(
             "query_id", F.col("qvec").alias("_qv"), F.col("qnorm").alias("_qn")
         )
-        # candidate-sized: the Q*C shortlist broadcasts onto the corpus
-        # scan, so full-precision vectors are read for C rows per query
-        out = (
-            nb.join(F.broadcast(shortlist), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(
-                    F.expr(dot_expr("_qv", "_nv")) / (F.col("_qn") * F.col("_nn")),
-                    6,
-                ).alias("cos_sim"),
-            )
+        out = _exact_rerank(
+            out, w, unit, qv, rerank, k, id_col, vec_col, "ivfpq_topk"
         )
     return (
         out.withColumn("rank", F.row_number().over(w).cast("int"))

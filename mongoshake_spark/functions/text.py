@@ -194,9 +194,11 @@ def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Entropy folds as ``log2(n) - (Σ c·log2 c)/n`` over the per-token
     counts c (algebraically identical to ``-Σ (c/n)·log2(c/n)`` but one
-    aggregate instead of a per-row p·log p after a second join). log2
-    crosses the oracle boundary rounded to 6 digits, the same contract
-    ``curation.lm_score`` ships.
+    aggregate instead of a per-row p·log p after a second join). The
+    Σ c·log2 c partials merge in nondeterministic order, so the entropy
+    crosses the oracle boundary rounded to 4 digits — ``lm_score``'s
+    contract, where the rounding absorbs the order drift (the
+    type-token ratio is ONE exact division and keeps 6).
 
     Scale shape: explode → groupBy(doc_id, tok) → count with map-side
     partial aggregation, then one more hash aggregate per doc_id; the
@@ -223,7 +225,7 @@ def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens",
             "n_types",
             F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
-            F.round("_h", 6).alias("entropy_bits"),
+            F.round("_h", 4).alias("entropy_bits"),
         )
     )
 

@@ -4743,15 +4743,16 @@ a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
       FROM c GROUP BY 1)
 SELECT doc_id, n_tokens, n_types,
        round(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
-       round(h, 6) AS entropy_bits
+       round(h, 4) AS entropy_bits
 FROM a ORDER BY doc_id""",
     "Word-distribution quality signals: Shannon entropy (bits) of each "
     "document's token frequency distribution plus the type-token ratio "
     "— the gibberish/boilerplate detectors complementing the Gopher "
     "repetition counts. Entropy folds as log2(n) - sum(c*log2 c)/n in "
-    "ONE aggregate (no second pass over per-token probabilities); log2 "
-    "crosses the oracle boundary rounded to 6 digits, the lm_score "
-    "contract (functions/text.entropy_signals).",
+    "ONE aggregate (no second pass over per-token probabilities); the "
+    "float sum merges partials in nondeterministic order, so entropy "
+    "crosses the oracle boundary rounded to 4 digits — lm_score's "
+    "order-drift contract (functions/text.entropy_signals).",
 )
 def text_entropy_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -293,7 +293,7 @@ def test_entropy_signals_exact_values(spark):
     assert got[1]["type_token_ratio"] == 0.25
     assert got[2]["entropy_bits"] == 2.0
     assert got[2]["type_token_ratio"] == 1.0
-    h3 = round(math.log2(3) - (2 * math.log2(2)) / 3, 6)
+    h3 = round(math.log2(3) - (2 * math.log2(2)) / 3, 4)
     assert got[3]["entropy_bits"] == h3
     assert got[3]["n_types"] == 2
 
