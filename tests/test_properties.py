@@ -995,3 +995,87 @@ def test_bpe_train_incremental_matches_recount_and_textbook(spark, texts):
     inc = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=True).collect()]
     full = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=False).collect()]
     assert inc == want and full == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcX .", min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_matches_serial_model(spark, texts):
+    """Spark cdc_chunks == the serial rolling-hash model for arbitrary
+    strings (tiny alphabet with spaces → frequent window repeats, the
+    boundary-dense regime). Pins exact tiling, boundary placement, and
+    the shorter-than-window / empty-doc edges."""
+    import hashlib
+
+    from mongoshake_spark.functions.curation import cdc_chunks
+    from mongoshake_spark.functions.texthash import MOD
+
+    w, d = 8, 16
+
+    def model(text):
+        n = len(text)
+        codes = [ord(c) for c in text]
+        cuts = [
+            i
+            for i in range(w, n)
+            if (sum(codes[i - 1 - t] * (31**t) for t in range(w)) % MOD) % d == 0
+        ]
+        bounds = [0] + cuts + [n]
+        return [
+            (
+                j + 1,
+                bounds[j] + 1,
+                bounds[j + 1] - bounds[j],
+                hashlib.md5(text[bounds[j] : bounds[j + 1]].encode()).hexdigest(),
+            )
+            for j in range(len(bounds) - 1)
+        ]
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got: dict[int, list] = {}
+    for r in (
+        cdc_chunks(docs, window=w, divisor=d)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["n_chars_chunk"], r["chunk_md5"])
+        )
+    expected = {i: model(t) for i, t in enumerate(texts) if t}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_sample_weighted_subset_monotone_in_k(spark, weights, k):
+    """Priorities are fixed per row, so the weighted sample for k' < k is
+    a strict subset of the sample for k — mixture builds can grow a
+    sample without resampling history (same law sample_exact_k pins)."""
+    from mongoshake_spark.functions.curation import sample_weighted
+
+    rows = [(i, "t", w[0]) for i, w in enumerate(weights)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, w int")
+    big = {
+        r["doc_id"]
+        for r in sample_weighted(docs, k=k + 3, weight_col="w").collect()
+    }
+    small = {
+        r["doc_id"] for r in sample_weighted(docs, k=k, weight_col="w").collect()
+    }
+    assert small <= big
+    assert len(small) == min(k, len(rows))
