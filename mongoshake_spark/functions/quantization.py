@@ -438,12 +438,16 @@ def ivfpq_topk(
         F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"),
     )
-    if cents.isEmpty():
+    # one driver action validates the centroid sample AND infers the
+    # dimension (centroids are corpus rows, same dim) — isEmpty +
+    # _infer_dim would be two scans' worth of job-launch latency
+    cent_probe = cents.select(F.size("cvec").alias("d")).first()
+    if cent_probe is None:
         raise ValueError(
             f"ivfpq_topk: no {id_col} divisible by {centroid_mod} — "
             "choose a centroid_mod matching the corpus id space"
         )
-    dim = _infer_dim(vecs, vec_col)
+    dim = int(cent_probe["d"])
     if dim % m != 0:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     d = dim // m
