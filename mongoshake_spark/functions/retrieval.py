@@ -255,3 +255,100 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    anchor_ids,
+    top_terms: int = 3,
+    k: int = 5,
+    overlap_n: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR /
+    sentence-transformers recipe): for each anchor document, the top-``k``
+    corpus documents that score HIGH on the anchor's topical terms (BM25
+    over its top-``top_terms`` tf-idf keywords — lexically confusable)
+    but share NO ``overlap_n``-token-gram with the anchor (not a copy or
+    near-copy — those would be false negatives that poison the loss).
+    Returns ``(anchor_id, neg_id, rank, score)``.
+
+    Scale shape: everything anchor-sized broadcasts. Keyword extraction
+    reuses ``tfidf_top_terms`` (corpus-wide df, then the anchor slice);
+    candidate scoring is the tf table joined to the |anchors|·top_terms
+    broadcast term list (per-doc emit bounded by the term list, the
+    vocabulary never re-shuffles); the overlap excluder is
+    ``decontaminate``'s shape — anchor grams broadcast, corpus grams
+    anti-joined. No doc-to-doc pairs ever materialize beyond the
+    (anchor, candidate) hits themselves.
+    """
+    from mongoshake_spark.functions.curation import _doc_ngrams
+
+    anchor_ids = list(anchor_ids)
+    tok = tokenize(docs.select(id_col, text_col), text_col)
+    stats = tok.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    anchor_terms = (
+        tfidf_top_terms(docs, top_k=top_terms, id_col=id_col, text_col=text_col)
+        .filter(F.col(id_col).isin(anchor_ids))
+        .select(F.col(id_col).alias("anchor_id"), "term")
+    )
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    cand = (
+        tf.join(F.broadcast(anchor_terms), "term")
+        .join(F.broadcast(idf), "term")
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .groupBy("anchor_id", F.col(id_col).alias("neg_id"))
+        .agg(
+            # rounded BEFORE ranking (bm25_topk's contract): the float
+            # sum's partial-merge order is nondeterministic, and ranks
+            # must not hinge on sub-rounding noise
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    grams = _doc_ngrams(docs, overlap_n, text_col, id_col)
+    anchor_grams = grams.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"), "gram"
+    )
+    overlap = (
+        grams.join(F.broadcast(anchor_grams), "gram")
+        .select("anchor_id", F.col(id_col).alias("neg_id"))
+        .distinct()
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("neg_id").asc()
+    )
+    return (
+        cand.join(overlap, ["anchor_id", "neg_id"], "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank", "score")
+    )

@@ -4689,6 +4689,72 @@ def corpus_overlap_q(spark, sf_dir):
     return dedup.source_overlap(docs).orderBy("src_a", "src_b")
 
 
+@_q(
+    "mine_hard_negatives",
+    """WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t != '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term,
+              CAST(tf.tf AS DOUBLE) * n_docs / df AS score
+       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+at AS (SELECT doc_id AS anchor_id, term FROM (
+         SELECT doc_id, term,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS rk
+         FROM sc WHERE doc_id < 5) WHERE rk <= 3),
+idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM dfq CROSS JOIN st),
+tfdl AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) AS tf, d.dl
+         FROM tf JOIN d ON tf.doc_id = d.doc_id),
+cand AS (SELECT at.anchor_id, tfdl.doc_id AS neg_id,
+                round(sum(idf.idf * tfdl.tf * (1.2 + 1.0)
+                      / (tfdl.tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * tfdl.dl / idf.avgdl))), 6) AS score
+         FROM tfdl
+         JOIN at ON at.term = tfdl.term
+         JOIN idf ON idf.term = tfdl.term
+         WHERE tfdl.doc_id <> at.anchor_id
+         GROUP BY 1, 2),
+sp AS (SELECT doc_id, string_split(text, ' ') AS stoks FROM documents),
+gr AS (SELECT DISTINCT doc_id, array_to_string(stoks[u.i:u.i + 7], ' ') AS gram
+       FROM sp, unnest(range(1, len(stoks) - 6)) AS u(i)),
+ag AS (SELECT doc_id AS anchor_id, gram FROM gr WHERE doc_id < 5),
+ov AS (SELECT DISTINCT ag.anchor_id, gr.doc_id AS neg_id
+       FROM gr JOIN ag ON ag.gram = gr.gram),
+flt AS (SELECT c.anchor_id, c.neg_id, c.score FROM cand c
+        LEFT JOIN ov ON ov.anchor_id = c.anchor_id AND ov.neg_id = c.neg_id
+        WHERE ov.neg_id IS NULL)
+SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+    ORDER BY score DESC, neg_id) AS rank
+  FROM flt) WHERE rank <= 5
+ORDER BY anchor_id, rank""",
+    "Hard-negative mining for retrieval/embedding training (the DPR / "
+    "sentence-transformers recipe): per anchor doc, the top-5 documents "
+    "scoring high on the anchor's top-3 tf-idf keywords under BM25 "
+    "(lexically confusable) that share NO 8-token-gram with the anchor "
+    "(copies would be false negatives). Composes three existing planes "
+    "— tfidf_top_terms keyword extraction, broadcast-term BM25, "
+    "decontaminate-shaped gram exclusion; everything anchor-sized "
+    "broadcasts, candidates bounded by the term hits, no doc-to-doc "
+    "pair blowup (functions/retrieval.hard_negatives).",
+)
+def mine_hard_negatives_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hard_negatives(docs, anchor_ids=list(range(5))).orderBy(
+        "anchor_id", "rank"
+    )
+
+
 _CDC_TERMS = " + ".join(f"codes[i - {t}] * {31**t}" for t in range(8))
 
 @_q(

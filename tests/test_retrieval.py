@@ -428,3 +428,29 @@ def test_ivfpq_rerank_full_probe_full_shortlist_is_exact(spark):
     assert got == exact
     with pytest.raises(ValueError, match="rerank"):
         pq.ivfpq_topk(vecs, [1], k=4, m=2, k_code=4, centroid_mod=6, rerank=2)
+
+
+def test_hard_negatives_excludes_near_copies_keeps_confusables(spark):
+    from mongoshake_spark.functions.retrieval import hard_negatives
+
+    anchor = "zebra stripes savanna roam wide under warm amber skies"
+    docs = _docs(
+        spark,
+        [
+            (0, anchor),
+            # lexically confusable: the anchor's full vocabulary in
+            # REVERSED order — every anchor keyword hits, but the longest
+            # shared token run is 1, so no 8-token-gram matches
+            (1, "skies amber warm under wide roam savanna stripes zebra"),
+            # near-copy: shares an 8-token-gram with the anchor -> excluded
+            (2, anchor + " again"),
+            # unrelated filler (so df stats have mass)
+            (3, "cooking pasta with garlic butter and fresh basil leaves"),
+            (4, "quarterly revenue grew while costs stayed mostly flat"),
+        ],
+    )
+    out = hard_negatives(docs, anchor_ids=[0], top_terms=3, k=3).collect()
+    ids = [r["neg_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 2 not in ids  # near-copy filtered by the gram excluder
+    assert ids and ids[0] == 1  # the confusable doc is the top negative
+    assert all(r["anchor_id"] == 0 for r in out)
