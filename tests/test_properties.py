@@ -1039,17 +1039,20 @@ def test_cdc_chunks_matches_serial_model(spark, texts):
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id bigint, text string"
     )
-    got: dict[int, list] = {}
-    for r in (
-        cdc_chunks(docs, window=w, divisor=d)
-        .orderBy("doc_id", "chunk_idx")
-        .collect()
-    ):
-        got.setdefault(r["doc_id"], []).append(
-            (r["chunk_idx"], r["start"], r["n_chars_chunk"], r["chunk_md5"])
-        )
     expected = {i: model(t) for i, t in enumerate(texts) if t}
-    assert got == expected
+    # BOTH implementations must equal the serial model (the arrow kernel
+    # is the default; the expression form is the oracle-literal one)
+    for impl in ("arrow", "expr"):
+        got: dict[int, list] = {}
+        for r in (
+            cdc_chunks(docs, window=w, divisor=d, impl=impl)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        ):
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start"], r["n_chars_chunk"], r["chunk_md5"])
+            )
+        assert got == expected, impl
 
 
 @given(
