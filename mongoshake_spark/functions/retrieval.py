@@ -206,11 +206,29 @@ def bm25_topk(
     )
 
 
+def _tf_df(docs: DataFrame, id_col: str, text_col: str):
+    """``(tok, tf, df_t)`` — the shared first stage of every term-weighted
+    operator here: tokenized corpus (with ``dl``), per-(doc, term) counts
+    carrying the doc length, and the vocabulary document frequencies.
+    Compositions (``hard_negatives``) compute this ONCE and thread it
+    through, so the corpus is tokenized and term-counted a single time.
+    """
+    tok = tokenize(docs.select(id_col, text_col), text_col)
+    tf = (
+        tok.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return tok, tf, df_t
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     top_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tfdf: tuple | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the ``top_k`` terms by tf-idf,
     ``score = tf · N / df`` — the LINEAR idf variant (Sparck Jones'
@@ -230,14 +248,8 @@ def tfidf_top_terms(
     partitioning. The per-doc rank window partitions by doc — groups
     bounded by a document's distinct-term count, never corpus-global.
     """
-    tok = tokenize(docs.select(id_col, text_col), text_col)
+    tok, tf, df_t = tfdf if tfdf is not None else _tf_df(docs, id_col, text_col)
     stats = tok.agg(F.count("*").cast("double").alias("n_docs"))
-    tf = (
-        tok.select(id_col, F.explode("tokens").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(stats))
@@ -277,30 +289,38 @@ def hard_negatives(
     Returns ``(anchor_id, neg_id, rank, score)``.
 
     Scale shape: everything anchor-sized broadcasts. Keyword extraction
-    reuses ``tfidf_top_terms`` (corpus-wide df, then the anchor slice);
-    candidate scoring is the tf table joined to the |anchors|·top_terms
-    broadcast term list (per-doc emit bounded by the term list, the
-    vocabulary never re-shuffles); the overlap excluder is
-    ``decontaminate``'s shape — anchor grams broadcast, corpus grams
-    anti-joined. No doc-to-doc pairs ever materialize beyond the
-    (anchor, candidate) hits themselves.
+    reuses ``tfidf_top_terms`` over the SAME ``_tf_df`` stage that feeds
+    candidate scoring (one tokenize, one (doc, term) count, one df
+    aggregate in the source); candidate scoring is the tf table joined
+    to the |anchors|·top_terms broadcast term list (per-doc emit bounded
+    by the term list, the vocabulary never re-shuffles); the overlap
+    excluder is ``decontaminate``'s shape — anchor grams broadcast,
+    corpus grams anti-joined. No doc-to-doc pairs ever materialize
+    beyond the (anchor, candidate) hits themselves. NOTE: Catalyst's
+    column pruning specializes the two tf consumers (the keyword branch
+    drops ``dl``), so the (doc, term) shuffle runs twice per action — at
+    petabyte scale persist the ``_tf_df`` result and pass it via
+    ``tfidf_top_terms(tfdf=...)``-style threading before widening the
+    anchor set.
     """
     from mongoshake_spark.functions.curation import _doc_ngrams
 
     anchor_ids = list(anchor_ids)
-    tok = tokenize(docs.select(id_col, text_col), text_col)
+    # one tokenize + one (doc, term) count + one df aggregate feed BOTH
+    # the keyword extraction and the candidate scoring
+    tok, tf, df_t = _tf_df(docs, id_col, text_col)
     stats = tok.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
-        tok.select(id_col, "dl", F.explode("tokens").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     anchor_terms = (
-        tfidf_top_terms(docs, top_k=top_terms, id_col=id_col, text_col=text_col)
+        tfidf_top_terms(
+            docs,
+            top_k=top_terms,
+            id_col=id_col,
+            text_col=text_col,
+            tfdf=(tok, tf, df_t),
+        )
         .filter(F.col(id_col).isin(anchor_ids))
         .select(F.col(id_col).alias("anchor_id"), "term")
     )
@@ -312,7 +332,8 @@ def hard_negatives(
         "avgdl",
     )
     cand = (
-        tf.join(F.broadcast(anchor_terms), "term")
+        tf.withColumn("tf", F.col("tf").cast("double"))
+        .join(F.broadcast(anchor_terms), "term")
         .join(F.broadcast(idf), "term")
         .filter(F.col(id_col) != F.col("anchor_id"))
         .groupBy("anchor_id", F.col(id_col).alias("neg_id"))
