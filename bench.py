@@ -62,11 +62,23 @@ def main() -> None:
         "q28_tunnel_roundtrip", "q31_txn_crossbatch", "q32_socket_tunnel",
         "stream_dedup", "session_window_stream", "stream_static_enrich",
         "q37_multi_ns_sync", "stream_join", "stream_neardup",
+        "q38_tunnel_formats", "q39_dump_file_roundtrip",
+        "q40_receiver_daemon",
     }
+    #: iterative/multi-barrier chains (Lloyd loops, BPE merge steps,
+    #: two-stage ANN): each serializes on driver-side collects between
+    #: jobs, so a cluster of them at the pool's tail (they register
+    #: adjacently) stalls the pool the same way the streams do — space
+    #: them through the workload too.
+    ITERATIVE = {
+        "ann_pq_adc", "ann_pq_rerank", "ann_ivfpq", "ann_ivfpq_rerank",
+        "ann_ivf_trained", "kmeans_embed", "bpe_train", "bpe_encode",
+    }
+    SPACED = STREAMY | ITERATIVE
 
     def _spaced(items):
-        streams = [i for i in items if i[0] in STREAMY]
-        rest = [i for i in items if i[0] not in STREAMY]
+        streams = [i for i in items if i[0] in SPACED]
+        rest = [i for i in items if i[0] not in SPACED]
         if not streams:
             return rest
         out, step = [], max(1, len(rest) // len(streams))
