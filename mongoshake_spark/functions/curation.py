@@ -561,7 +561,7 @@ def _cdc_chunks_arrow(
         pows = [31**t for t in range(window)]
         empty = pd.DataFrame(
             {
-                id_col: pd.Series(dtype="int64"),
+                id_col: pd.Series(dtype=object),
                 "chunk_idx": pd.Series(dtype="int32"),
                 "start": pd.Series(dtype="int32"),
                 "n_chars_chunk": pd.Series(dtype="int32"),
@@ -588,14 +588,19 @@ def _cdc_chunks_arrow(
             ends = starts + lens
             cut_lists: list[list[int]] = [[] for _ in range(n)]
             if total >= window:
-                # h[j] = sum_t codes[j - t] * 31^t for flat j in
+                # h[j] = sum_t codes[j - t] * 31^t (mod M) for flat j in
                 # [window-1, total): `window` shifted adds, no Python loop
-                # over characters. codes < 0x110000 and 31^7 < 2.8e10, so
-                # each term < 3.1e16 and the 8-term sum < 2.5e17 — exact.
+                # over characters. Each term uses the MODDED power
+                # ((31^t mod M) < 2^30, codes < 0x110000 < 2^21, so a
+                # term < 2^51) and acc reduces mod M every step — exact
+                # int64 for ANY window, where raw 31^t would wrap at
+                # window>=10 (numpy wrap + numpy-vs-JVM `%` sign would
+                # silently diverge from the expr form).
                 acc = np.zeros(total - window + 1, dtype=np.int64)
                 for t in range(window):
-                    acc += pows[t] * codes[window - 1 - t : total - t]
-                acc %= MOD
+                    acc = (
+                        acc + (pows[t] % MOD) * codes[window - 1 - t : total - t]
+                    ) % MOD
                 # flat j hosts a cut iff the window [j-window+1, j] sits
                 # inside ONE doc and the cut is not at the doc's end
                 j = np.arange(window - 1, total, dtype=np.int64)
@@ -627,7 +632,9 @@ def _cdc_chunks_arrow(
                     )
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(out_id, dtype="int64"),
+                    # no forced dtype: Arrow casts to the declared schema,
+                    # which carries the CALLER's id type through
+                    id_col: pd.Series(out_id, dtype=object),
                     "chunk_idx": pd.Series(out_idx, dtype="int32"),
                     "start": pd.Series(out_start, dtype="int32"),
                     "n_chars_chunk": pd.Series(out_len, dtype="int32"),
@@ -635,8 +642,10 @@ def _cdc_chunks_arrow(
                 }
             )
 
+    # the id column keeps the input's type (string ObjectIds, int32, ...)
+    id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} bigint, chunk_idx int, start int, "
+        f"{id_col} {id_type}, chunk_idx int, start int, "
         "n_chars_chunk int, chunk_md5 string"
     )
     return docs.select(id_col, text_col).mapInPandas(batches, schema=schema)
@@ -691,6 +700,12 @@ def cdc_chunks(
         return _cdc_chunks_arrow(docs, window, divisor, text_col, id_col)
     if impl != "expr":
         raise ValueError(f"cdc_chunks: unknown impl {impl!r}")
+    if window > 9:
+        # code * 31^9 already exceeds int64 for astral codepoints — ANSI
+        # mode would throw ARITHMETIC_OVERFLOW mid-scan (and the DuckDB
+        # twin would wrap). The arrow kernel folds mod M per term and
+        # handles any window.
+        raise ValueError("cdc_chunks: impl='expr' supports window <= 9; use impl='arrow'")
     pows = [31**t for t in range(window)]
     terms = " + ".join(
         f"element_at(_codes, CAST(i AS INT) - {t}) * {pows[t]}"

@@ -229,6 +229,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     tfdf: tuple | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the ``top_k`` terms by tf-idf,
     ``score = tf · N / df`` — the LINEAR idf variant (Sparck Jones'
@@ -247,12 +248,18 @@ def tfidf_top_terms(
     the tf⋈df join is term-keyed, so both sides share the vocabulary
     partitioning. The per-doc rank window partitions by doc — groups
     bounded by a document's distinct-term count, never corpus-global.
+
+    ``tfdf`` / ``stats`` are the composition hooks: pass a precomputed
+    ``_tf_df`` triple and an ``n_docs``-bearing stats row so a caller
+    (``hard_negatives``) that already built them does not tokenize and
+    count the corpus again.
     """
     tok, tf, df_t = tfdf if tfdf is not None else _tf_df(docs, id_col, text_col)
-    stats = tok.agg(F.count("*").cast("double").alias("n_docs"))
+    if stats is None:
+        stats = tok.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             id_col,
             "term",
@@ -320,16 +327,27 @@ def hard_negatives(
             id_col=id_col,
             text_col=text_col,
             tfdf=(tok, tf, df_t),
+            stats=stats,
         )
         .filter(F.col(id_col).isin(anchor_ids))
         .select(F.col(id_col).alias("anchor_id"), "term")
     )
-    idf = df_t.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.log(
-            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-        "avgdl",
+    # idf ONLY for the anchors' terms — df_t is the full vocabulary, and
+    # broadcasting it whole would ship (and driver-collect) millions of
+    # terms at corpus scale; the semi-join keeps it |anchors|*top_terms
+    idf = (
+        df_t.join(
+            F.broadcast(anchor_terms.select("term").distinct()), "term", "left_semi"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
     )
     cand = (
         tf.withColumn("tf", F.col("tf").cast("double"))

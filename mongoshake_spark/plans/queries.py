@@ -4784,10 +4784,12 @@ ORDER BY doc_id, chunk_idx""",
     "and every chunk outside the edit keeps its md5 identity (fixed-size "
     "chunking shifts ALL downstream chunks). Grouping the chunk_md5 "
     "column is insertion-robust chunk-level dedup, the storage-dedup "
-    "complement to document minhash. The window hash is 8 exact-integer "
-    "array lookups folded in-row; the whole operator is map-ONLY "
-    "higher-order expressions in one codegen projection — no shuffle, "
-    "no UDF (functions/curation.cdc_chunks).",
+    "complement to document minhash. Map-ONLY either way, no shuffle: "
+    "the default arrow impl folds the rolling hash as 8 shifted numpy "
+    "adds per Arrow batch (~6x the codegen HOF form, bit-identical — "
+    "the impl='expr' HOF form is what the oracle replays literally and "
+    "the property test runs BOTH against a serial model) "
+    "(functions/curation.cdc_chunks).",
 )
 def cdc_chunks_q(spark, sf_dir):
     from mongoshake_spark.functions.curation import cdc_chunks

@@ -681,3 +681,58 @@ def test_cdc_chunks_boundaries_survive_prefix_insertion(spark):
     shared = got[1] & got[2]
     assert len(shared) >= len(got[1]) - 2
     assert len(shared) >= 1
+
+
+def test_cdc_chunks_large_window_arrow_and_expr_bound(spark):
+    """window >= 10 overflows the raw 31^t fold (ANSI overflow in expr,
+    int64 wrap in naive numpy): the arrow kernel folds mod M per term
+    and must match the arbitrary-precision serial model; the expr form
+    refuses the window instead of corrupting boundaries."""
+    import hashlib
+
+    import pytest
+
+    from mongoshake_spark.functions.curation import cdc_chunks
+    from mongoshake_spark.functions.texthash import MOD
+
+    w, d = 12, 8
+    # astral codepoints push code * 31^11 far past int64
+    text = ("lorem ipsum dolor sit amet " + "\U0001F600" * 3 + " consectetur") * 4
+
+    def model(t):
+        n = len(t)
+        codes = [ord(c) for c in t]
+        cuts = [
+            i for i in range(w, n)
+            if (sum(codes[i - 1 - k] * (31**k) for k in range(w)) % MOD) % d == 0
+        ]
+        bounds = [0] + cuts + [n]
+        return [
+            (j + 1, bounds[j] + 1, bounds[j + 1] - bounds[j],
+             hashlib.md5(t[bounds[j]:bounds[j + 1]].encode()).hexdigest())
+            for j in range(len(bounds) - 1)
+        ]
+
+    docs = _docs(spark, [(1, text)])
+    got = [
+        (r["chunk_idx"], r["start"], r["n_chars_chunk"], r["chunk_md5"])
+        for r in cdc_chunks(docs, window=w, divisor=d)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == model(text)
+    with pytest.raises(ValueError, match="expr"):
+        cdc_chunks(docs, window=w, divisor=d, impl="expr")
+
+
+def test_cdc_chunks_preserves_string_id_type(spark):
+    from mongoshake_spark.functions.curation import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [("65a1b2c3", "some content here that chunks")],
+        "oid string, text string",
+    )
+    out = cdc_chunks(docs, id_col="oid")
+    assert dict(out.dtypes)["oid"] == "string"
+    rows = out.collect()
+    assert rows and all(r["oid"] == "65a1b2c3" for r in rows)
