@@ -65,16 +65,12 @@ def main() -> None:
         "q38_tunnel_formats", "q39_dump_file_roundtrip",
         "q40_receiver_daemon",
     }
-    #: iterative/multi-barrier chains (Lloyd loops, BPE merge steps,
-    #: two-stage ANN): each serializes on driver-side collects between
-    #: jobs, so a cluster of them at the pool's tail (they register
-    #: adjacently) stalls the pool the same way the streams do — space
-    #: them through the workload too.
-    ITERATIVE = {
-        "ann_pq_adc", "ann_pq_rerank", "ann_ivfpq", "ann_ivfpq_rerank",
-        "ann_ivf_trained", "kmeans_embed", "bpe_train", "bpe_encode",
-    }
-    SPACED = STREAMY | ITERATIVE
+    #: A/B-measured 2026-08-16: ALSO spacing the iterative-ANN/BPE
+    #: chains bought nothing (pooled best-of-2 38.0 vs 37.0 s in
+    #: back-to-back runs; the day's pooled spread for IDENTICAL code
+    #: was 28-95 s, so only same-hour A/Bs mean anything) — keep the
+    #: simpler streams-only set.
+    SPACED = STREAMY
 
     def _spaced(items):
         streams = [i for i in items if i[0] in SPACED]
