@@ -185,6 +185,41 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_filter(
+    docs: DataFrame,
+    terms,
+    max_hits: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token term-list filter — the C4 "badwords" rule shape (and its
+    allowlist dual): count each document's tokens that appear in
+    ``terms`` and keep documents with at most ``max_hits`` of them.
+    Published pipelines drop a document on ANY blocklist hit
+    (``max_hits=0``, the default); quality variants allow a budget.
+
+    Returns ``(doc_id, n_hits, keep)`` so callers can either filter on
+    ``keep`` or feed ``n_hits`` into a composite score.
+
+    Scale shape: the term list rides as an in-row broadcast array
+    literal and the count is one higher-order ``filter``/``size``
+    expression — pure map inside whole-stage codegen, zero shuffles,
+    zero UDFs, term-list size bounded by the expression tree (for
+    100k+-term lists, switch to a broadcast semi-join on exploded
+    tokens — the ``decontaminate_bloom`` shape).
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("term_filter: empty term list")
+    toks = tokens(F.col(text_col))
+    arr = F.array(*[F.lit(t) for t in terms])
+    n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return docs.select(
+        "doc_id",
+        n.alias("n_hits"),
+        (n <= F.lit(int(max_hits))).alias("keep"),
+    )
+
+
 def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document word-distribution signals: Shannon entropy (bits) of
     the token frequency distribution and the type-token ratio — the

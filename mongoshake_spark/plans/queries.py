@@ -4689,6 +4689,30 @@ def corpus_overlap_q(spark, sf_dir):
     return dedup.source_overlap(docs).orderBy("src_a", "src_b")
 
 
+_BLOCKLIST = ["vector", "slow", "merge"]
+
+
+@_q(
+    "text_blocklist",
+    f"""SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains({_BLOCKLIST!r}, t))) AS INT) AS n_hits,
+       len(list_filter(string_split(text, ' '),
+           t -> list_contains({_BLOCKLIST!r}, t))) <= 1 AS keep
+FROM documents ORDER BY doc_id""",
+    "Token term-list filtering — the C4 badwords rule (and its "
+    "allowlist dual): per-doc count of tokens in the list, keep iff "
+    "count <= budget (1 here so the fixture exercises both outcomes). "
+    "The list rides as an in-row broadcast array literal; the count is "
+    "one filter/size higher-order expression — pure map in whole-stage "
+    "codegen, zero shuffles, zero UDFs "
+    "(functions/text.term_filter).",
+)
+def text_blocklist_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.term_filter(docs, _BLOCKLIST, max_hits=1).orderBy("doc_id")
+
+
 @_q(
     "mine_hard_negatives",
     """WITH tok AS (

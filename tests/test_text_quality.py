@@ -303,3 +303,28 @@ def test_entropy_single_token_doc_is_zero(spark):
     row = textfn.entropy_signals(docs).collect()[0]
     assert row["entropy_bits"] == 0.0
     assert row["n_tokens"] == 1 and row["n_types"] == 1
+
+
+def test_term_filter_counts_and_budget(spark):
+    import pytest
+
+    docs = _docs(
+        spark,
+        [
+            (1, "clean words only here"),
+            (2, "one bad word"),
+            (3, "bad bad and worse"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in textfn.term_filter(docs, ["bad", "worse"], max_hits=1).collect()
+    }
+    assert got == {1: (0, True), 2: (1, True), 3: (3, False)}
+    strict = {
+        r["doc_id"]: r["keep"]
+        for r in textfn.term_filter(docs, ["bad"], max_hits=0).collect()
+    }
+    assert strict == {1: True, 2: False, 3: False}
+    with pytest.raises(ValueError, match="empty"):
+        textfn.term_filter(docs, [])
