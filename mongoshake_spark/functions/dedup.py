@@ -1214,6 +1214,7 @@ def source_overlap(
     text_col: str = "text",
     source_col: str = "source",
     n_hashes: int = N_MINHASH,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Corpus-level overlap between sources: for every source pair, the
     EXACT vocabulary Jaccard and its MinHash sketch estimate — the
@@ -1226,7 +1227,13 @@ def source_overlap(
     calibration baseline the estimate is judged against.
 
     Returns ``(src_a, src_b, n_a, n_b, n_common, exact_jaccard,
-    minhash_est)`` for src_a < src_b.
+    minhash_est)`` for src_a < src_b. ``include_exact=False`` is the
+    documented 100 TB path (DEPLOYMENT.md): it skips the vocabulary
+    self-join entirely and returns only ``(src_a, src_b, minhash_est)``
+    — ONE map-side-combined aggregate over the corpus plus a model-sized
+    pairwise broadcast; run the exact columns only on calibration
+    samples. (Catalyst cannot prune the join away itself because
+    ``exact_jaccard`` is in the default output.)
 
     Hash family: the dedup module's (2i+1)·H + 7919·i (mod 1e9+7)
     permutations over the portable polynomial token hash — min over the
@@ -1247,6 +1254,22 @@ def source_overlap(
             for i in range(n_hashes)
         ]
     )
+    agree = sum(
+        (F.col(f"ga.m{i}") == F.col(f"gb.m{i}")).cast("int") for i in range(n_hashes)
+    )
+    est = (
+        sig.alias("ga")
+        .join(F.broadcast(sig.alias("gb")), F.col("ga.src") < F.col("gb.src"))
+        .select(
+            F.col("ga.src").alias("src_a"),
+            F.col("gb.src").alias("src_b"),
+            (agree.cast("double") / F.lit(float(n_hashes))).alias("minhash_est"),
+        )
+    )
+    if not include_exact:
+        return est.select(
+            "src_a", "src_b", F.round("minhash_est", 6).alias("minhash_est")
+        )
     vocab = toks.distinct()
     sizes = vocab.groupBy("src").agg(F.count("*").alias("n"))
     inter = (
@@ -1271,18 +1294,6 @@ def source_overlap(
         )
         .join(inter, ["src_a", "src_b"], "left")
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
-    )
-    agree = sum(
-        (F.col(f"ga.m{i}") == F.col(f"gb.m{i}")).cast("int") for i in range(n_hashes)
-    )
-    est = (
-        sig.alias("ga")
-        .join(F.broadcast(sig.alias("gb")), F.col("ga.src") < F.col("gb.src"))
-        .select(
-            F.col("ga.src").alias("src_a"),
-            F.col("gb.src").alias("src_b"),
-            (agree.cast("double") / F.lit(float(n_hashes))).alias("minhash_est"),
-        )
     )
     return pairs.join(F.broadcast(est), ["src_a", "src_b"]).select(
         "src_a",

@@ -223,6 +223,23 @@ def _tf_df(docs: DataFrame, id_col: str, text_col: str):
     return tok, tf, df_t
 
 
+#: tf tables (and anchor keyword rollups) persisted by
+#: :func:`hard_negatives` and not yet released — the same cache-lifetime
+#: contract as dedup._PERSISTED_INDEXES
+_PERSISTED_TF: list = []
+
+
+def release_tf_tables() -> int:
+    """Unpersist every tf/keyword table still cached by
+    :func:`hard_negatives` calls in this session; returns how many were
+    released. Safe while a consumer plan is still lazy — Spark recomputes
+    uncached parents — so call it once the mined output is materialized."""
+    n = len(_PERSISTED_TF)
+    while _PERSISTED_TF:
+        _PERSISTED_TF.pop().unpersist()
+    return n
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     top_k: int = 3,
@@ -303,12 +320,20 @@ def hard_negatives(
     by the term list, the vocabulary never re-shuffles); the overlap
     excluder is ``decontaminate``'s shape — anchor grams broadcast,
     corpus grams anti-joined. No doc-to-doc pairs ever materialize
-    beyond the (anchor, candidate) hits themselves. NOTE: Catalyst's
-    column pruning specializes the two tf consumers (the keyword branch
-    drops ``dl``), so the (doc, term) shuffle runs twice per action — at
-    petabyte scale persist the ``_tf_df`` result and pass it via
-    ``tfidf_top_terms(tfdf=...)``-style threading before widening the
-    anchor set.
+    beyond the (anchor, candidate) hits themselves.
+
+    The shared ``(doc, term)`` tf table feeds three consumers (the
+    keyword branch, the ``df`` aggregate, and candidate scoring), so it
+    is persisted here by default — ONE tokenize + count for the whole
+    composition instead of one per consumer subtree (Catalyst's column
+    pruning specializes the consumers, so without the cache the shuffle
+    re-runs per subtree). Cached tables register like dedup's shingle
+    indexes; call :func:`release_tf_tables` once the output is
+    materialized. Keyword extraction additionally filters the tf side
+    to ``anchor_ids`` BEFORE the scoring join and the per-doc rank
+    window, so the keyword window's input is anchor-sized by
+    construction (not by relying on Catalyst's filter-through-window
+    pushdown).
     """
     from mongoshake_spark.functions.curation import _doc_ngrams
 
@@ -316,22 +341,30 @@ def hard_negatives(
     # one tokenize + one (doc, term) count + one df aggregate feed BOTH
     # the keyword extraction and the candidate scoring
     tok, tf, df_t = _tf_df(docs, id_col, text_col)
+    tf = tf.persist()
+    _PERSISTED_TF.append(tf)
     stats = tok.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+    # anchor pushdown: the keyword scoring join and its rank window only
+    # ever see the anchors' tf rows (df/stats stay corpus-wide, so idf
+    # semantics are unchanged); the result is |anchors|*top_terms and
+    # feeds two joins below, so it is persisted too — otherwise the
+    # whole keyword subtree re-plans once per consumer
     anchor_terms = (
         tfidf_top_terms(
             docs,
             top_k=top_terms,
             id_col=id_col,
             text_col=text_col,
-            tfdf=(tok, tf, df_t),
+            tfdf=(tok, tf.filter(F.col(id_col).isin(anchor_ids)), df_t),
             stats=stats,
         )
-        .filter(F.col(id_col).isin(anchor_ids))
         .select(F.col(id_col).alias("anchor_id"), "term")
+        .persist()
     )
+    _PERSISTED_TF.append(anchor_terms)
     # idf ONLY for the anchors' terms — df_t is the full vocabulary, and
     # broadcasting it whole would ship (and driver-collect) millions of
     # terms at corpus scale; the semi-join keeps it |anchors|*top_terms

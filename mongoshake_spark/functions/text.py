@@ -190,6 +190,7 @@ def term_filter(
     terms,
     max_hits: int = 0,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Token term-list filter — the C4 "badwords" rule shape (and its
     allowlist dual): count each document's tokens that appear in
@@ -214,13 +215,15 @@ def term_filter(
     arr = F.array(*[F.lit(t) for t in terms])
     n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     return docs.select(
-        "doc_id",
+        id_col,
         n.alias("n_hits"),
         (n <= F.lit(int(max_hits))).alias("keep"),
     )
 
 
-def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def entropy_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document word-distribution signals: Shannon entropy (bits) of
     the token frequency distribution and the type-token ratio — the
     standard gibberish/boilerplate detectors complementing the Gopher
@@ -241,13 +244,13 @@ def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = tokens(F.col(text_col))
     counts = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
+        docs.select(id_col, F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
         .agg(F.count("*").alias("cnt"))
     )
     n = F.sum("cnt").cast("double")
     return (
-        counts.groupBy("doc_id")
+        counts.groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_tokens"),
             F.count("*").alias("n_types"),
@@ -256,7 +259,7 @@ def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("_h"),
         )
         .select(
-            "doc_id",
+            id_col,
             "n_tokens",
             "n_types",
             F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),

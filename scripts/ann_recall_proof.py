@@ -319,8 +319,14 @@ def main() -> int:
             a["recall_at_k"] <= b["recall_at_k"] + 1e-9
             for a, b in zip(ivfpq_rr_curve, ivfpq_rr_curve[1:])
         )
+        # baseline looked up by its n_probe field (the re-rank curve runs
+        # at n_probe=2), not by position — reordering the probe tuples
+        # above must not silently compare mismatched probe settings
         and ivfpq_rr_curve[0]["recall_at_k"]
-        >= ivfpq_curve[1]["recall_at_k"] - 1e-9
+        >= next(
+            e for e in ivfpq_curve if e["n_probe"] == ivfpq_rr_curve[0]["n_probe"]
+        )["recall_at_k"]
+        - 1e-9
     )
     out["claims_hold"] = ok
     print(json.dumps(out))

@@ -1,8 +1,8 @@
 """Physical-plan red-flag sweep across EVERY declared query.
 
 tests/test_plans.py gates specific plan properties on specific operators;
-this script is the complement: it builds all 78 declared queries and
-scans each EXECUTED plan for the three patterns that silently kill a
+this script is the complement: it builds every declared query and
+scans each EXECUTED plan for the four patterns that silently kill a
 100 TB run, regardless of which operator they appear in:
 
 - ``CartesianProduct``  — an unintended O(N^2) join (broadcast nested
@@ -16,6 +16,10 @@ scans each EXECUTED plan for the three patterns that silently kill a
   use the distributed prefix sum (operators/prefix) instead. A window
   with a partition spec, or without ordering (whole-group aggregation
   windows like the span count-over-hash), is fine.
+- post-window anchor filter — a ``Filter x IN (...)`` ABOVE a Window
+  partitioned by ``x``: the window ranked the whole corpus and the
+  filter then discarded it; restructure to filter the window's input
+  (the hard_negatives round-9 defect class).
 
 Usage: python scripts/plan_audit.py [sf_dir]   (default sf0.001 — the
 pattern set is plan-shape-only, so the smallest fixture suffices)
@@ -72,6 +76,47 @@ def window_flags(plan: str) -> list[str]:
     return flags
 
 
+_NODE_RE = re.compile(r"^(?:\*\(\d+\)\s*)?(\w+)")
+_IN_FILTER_RE = re.compile(r"(\w+#\d+L?) IN \(")
+
+
+def post_window_filter_flags(plan: str) -> list[str]:
+    """A ``Filter x IN (...)`` sitting ABOVE a Window partitioned by the
+    same attribute: the window ranked the whole corpus and the filter
+    then threw most of it away (the hard_negatives round-9 defect
+    class). Catalyst normally pushes partition-column predicates through
+    Window, so this firing means the pushdown was blocked — restructure
+    the operator to filter the window's input explicitly. Validated by
+    tests/test_misc.py::test_plan_audit_detector."""
+    parsed = []
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        parsed.append((len(line) - len(node), node))
+    flags = []
+    for i, (depth, node) in enumerate(parsed):
+        m = _NODE_RE.match(node)
+        if not m or m.group(1) != "Filter":
+            continue
+        attrs = set(_IN_FILTER_RE.findall(node))
+        if not attrs:
+            continue
+        for d2, n2 in parsed[i + 1 :]:
+            if d2 <= depth:
+                break  # left the Filter's subtree
+            m2 = _NODE_RE.match(n2)
+            if m2 and m2.group(1) in ("Window", "WindowGroupLimit"):
+                groups = _bracket_groups(n2)
+                part = (
+                    groups[0]
+                    if m2.group(1) == "WindowGroupLimit"
+                    else (groups[1] if len(groups) >= 3 else "")
+                )
+                if any(a in part for a in attrs):
+                    flags.append("post-window-anchor-filter")
+                    break
+    return flags
+
+
 def audit(sf_dir: str) -> dict[str, list[str]]:
     from mongoshake_spark.plans import QUERIES
     from mongoshake_spark.session import get_spark
@@ -86,7 +131,7 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             findings[name] = [f"plan-build-error: {str(e)[:100]}"]
             continue
-        hits = window_flags(plan)
+        hits = window_flags(plan) + post_window_filter_flags(plan)
         if "CartesianProduct" in plan:
             hits.append("cartesian-product")
         if "BatchEvalPython" in plan:

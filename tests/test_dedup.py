@@ -598,3 +598,26 @@ def test_source_overlap_identical_sources_estimate_one(spark):
     r = dedup.source_overlap(docs).collect()[0]
     assert r["exact_jaccard"] == 1.0
     assert r["minhash_est"] == 1.0  # identical vocab -> identical signature
+
+
+def test_source_overlap_sketch_only_mode(spark):
+    """include_exact=False (the documented 100 TB path) must skip the
+    vocabulary self-join entirely — sketch columns only, with estimates
+    identical to the full mode's — so Catalyst never plans the exact
+    n_common join at scale (round-9 ADVICE)."""
+    rows = [
+        (1, "a b c", "srcA"),
+        (2, "b c d", "srcB"),
+        (3, "x", "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sk = dedup.source_overlap(docs, include_exact=False)
+    assert sk.columns == ["src_a", "src_b", "minhash_est"]
+    # the pruned plan never aggregates the distinct vocabulary
+    assert "n_common" not in sk._jdf.queryExecution().optimizedPlan().toString()
+    full = {
+        (r["src_a"], r["src_b"]): r["minhash_est"]
+        for r in dedup.source_overlap(docs).collect()
+    }
+    got = {(r["src_a"], r["src_b"]): r["minhash_est"] for r in sk.collect()}
+    assert got == full

@@ -144,6 +144,52 @@ def test_plan_audit_detector(spark):
     assert "global-ordered-window" in window_flags(plan_of(bad_topk))
 
 
+def test_plan_audit_post_window_filter_detector():
+    """post_window_filter_flags must FIRE on a Filter x IN (...) whose
+    subtree holds a Window partitioned by x, and stay quiet when the
+    filter is below the window (pushed down) or on a different column.
+    Catalyst pushes partition-column IN-filters through Window itself,
+    so the firing shape is validated on synthetic plan text (the live
+    shape only occurs when pushdown is blocked — a cache boundary, a
+    non-deterministic barrier)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.plan_audit import post_window_filter_flags
+
+    fired = "\n".join([
+        "Project [doc_id#5L, rank#9]",
+        "+- Filter doc_id#5L IN (1,2,3)",
+        "   +- Window [row_number() windowspecdefinition(doc_id#5L, score#7 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b)) AS rank#9], [doc_id#5L], [score#7 DESC NULLS LAST]",
+        "      +- Scan parquet [doc_id#5L, score#7]",
+    ])
+    assert post_window_filter_flags(fired) == ["post-window-anchor-filter"]
+    # same shape via the rank-pushdown node (partition spec comes first)
+    fired_gl = fired.replace(
+        "Window [row_number() windowspecdefinition(doc_id#5L, score#7 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b)) AS rank#9], [doc_id#5L], [score#7 DESC NULLS LAST]",
+        "WindowGroupLimit [doc_id#5L], [score#7 DESC NULLS LAST], row_number(), 3",
+    )
+    assert post_window_filter_flags(fired_gl) == ["post-window-anchor-filter"]
+    pushed = "\n".join([
+        "Project [doc_id#5L, rank#9]",
+        "+- Window [row_number() windowspecdefinition(doc_id#5L, score#7 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b)) AS rank#9], [doc_id#5L], [score#7 DESC NULLS LAST]",
+        "   +- Filter doc_id#5L IN (1,2,3)",
+        "      +- Scan parquet [doc_id#5L, score#7]",
+    ])
+    assert post_window_filter_flags(pushed) == []
+    other_col = fired.replace("Filter doc_id#5L IN", "Filter neg_id#6L IN")
+    assert post_window_filter_flags(other_col) == []
+    # filter ABOVE but the window is a sibling, not in its subtree
+    sibling = "\n".join([
+        "Join Inner",
+        ":- Filter doc_id#5L IN (1,2,3)",
+        ":  +- Scan parquet [doc_id#5L]",
+        "+- Window [row_number() windowspecdefinition(doc_id#5L, score#7 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b)) AS rank#9], [doc_id#5L], [score#7 DESC NULLS LAST]",
+        "   +- Scan parquet [doc_id#5L, score#7]",
+    ])
+    assert post_window_filter_flags(sibling) == []
+
+
 def test_semantic_decontaminate_includes_zero_hit_rows(spark):
     from mongoshake_spark.functions.similarity import semantic_decontaminate
 

@@ -328,3 +328,18 @@ def test_term_filter_counts_and_budget(spark):
     assert strict == {1: True, 2: False, 3: False}
     with pytest.raises(ValueError, match="empty"):
         textfn.term_filter(docs, [])
+
+
+def test_term_filter_and_entropy_respect_id_col(spark):
+    # sibling operators (cdc_chunks, sample_weighted, tfidf_top_terms)
+    # take id_col; these two must too (round-9 ADVICE)
+    docs = spark.createDataFrame(
+        [(7, "bad words here"), (8, "clean text")], "uid long, text string"
+    )
+    got = {
+        r["uid"]: r["n_hits"]
+        for r in textfn.term_filter(docs, ["bad"], id_col="uid").collect()
+    }
+    assert got == {7: 1, 8: 0}
+    ent = {r["uid"]: r["n_types"] for r in textfn.entropy_signals(docs, id_col="uid").collect()}
+    assert ent == {7: 3, 8: 2}
