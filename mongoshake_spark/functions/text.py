@@ -191,6 +191,9 @@ def term_filter(
     max_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom: bool = False,
+    m_bits: int = 1 << 16,
+    k: int = 3,
 ) -> DataFrame:
     """Token term-list filter — the C4 "badwords" rule shape (and its
     allowlist dual): count each document's tokens that appear in
@@ -204,21 +207,75 @@ def term_filter(
     Scale shape: the term list rides as an in-row broadcast array
     literal and the count is one higher-order ``filter``/``size``
     expression — pure map inside whole-stage codegen, zero shuffles,
-    zero UDFs, term-list size bounded by the expression tree (for
-    100k+-term lists, switch to a broadcast semi-join on exploded
-    tokens — the ``decontaminate_bloom`` shape).
+    zero UDFs, term-list size bounded by the expression tree.
+
+    ``bloom=True`` is the 100k+-term path (multilingual badword lists):
+    the term list compresses to an ``m_bits``-position Bloom filter —
+    ``k`` dialect-portable polynomial hash positions per term, the same
+    family as ``decontaminate_bloom`` — broadcast as ONE row regardless
+    of list size, and each token is probed in-row (no join, no
+    shuffle; the exact-array form's expression tree would grow with the
+    list instead). The error is one-sided: false POSITIVES only, i.e.
+    ``n_hits`` can only overcount and ``keep`` can only over-drop —
+    the safe direction for a blocklist (a listed term never escapes);
+    for an ALLOWLIST use the exact form, where over-matching would
+    over-keep. Hash positions are ``(poly(t)·(2i+1) + 7919·i) mod
+    m_bits``, so a DuckDB oracle reproduces the filter bit-for-bit —
+    including which false positives fire.
     """
     terms = list(terms)
     if not terms:
         raise ValueError("term_filter: empty term list")
     toks = tokens(F.col(text_col))
-    arr = F.array(*[F.lit(t) for t in terms])
-    n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    return docs.select(
-        id_col,
-        n.alias("n_hits"),
-        (n <= F.lit(int(max_hits))).alias("keep"),
+    if not bloom:
+        arr = F.array(*[F.lit(t) for t in terms])
+        n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        return docs.select(
+            id_col,
+            n.alias("n_hits"),
+            (n <= F.lit(int(max_hits))).alias("keep"),
+        )
+    from mongoshake_spark.functions.texthash import MOD, poly_hash_spark
+
+    m_bits, k = int(m_bits), int(k)
+    # the term list is driver-side already, so its positions fold here
+    # with the SAME polynomial the in-row probe uses (ord == Spark ascii
+    # == DuckDB ascii on the full codepoint range)
+    positions: set[int] = set()
+    for t in terms:
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % MOD
+        for i in range(k):
+            positions.add((h * (2 * i + 1) + 7919 * i) % m_bits)
+    bloom_row = docs.sparkSession.createDataFrame(
+        [(sorted(positions),)], "_ps array<int>"
+    ).select(
+        F.map_from_arrays(
+            "_ps", F.transform("_ps", lambda _: F.lit(True))
+        ).alias("_bloom")
     )
+    th = poly_hash_spark("t")
+    hit = " AND ".join(
+        f"element_at(_bloom, CAST(((h * {2 * i + 1} + {7919 * i}) "
+        f"% {m_bits}) AS INT)) IS NOT NULL"
+        for i in range(k)
+    )
+    return (
+        docs.crossJoin(F.broadcast(bloom_row))
+        .withColumn("_hs", F.expr(f"transform({_toks_sql(text_col)}, t -> {th})"))
+        .select(
+            id_col,
+            F.expr(f"size(filter(_hs, h -> {hit}))").alias("n_hits"),
+        )
+        .withColumn("keep", F.col("n_hits") <= F.lit(int(max_hits)))
+    )
+
+
+def _toks_sql(text_col: str) -> str:
+    """SQL-expression twin of :func:`tokens` (single-space split), for
+    composition inside higher-order ``F.expr`` strings."""
+    return f"split({text_col}, ' ')"
 
 
 def entropy_signals(

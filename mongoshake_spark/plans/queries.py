@@ -4713,6 +4713,47 @@ def text_blocklist_q(spark, sf_dir):
     return textfn.term_filter(docs, _BLOCKLIST, max_hits=1).orderBy("doc_id")
 
 
+_BLOOM_TERMS = ["merge", "join", "skew", "spill", "scan", "slow", "vector", "shuffle"]
+_BLM = 256  # deliberately tiny so false positives fire on BOTH engines
+_BLOOM_TERM_POS = (
+    f"[CAST(h % {_BLM} AS INT), CAST((h * 3 + 7919) % {_BLM} AS INT), "
+    f"CAST((h * 5 + 15838) % {_BLM} AS INT)]"
+)
+
+
+@_q(
+    "text_blocklist_bloom",
+    f"""WITH terms(t) AS (VALUES {", ".join(f"('{t}')" for t in _BLOOM_TERMS)}),
+ph AS (SELECT {poly_hash_duckdb("t")} AS h FROM terms),
+pos AS (SELECT DISTINCT unnest({_BLOOM_TERM_POS}) AS p FROM ph),
+plist AS (SELECT list(p) AS ps FROM pos),
+hs AS (SELECT doc_id,
+              list_transform(string_split(text, ' '),
+                             t -> {poly_hash_duckdb("t")}) AS hs
+       FROM documents),
+flags AS (SELECT doc_id,
+                 CAST(len(list_filter(hs, h -> list_has_all(ps, {_BLOOM_TERM_POS})))
+                      AS INT) AS n_hits
+          FROM hs CROSS JOIN plist)
+SELECT doc_id, n_hits, n_hits <= 1 AS keep FROM flags ORDER BY doc_id""",
+    "Bloom-filter term blocklisting — term_filter's 100k+-term path "
+    "(multilingual badword lists): the list compresses to an m-position "
+    "filter (m=256 HERE so the fixture exercises real false positives; "
+    "both engines agree on exactly which), broadcast as ONE row "
+    "regardless of list size, and every token is probed in-row with k=3 "
+    "polynomial hashes — no join, no shuffle, no expression tree growth "
+    "with the list. One-sided error: n_hits only overcounts and keep "
+    "only over-drops — the safe direction for a blocklist "
+    "(functions/text.term_filter bloom=True; same hash family as "
+    "decontaminate_bloom).",
+)
+def text_blocklist_bloom_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textfn.term_filter(
+        docs, _BLOOM_TERMS, max_hits=1, bloom=True, m_bits=_BLM
+    ).orderBy("doc_id")
+
+
 @_q(
     "mine_hard_negatives",
     """WITH tok AS (

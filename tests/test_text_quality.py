@@ -343,3 +343,42 @@ def test_term_filter_and_entropy_respect_id_col(spark):
     assert got == {7: 1, 8: 0}
     ent = {r["uid"]: r["n_types"] for r in textfn.entropy_signals(docs, id_col="uid").collect()}
     assert ent == {7: 3, 8: 2}
+
+
+def test_term_filter_bloom_one_sided_vs_exact(spark):
+    """bloom=True must agree with the exact array form up to ONE-SIDED
+    error: n_hits never undercounts, keep never over-keeps (a listed
+    term can never escape). At a generous m_bits the fixture list has
+    no false positives, so the outputs match exactly; at a tiny m_bits
+    false positives MUST fire (one-sided, deterministic)."""
+    rows = [(i, f"tok{i} bad tok{i+1} filler word{i}") for i in range(0, 40, 2)]
+    rows += [(99, "completely clean text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["bad", "worse", "evil"]
+    exact = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in textfn.term_filter(docs, terms, max_hits=0).collect()
+    }
+    wide = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in textfn.term_filter(
+            docs, terms, max_hits=0, bloom=True, m_bits=1 << 20
+        ).collect()
+    }
+    assert wide == exact
+    tiny = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in textfn.term_filter(
+            docs, terms, max_hits=0, bloom=True, m_bits=16
+        ).collect()
+    }
+    assert set(tiny) == set(exact)
+    fp = 0
+    for d, (n, keep) in exact.items():
+        tn, tkeep = tiny[d]
+        assert tn >= n, d  # never undercounts
+        assert not keep or tkeep in (True, False)  # keep may only flip to False
+        if not keep:
+            assert not tkeep, d  # a real hit never escapes
+        fp += tn - n
+    assert fp > 0  # the tiny filter actually exercised false positives
