@@ -161,12 +161,56 @@ def write_mongo_table(
     return None
 
 
+def _apply_requests(coll, requests, bulk_size: int, on_dead) -> None:
+    """Unordered bulk apply with the cross-key unique-index remediation
+    (executor/collision_matrix.go:140-378's concern, resolved the
+    optimistic way): within one committed batch the ops are NET and
+    per-key-unique, so the id-keyed index can never conflict — but a
+    SECONDARY unique index can transiently collide across keys (key A's
+    update releases a value in the same batch key B's insert takes; an
+    unordered bulk may apply B first and hit dup-key). The reference
+    segments batches by a collision matrix to force a safe order; here
+    failed writes are RETRIED ONCE after the whole request sequence has
+    been applied — by then every releasing op has landed, so any
+    conflict that is resolvable within the batch resolves. A residual
+    failure (the conflicting value is held by a key OUTSIDE this batch,
+    or a genuine data conflict) is handed to ``on_dead(request, error)``
+    — the W7 dead-letter contract — never silently dropped and never an
+    opaque task crash.
+
+    Write errors are detected structurally (an exception carrying a
+    ``details`` dict with ``writeErrors``, pymongo's BulkWriteError
+    shape) so the remediation logic is unit-testable without a live
+    server; any other exception propagates (connection failures must
+    fail the task, not dead-letter)."""
+
+    def run_chunks(reqs, on_fail):
+        for lo in range(0, len(reqs), bulk_size):
+            chunk = reqs[lo : lo + bulk_size]
+            try:
+                coll.bulk_write(chunk, ordered=False)
+            except Exception as e:  # noqa: BLE001 — shape-checked below
+                details = getattr(e, "details", None)
+                if not isinstance(details, dict) or "writeErrors" not in details:
+                    raise
+                for we in details["writeErrors"]:
+                    i = we.get("index")
+                    if i is not None and 0 <= i < len(chunk):
+                        on_fail(chunk[i], we)
+
+    failed: list = []
+    run_chunks(list(requests), lambda req, we: failed.append(req))
+    if failed:
+        run_chunks(failed, on_dead)
+
+
 def mongo_ops_mirror(
     uri: str,
     database: str,
     collection: str,
     id_field: str = "_id",
     bulk_size: int = 1000,
+    dead_letter_dir: str | None = None,
 ):
     """S7 production form, CDC flavor: a mirror callable for
     ``ApplyKernel(mirror=...)`` that applies each committed batch's NET
@@ -185,6 +229,16 @@ def mongo_ops_mirror(
 
     Gated on pymongo at construction time (driver-side import) so a
     missing dependency fails loudly at wiring, not inside an executor.
+
+    Unique-index safety: the net per-key set can never conflict on the
+    ``id_field`` index (one op per key, replace/delete by id), but a
+    SECONDARY unique index can transiently collide across keys inside
+    one unordered bulk — see :func:`_apply_requests` for the
+    retry-after-batch remediation. Residual conflicts are written as
+    JSON dead-letter records under ``dead_letter_dir`` (one file per
+    partition per batch — no executor write contention); with no
+    ``dead_letter_dir`` a residual conflict raises, failing the task
+    loudly rather than dropping an op.
     """
     try:
         import pymongo  # noqa: F401 — availability probe only
@@ -198,33 +252,65 @@ def mongo_ops_mirror(
         key, val, op = net_ops.columns[0], net_ops.columns[1], net_ops.columns[2]
 
         def apply_partition(rows) -> None:
+            import json
+            import os
+            import uuid
+
             from pymongo import DeleteOne, MongoClient, ReplaceOne
+            from pyspark import TaskContext
+
+            requests = []
+            for r in rows:
+                if r[op] == "d":
+                    requests.append(DeleteOne({id_field: r[key]}))
+                else:
+                    # document field named after the kernel's value
+                    # COLUMN — a kernel configured with val='amount'
+                    # must not silently write under 'value'
+                    requests.append(
+                        ReplaceOne(
+                            {id_field: r[key]},
+                            {id_field: r[key], val: r[val]},
+                            upsert=True,
+                        )
+                    )
+            if not requests:
+                return
+            dead: list[dict] = []
+
+            def on_dead(req, we):
+                if dead_letter_dir is None:
+                    raise RuntimeError(
+                        f"mirror write failed after retry and no "
+                        f"dead_letter_dir is configured: {we.get('errmsg')}"
+                    )
+                dead.append(
+                    {
+                        "batch_id": batch_id,
+                        "request": repr(req),
+                        "code": we.get("code"),
+                        "errmsg": we.get("errmsg"),
+                    }
+                )
 
             client = MongoClient(uri)
             try:
-                coll = client[database][collection]
-                buf = []
-                for r in rows:
-                    if r[op] == "d":
-                        buf.append(DeleteOne({id_field: r[key]}))
-                    else:
-                        # document field named after the kernel's value
-                        # COLUMN — a kernel configured with val='amount'
-                        # must not silently write under 'value'
-                        buf.append(
-                            ReplaceOne(
-                                {id_field: r[key]},
-                                {id_field: r[key], val: r[val]},
-                                upsert=True,
-                            )
-                        )
-                    if len(buf) >= bulk_size:
-                        coll.bulk_write(buf, ordered=False)
-                        buf = []
-                if buf:
-                    coll.bulk_write(buf, ordered=False)
+                _apply_requests(
+                    client[database][collection], requests, bulk_size, on_dead
+                )
             finally:
                 client.close()
+            if dead:
+                os.makedirs(dead_letter_dir, exist_ok=True)
+                tc = TaskContext.get()
+                pid = tc.partitionId() if tc is not None else 0
+                path = os.path.join(
+                    dead_letter_dir,
+                    f"b{batch_id}_p{pid}_{uuid.uuid4().hex[:8]}.json",
+                )
+                with open(path, "w") as f:
+                    for rec in dead:
+                        f.write(json.dumps(rec) + "\n")
 
         net_ops.foreachPartition(apply_partition)
 

@@ -318,3 +318,126 @@ def test_kafka_tunnel_roundtrip_embedded_log(spark, sf_dir, tmp_path):
     )
     assert q.awaitTermination(300)
     assert len(bad_rows) == 1
+
+
+class _WriteErr(Exception):
+    """Structural stand-in for pymongo.errors.BulkWriteError: the mirror
+    detects write errors by the `details` dict shape, so the remediation
+    logic tests without pymongo installed."""
+
+    def __init__(self, write_errors):
+        super().__init__("bulk write error")
+        self.details = {"writeErrors": write_errors}
+
+
+class _Coll:
+    """Scripted collection: fails the given request payloads with dup-key
+    for the first `fail_rounds` bulk_write calls that contain them."""
+
+    def __init__(self, poison, fail_rounds=1):
+        self.poison = set(poison)
+        self.fail_rounds = fail_rounds
+        self.rounds_failed = 0
+        self.applied = []
+        self.calls = []
+
+    def bulk_write(self, reqs, ordered=False):
+        assert ordered is False  # the mirror always sends unordered bulks
+        self.calls.append(list(reqs))
+        errs = []
+        for i, r in enumerate(reqs):
+            if r in self.poison and self.rounds_failed < self.fail_rounds:
+                errs.append({"index": i, "code": 11000,
+                             "errmsg": f"E11000 duplicate key: {r}"})
+            else:
+                self.applied.append(r)
+        if errs:
+            self.rounds_failed += 1
+            raise _WriteErr(errs)
+
+
+def test_apply_requests_retries_transient_dupkey_once():
+    """The collision_matrix.go concern, optimistic form: a dup-key that
+    resolves once the rest of the batch lands (key A released the value
+    key B takes) must succeed on the single retry pass — no dead letter,
+    every op applied exactly once."""
+    dead = []
+    coll = _Coll(poison={"ins_B"}, fail_rounds=1)
+    live._apply_requests(
+        coll, ["upd_A", "ins_B", "del_C"], bulk_size=10,
+        on_dead=lambda req, we: dead.append((req, we)),
+    )
+    assert dead == []
+    assert sorted(coll.applied) == ["del_C", "ins_B", "upd_A"]
+    assert len(coll.calls) == 2  # one bulk + one retry bulk
+
+
+def test_apply_requests_residual_conflict_dead_letters():
+    """A conflict the batch cannot resolve (the value is held outside the
+    batch) dead-letters the op with its server error — never dropped,
+    never an opaque crash — and everything else still applies."""
+    dead = []
+    coll = _Coll(poison={"ins_B"}, fail_rounds=2)
+    live._apply_requests(
+        coll, ["upd_A", "ins_B", "del_C"], bulk_size=2,
+        on_dead=lambda req, we: dead.append((req, we["code"])),
+    )
+    assert dead == [("ins_B", 11000)]
+    assert sorted(coll.applied) == ["del_C", "upd_A"]
+
+
+def test_apply_requests_non_write_errors_propagate():
+    """Connection-class failures must fail the task (retrying or
+    dead-lettering a down server would hide data loss)."""
+
+    class _Down:
+        def bulk_write(self, reqs, ordered=False):
+            raise ConnectionError("server gone")
+
+    with pytest.raises(ConnectionError):
+        live._apply_requests(_Down(), ["a"], 10, on_dead=lambda r, w: None)
+
+
+def test_apply_requests_chunking_respects_bulk_size():
+    coll = _Coll(poison=set())
+    live._apply_requests(coll, list(range(25)), bulk_size=10,
+                         on_dead=lambda r, w: None)
+    assert [len(c) for c in coll.calls] == [10, 10, 5]
+    assert coll.applied == list(range(25))
+
+
+@pytest.mark.skipif(
+    not MONGO_URI, reason="set MONGOSHAKE_SPARK_TEST_MONGO_URI to run"
+)
+def test_mirror_unique_index_conflict_dead_letters_live(spark, tmp_path):
+    """Cluster-only: a synthetic cross-key dup-key conflict on a
+    SECONDARY unique index, forced through mongo_ops_mirror against a
+    real server, lands in the dead-letter dir (the value is held by a
+    document outside the batch, so the retry pass cannot resolve it)."""
+    import json
+    import os
+
+    import pymongo
+
+    client = pymongo.MongoClient(MONGO_URI)
+    dbname, cname = "mshake_test", f"uniq_{os.getpid()}"
+    coll = client[dbname][cname]
+    coll.drop()
+    coll.create_index("val", unique=True)
+    coll.insert_one({"_id": 999, "val": 7.0})  # holder OUTSIDE the batch
+    dl = str(tmp_path / "dead")
+    mirror = live.mongo_ops_mirror(
+        MONGO_URI, dbname, cname, dead_letter_dir=dl
+    )
+    net = spark.createDataFrame(
+        [(1, 7.0, "i"), (2, 8.0, "i")], "user_id long, val double, op string"
+    ).coalesce(1)
+    mirror(net, 0)
+    assert coll.find_one({"_id": 2})["val"] == 8.0  # clean op applied
+    recs = []
+    for f in os.listdir(dl):
+        with open(os.path.join(dl, f)) as fh:
+            recs.extend(json.loads(line) for line in fh)
+    assert len(recs) == 1 and recs[0]["code"] == 11000
+    coll.drop()
+    client.close()
