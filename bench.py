@@ -153,6 +153,41 @@ def main() -> None:
     }
     serial_total = round(sum(s for s in serial_timings.values() if s >= 0), 3)
     total, timings = min(pooled, key=lambda x: x[0])
+
+    # Paired protocol (round-10): the day-to-day spread of this host makes
+    # an UNPAIRED Spark total uninterpretable (identical code measured
+    # 28-78 s pooled across one day), so the DuckDB oracle half runs HERE,
+    # in the same invocation, immediately after the Spark passes — every
+    # BENCH json is a same-session pair by construction and the ratios
+    # below are the only cross-day-comparable numbers. Opt out with
+    # SPARK_GRAFT_BENCH_NO_PAIR=1 (ratios become null, never stale).
+    duck_total, duck_timings = None, {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_PAIR") != "1":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        t_all = time.perf_counter()
+        for name, q in QUERIES.items():
+            if not q.oracle:
+                continue
+            t0 = time.perf_counter()
+            try:
+                con.execute(q.oracle).fetchall()
+                duck_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep timing
+                print(f"bench: duck {name} failed: {exc}", file=sys.stderr)
+                duck_timings[name] = -1.0
+        duck_total = round(time.perf_counter() - t_all, 3)
+
+    def _ratio(a, b):
+        return round(a / b, 3) if (a is not None and b) else None
+
     full = {
         "metric": "total_query_wall",
         "value": total,
@@ -164,6 +199,10 @@ def main() -> None:
         "serial_total": serial_total,
         "serial_cold_total": serial_cold_total,
         "serial_queries": serial_timings,
+        "paired_duckdb_serial_total": duck_total,
+        "paired_serial_ratio": _ratio(serial_total, duck_total),
+        "paired_pooled_ratio": _ratio(total, duck_total),
+        "duckdb_queries": duck_timings,
     }
     # Full payload (pooled AND serial per-query spans) goes to a file; the
     # final stdout line must stay parseable from the round driver's
@@ -179,6 +218,7 @@ def main() -> None:
         json.dump(full, f, indent=1)
     line = dict(full)
     del line["serial_queries"]
+    del line["duckdb_queries"]  # per-query duck spans live in BENCH_FULL.json
     # Failures must survive compaction: a -1.0 sentinel is the SMALLEST
     # span, so the old drop-smallest-first heuristic evicted failure
     # markers before any real timing and a stdout-only consumer saw a

@@ -126,12 +126,73 @@ def merge_rewrite(syms: Column, left: Column, right: Column, merged: Column) -> 
     return F.aggregate(syms, init, step, fin)
 
 
+def _train_local(word_rows, n_merges: int) -> list[tuple]:
+    """Driver-local BPE fit over the collected word-TYPE table — the
+    production shape (Sennrich's own trainer, HF tokenizers): corpus-
+    bounded work stays distributed (the word count), vocabulary-bounded
+    work runs in one process's RAM where a merge step costs the affected
+    slice with NO per-step job scheduling. Exact delta maintenance with
+    a pair -> word-ids inverted index; stale index entries are guarded
+    by a containment re-check (the standard trick), so the maintained
+    counts stay exact and the merge table is identical to the
+    distributed forms (property-tested). Same deterministic tie-break:
+    count desc, then pair lexicographic."""
+    from collections import Counter, defaultdict
+
+    vocab = [[list(syms), int(cnt)] for syms, cnt in word_rows]
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for wid, (syms, cnt) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(wid)
+    merges: list[tuple] = []
+    for step in range(n_merges):
+        if not pair_counts:
+            break
+        (l, r), c = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = l + r
+        merges.append((step, l, r, merged, int(c)))
+        for wid in sorted(pair_words.pop((l, r), ())):
+            syms, cnt = vocab[wid]
+            # stale index entry: the word was rewritten since it was
+            # indexed under this pair and no longer holds the adjacency
+            if not any(a == l and b == r for a, b in zip(syms, syms[1:])):
+                continue
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[wid][0] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += cnt
+                pair_words[p].add(wid)
+    return merges
+
+
+#: word-type count above which ``bpe_train``'s auto mode falls back to
+#: the distributed per-merge forms (the collected type table plus the
+#: pair inverted index is ~O(total symbols) driver RAM — at this cap,
+#: ~10M types x ~20 symbols ≈ a few GB, the size class every standard
+#: BPE trainer holds in one process)
+LOCAL_MAX_TYPES = 10_000_000
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     words: DataFrame | None = None,
     incremental: bool = True,
+    local: bool | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     ``(step, lhs, rhs, merged, pair_count)`` in learning order. Stops
@@ -148,12 +209,40 @@ def bpe_train(
     touch a vanishing share of words — see the A/B in BASELINE.md).
     ``incremental=False`` keeps the full-recount form; both produce the
     identical merge table (property-tested) because the maintained
-    counts are exact, not approximate."""
+    counts are exact, not approximate.
+
+    ``local`` (default auto) is the PRODUCTION strategy: collect the
+    word-TYPE table to the driver and fit in RAM (:func:`_train_local`).
+    Round-10 measurement (BASELINE.md) settled the strategy question:
+    per-merge distributed jobs are the wrong shape at EVERY scale —
+    map-side combine already collapses the recount shuffle to distinct
+    pairs per partition, so both distributed forms pay a full
+    vocabulary scan plus job scheduling per step (recount 91.6 s /
+    incremental 241.5 s for 32 merges over 210k types; the late-stage
+    window favors recount too), while the local fit runs the same 32
+    merges in under a second after one collect. The type table is
+    model-sized by construction — O(total symbols) driver RAM, ~5 MB
+    of payload at 210k types — and auto mode falls back to the
+    distributed ``incremental`` form past :data:`LOCAL_MAX_TYPES`
+    (where the ~few-GB index would crowd the driver). The distributed
+    forms remain for that regime and as the oracle for the property
+    tests."""
     if n_merges < 1:
         raise ValueError("bpe_train: n_merges must be >= 1")
     spark = docs.sparkSession
     if words is None:
         words = bpe_word_table(docs, text_col)
+    if local is None:
+        local = words.count() <= LOCAL_MAX_TYPES
+    if local:
+        rows = [
+            (list(r["syms"]), int(r["cnt"]))
+            for r in words.select("syms", "cnt").collect()
+        ]
+        return spark.createDataFrame(
+            _train_local(rows, n_merges),
+            "step int, lhs string, rhs string, merged string, pair_count long",
+        )
     merges: list[tuple] = []
     counts: dict[tuple[str, str], int] | None = None
     if incremental:

@@ -4533,25 +4533,25 @@ FROM enc GROUP BY doc_id ORDER BY doc_id"""
 @_q(
     "bpe_train",
     _bpe_oracle(6),
-    "Distributed BPE merge learning (Sennrich et al. 2016) — the "
-    "tokenizer-fit step of the training pipeline: the corpus collapses "
-    "to its distinct-word table once, then each merge is a map-side-"
-    "combined pair count over word types, a deterministic argmax "
-    "(count desc, pair lexicographic — one driver row, like k-means "
-    "seeds), and an in-row left-to-right rewrite fold; the word table "
-    "is lineage-truncated per step (functions/bpe.bpe_train). Every "
-    "pass is vocabulary-bounded, never corpus-bounded.",
+    "BPE merge learning (Sennrich et al. 2016) — the tokenizer-fit step "
+    "of the training pipeline, in its production shape: the corpus "
+    "collapses to its distinct-word table in ONE distributed pass (the "
+    "only corpus-bounded work), then the model-sized type table fits "
+    "driver-locally with exact delta-maintained pair counts (count "
+    "desc / pair-lexicographic tie-break). Round-10 A/B settled the "
+    "strategy: per-merge distributed jobs lose at every scale because "
+    "map-side combine already collapses the recount shuffle, so the "
+    "local fit replaces 2n vocabulary jobs with one collect "
+    "(functions/bpe.bpe_train; distributed forms remain past "
+    "LOCAL_MAX_TYPES and as the property-test oracle).",
 )
 def bpe_train_q(spark, sf_dir):
     from mongoshake_spark.functions.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # full recount per merge: the fixture's 31-word vocabulary sits far
-    # below the delta form's crossover (BASELINE.md round-9 A/B — the
-    # incremental form wins on shuffle volume only once the vocabulary
-    # is large enough that the per-step explode dominates scheduling
-    # constants); both forms are property-tested identical
-    return bpe_train(docs, n_merges=6, incremental=False).orderBy("step")
+    # auto strategy -> driver-local fit at fixture scale; the merge
+    # table is property-tested identical across all three strategies
+    return bpe_train(docs, n_merges=6).orderBy("step")
 
 
 @_q(
@@ -4570,7 +4570,7 @@ def bpe_encode_q(spark, sf_dir):
     from mongoshake_spark.functions.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs, n_merges=4, incremental=False)
+    merges = bpe_train(docs, n_merges=4)
     enc = bpe_encode(docs, merges)
     return enc.select(
         "doc_id",

@@ -992,9 +992,16 @@ def test_bpe_train_incremental_matches_recount_and_textbook(spark, texts):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     want = textbook(texts, 4)
-    inc = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=True).collect()]
-    full = [tuple(r) for r in bpe_train(docs, n_merges=4, incremental=False).collect()]
-    assert inc == want and full == want
+    inc = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=4, incremental=True, local=False).collect()
+    ]
+    full = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=4, incremental=False, local=False).collect()
+    ]
+    loc = [tuple(r) for r in bpe_train(docs, n_merges=4, local=True).collect()]
+    assert inc == want and full == want and loc == want
 
 
 @given(
