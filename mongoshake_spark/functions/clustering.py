@@ -140,3 +140,45 @@ def kmeans_assign(
     Returns ``(id_col, cluster, d2)`` with ``d2`` the rounded squared L2
     to the winning centroid."""
     return kmeans_fit(vecs, k, iters, id_col, vec_col)[0]
+
+
+def sample_cluster_balanced(
+    vecs: DataFrame,
+    k: int = 8,
+    per_cluster: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling — the embedding-space dual
+    of ``curation.sample_exact_k``: assign each vector to its k-means
+    cluster, then keep exactly ``per_cluster`` rows per cluster by the
+    portable hash priority (ties impossible: the id breaks collisions).
+    This is the coverage-sampling step training-data pipelines run after
+    semantic dedup (SemDeDup / DoReMi-adjacent): a uniform sample lets a
+    dominant content cluster flood the mix; the per-cluster quota keeps
+    the sample's topical coverage flat regardless of cluster mass.
+    Returns ``(id_col, cluster, d2)`` for the survivors.
+
+    Scale shape: assignment is the broadcast-centroid map from
+    ``kmeans_assign`` (the corpus never shuffles to be assigned); the
+    quota reuses ``cap_per_domain``'s skew-safe two-phase top-K with the
+    hash as the order, so even a cluster holding most of the corpus
+    spreads over the scan's partitions — no single task ever sorts a
+    whole cluster. Deterministic end to end (no RNG state): re-running
+    on a re-partitioned corpus keeps the identical sample, and a smaller
+    quota keeps a strict subset of a larger one (ranks only truncate).
+    """
+    from mongoshake_spark.functions.curation import cap_per_domain
+    from mongoshake_spark.functions.packing import knuth_u32
+
+    assigned = kmeans_assign(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    hashed = assigned.withColumn("_neg_u", -knuth_u32(id_col, seed))
+    return cap_per_domain(
+        hashed,
+        per_cluster,
+        domain_col="cluster",
+        order_col="_neg_u",
+        id_col=id_col,
+    ).drop("_neg_u")

@@ -3571,6 +3571,60 @@ def kmeans_embed_q(spark, sf_dir):
 
 
 @_q(
+    "sample_cluster_balanced",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
+a1d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c0 c),
+a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
+a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
+       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
+         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
+              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
+c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
+c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
+a2d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c1r c),
+a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
+a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster, min(m.md) AS d2
+       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+ranked AS (SELECT vec_id, cluster, d2,
+  row_number() OVER (PARTITION BY cluster
+    ORDER BY (CAST(vec_id * 2654435761 AS BIGINT) % 4294967296), vec_id) AS rk
+  FROM a2)
+SELECT vec_id, cluster, d2 FROM ranked WHERE rk <= 25 ORDER BY vec_id""",
+    "Cluster-balanced (diversity) sampling — the embedding-space dual of "
+    "sample_exact_k and the coverage step after semantic dedup "
+    "(SemDeDup-adjacent): k-means-assign every vector (k=8, 2 Lloyd "
+    "iterations, the deterministic kmeans_embed chain), then keep "
+    "exactly 25 per cluster by portable-hash priority, so a dominant "
+    "content cluster cannot flood the training mix. Assignment is the "
+    "broadcast-centroid map (corpus never shuffles to be assigned); the "
+    "quota reuses cap_per_domain's skew-safe two-phase top-K, so even a "
+    "cluster holding most of the corpus spreads over the scan's "
+    "partitions. No RNG state: the sample reproduces under any "
+    "partitioning, and a smaller quota is a strict subset of a larger "
+    "one (functions/clustering.sample_cluster_balanced).",
+)
+def sample_cluster_balanced_q(spark, sf_dir):
+    from mongoshake_spark.functions.clustering import sample_cluster_balanced
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return sample_cluster_balanced(vecs, k=8, per_cluster=25, iters=2).orderBy(
+        "vec_id"
+    )
+
+
+@_q(
     "stream_join",
     """SELECT l.user_id, count(*) AS n_pairs,
        CAST(sum(r.event_id) AS BIGINT) AS pair_id_sum

@@ -454,3 +454,34 @@ def test_hard_negatives_excludes_near_copies_keeps_confusables(spark):
     assert 2 not in ids  # near-copy filtered by the gram excluder
     assert ids and ids[0] == 1  # the confusable doc is the top negative
     assert all(r["anchor_id"] == 0 for r in out)
+
+
+def test_sample_cluster_balanced_quota_subset_and_determinism(spark, sf_dir):
+    """The diversity-sampling contracts: exactly min(quota, |cluster|)
+    per cluster, a smaller quota is a STRICT SUBSET of a larger one
+    (ranks only truncate), and the sample reproduces identically under
+    a different input partitioning (no RNG state)."""
+    from mongoshake_spark.functions.clustering import sample_cluster_balanced
+    from mongoshake_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    s10 = sample_cluster_balanced(vecs, k=4, per_cluster=10)
+    rows10 = {(r["vec_id"], r["cluster"]) for r in s10.collect()}
+    per = {}
+    for _, c in rows10:
+        per[c] = per.get(c, 0) + 1
+    assert all(n <= 10 for n in per.values())
+    # fixture clusters are all bigger than the quota at every sf
+    assert all(n == 10 for n in per.values())
+    s5 = {
+        (r["vec_id"], r["cluster"])
+        for r in sample_cluster_balanced(vecs, k=4, per_cluster=5).collect()
+    }
+    assert s5 < rows10  # strict subset
+    rep = {
+        (r["vec_id"], r["cluster"])
+        for r in sample_cluster_balanced(
+            vecs.repartition(7), k=4, per_cluster=10
+        ).collect()
+    }
+    assert rep == rows10
