@@ -375,3 +375,54 @@ def bpe_encode(
             ).alias(out_col)
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group tokenizer health rollup — the dashboard every
+    tokenizer fit is judged by: ``fertility`` (BPE tokens emitted per
+    whitespace word; a tokenizer that fits one language poorly shows
+    fertility blowup on that group) and ``chars_per_token`` (the
+    compression the token budget actually buys, the number that turns
+    a char-count corpus size into a token-count training cost).
+    Grouped by ``group_col`` (source/crawl/language), returning
+    ``(group, n_docs, n_words, n_bpe_tokens, fertility,
+    chars_per_token)``.
+
+    Scale shape: rides entirely on :func:`bpe_encode`'s
+    vocabulary-replay join (the corpus is tokenized once, words join a
+    broadcast-sized encoded vocabulary), then ONE map-side-combined
+    aggregate per group — no extra corpus shuffle beyond the encode
+    itself. Ratios are one IEEE division of two exact integer sums,
+    rounded to 6 digits on both engines.
+    """
+    enc = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    base = docs.select(
+        id_col,
+        group_col,
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("_nw"),
+        F.length(text_col).alias("_nc"),
+    )
+    nbpe = F.sum(F.size("bpe_tokens").cast("long"))
+    return (
+        base.join(enc, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_nw").cast("long")).alias("n_words"),
+            nbpe.alias("n_bpe_tokens"),
+            F.round(nbpe / F.sum(F.col("_nw").cast("long")), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum(F.col("_nc").cast("long")) / nbpe, 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )

@@ -4634,6 +4634,49 @@ def bpe_encode_q(spark, sf_dir):
 
 
 @_q(
+    "tokenizer_fertility",
+    _bpe_stages(4)
+    + """,
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (
+  SELECT t.doc_id, CAST(len(string_split(w.s, chr(31))) AS BIGINT) AS ntok
+  FROM tok t JOIN w4 w ON w.word = t.word
+  WHERE t.word <> ''),
+per AS (
+  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS nbpe,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM enc GROUP BY 1)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.nw) AS BIGINT) AS n_words,
+       CAST(sum(p.nbpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(p.nbpe) AS DOUBLE) / CAST(sum(p.nw) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(length(d.text)) AS DOUBLE)
+             / CAST(sum(p.nbpe) AS DOUBLE), 6) AS chars_per_token
+FROM per p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""",
+    "Per-source tokenizer health rollup — the dashboard a tokenizer fit "
+    "is judged by: fertility (BPE tokens per whitespace word; blows up "
+    "on a group the tokenizer fits poorly) and chars-per-token (the "
+    "compression that converts a char-count corpus size into a "
+    "token-count training cost). Rides entirely on bpe_encode's "
+    "vocabulary-replay broadcast join plus ONE map-side-combined "
+    "aggregate per source — no corpus shuffle beyond the encode; ratios "
+    "are single IEEE divisions of exact integer sums "
+    "(functions/bpe.tokenizer_fertility).",
+)
+def tokenizer_fertility_q(spark, sf_dir):
+    from mongoshake_spark.functions.bpe import bpe_train, tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs.select("doc_id", "text"), n_merges=4)
+    return tokenizer_fertility(docs, merges).orderBy("source")
+
+
+@_q(
     "sample_weighted",
     """SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,

@@ -736,3 +736,34 @@ def test_cdc_chunks_preserves_string_id_type(spark):
     assert dict(out.dtypes)["oid"] == "string"
     rows = out.collect()
     assert rows and all(r["oid"] == "65a1b2c3" for r in rows)
+
+
+def test_tokenizer_fertility_exact_on_known_corpus(spark):
+    """Hand-checkable fertility: with zero learned merges every word
+    encodes to its characters + </w>, so fertility per group is exactly
+    (chars + words) / words and chars_per_token is chars/(chars+words)
+    — one IEEE division of exact integer sums."""
+    from mongoshake_spark.functions.bpe import bpe_train, tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd", "s1"),      # 4 chars-in-words, 2 words
+            (2, "abc", "s1"),        # 3 chars, 1 word
+            (3, "a b c d", "s2"),    # 4 chars, 4 words
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges = bpe_train(docs.select("doc_id", "text"), n_merges=1)
+    # one learned merge: n_bpe_tokens lands between n_words (everything
+    # merged) and chars+words (nothing merged), and the ratio columns
+    # equal their integer-sum divisions exactly
+    got = {r["source"]: r for r in tokenizer_fertility(docs, merges).collect()}
+    assert set(got) == {"s1", "s2"}
+    for r in got.values():
+        assert r["n_words"] <= r["n_bpe_tokens"]
+        assert r["fertility"] == round(r["n_bpe_tokens"] / r["n_words"], 6)
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["n_words"] == 3
+    assert got["s2"]["n_words"] == 4
+    # s2: single-char words 'a b c d' -> each word is [ch, </w>] and the
+    # 1 learned merge can fuse at most one pair per word type
+    assert 4 <= got["s2"]["n_bpe_tokens"] <= 8
