@@ -119,6 +119,14 @@ def main() -> None:
         # by ~112 prior query executions, not steady-state query cost.
         import gc
 
+        from mongoshake_spark.functions.dedup import release_shingle_indexes
+        from mongoshake_spark.functions.retrieval import release_tf_tables
+
+        # empty the module-level persist registries (their blocks go with
+        # clearCache; this drops the Python references so the registries
+        # never hold handles into a stopped session)
+        release_shingle_indexes()
+        release_tf_tables()
         gc.collect()
         spark.catalog.clearCache()
 
@@ -165,9 +173,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_NO_PAIR") != "1":
         import duckdb
 
+        from mongoshake_spark.sources.tables import TABLES
+
         con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
+        for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
@@ -188,6 +197,28 @@ def main() -> None:
     def _ratio(a, b):
         return round(a / b, 3) if (a is not None and b) else None
 
+    # like-for-like: the serial ratio sums ONLY queries that succeeded on
+    # BOTH sides, so a failure on either side shrinks the comparison set
+    # instead of silently skewing the ratio (a failed duck oracle records
+    # time-until-error; a failed Spark query records nothing — mixing
+    # either into the totals corrupts the round-over-round number). The
+    # pooled ratio has no per-query duck pairing (the pool overlaps
+    # spans), so it is only emitted when BOTH sides ran clean.
+    duck_failed = sorted(k for k, v in duck_timings.items() if v < 0)
+    spark_failed = sorted(
+        set(
+            [k for k, v in serial_timings.items() if v < 0]
+            + [k for k, v in timings.items() if v < 0]
+        )
+    )
+    paired_names = [
+        n
+        for n, v in duck_timings.items()
+        if v >= 0 and serial_timings.get(n, -1.0) >= 0
+    ]
+    paired_spark = round(sum(serial_timings[n] for n in paired_names), 3)
+    paired_duck = round(sum(duck_timings[n] for n in paired_names), 3)
+
     full = {
         "metric": "total_query_wall",
         "value": total,
@@ -200,8 +231,15 @@ def main() -> None:
         "serial_cold_total": serial_cold_total,
         "serial_queries": serial_timings,
         "paired_duckdb_serial_total": duck_total,
-        "paired_serial_ratio": _ratio(serial_total, duck_total),
-        "paired_pooled_ratio": _ratio(total, duck_total),
+        "paired_serial_ratio": (
+            _ratio(paired_spark, paired_duck) if duck_timings else None
+        ),
+        "paired_pooled_ratio": (
+            _ratio(total, duck_total)
+            if duck_timings and not duck_failed and not spark_failed
+            else None
+        ),
+        "paired_n_queries": len(paired_names),
         "duckdb_queries": duck_timings,
     }
     # Full payload (pooled AND serial per-query spans) goes to a file; the
@@ -224,12 +262,7 @@ def main() -> None:
     # markers before any real timing and a stdout-only consumer saw a
     # clean run. Failed names go to a dedicated never-truncated field;
     # only non-negative real spans participate in the drop heuristic.
-    failed = sorted(
-        set(
-            [k for k, v in serial_timings.items() if v < 0]
-            + [k for k, v in timings.items() if v < 0]
-        )
-    )
+    failed = spark_failed + [f"duck:{k}" for k in duck_failed]
     if failed:
         line["failed"] = failed
     line["queries"] = dict(

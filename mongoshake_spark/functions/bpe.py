@@ -191,7 +191,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     words: DataFrame | None = None,
-    incremental: bool = True,
+    incremental: bool | None = None,
     local: bool | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
@@ -199,7 +199,7 @@ def bpe_train(
     early if the vocabulary runs out of adjacent pairs. Pass a
     pre-built ``words`` table to share it with other passes.
 
-    ``incremental=True`` (default) maintains the pair-count table with
+    ``incremental=True`` maintains the distributed pair-count table with
     DELTAS — Sennrich's own optimization: a merge of ``(l, r)`` only
     changes the pair statistics of words that CONTAIN the ``(l, r)``
     adjacency, so each step subtracts those words' old pairs and adds
@@ -224,16 +224,24 @@ def bpe_train(
     model-sized by construction — O(total symbols) driver RAM, ~5 MB
     of payload at 210k types — and auto mode falls back to the
     distributed ``incremental`` form past :data:`LOCAL_MAX_TYPES`
-    (where the ~few-GB index would crowd the driver). The distributed
-    forms remain for that regime and as the oracle for the property
-    tests."""
+    (where the ~few-GB index would crowd the driver). Explicitly
+    passing ``incremental=`` selects that DISTRIBUTED form — auto-local
+    steps aside, so an A/B of the distributed strategies never silently
+    measures the local one. The distributed forms remain for the >cap
+    regime and as the oracle for the property tests."""
     if n_merges < 1:
         raise ValueError("bpe_train: n_merges must be >= 1")
     spark = docs.sparkSession
     if words is None:
         words = bpe_word_table(docs, text_col)
     if local is None:
-        local = words.count() <= LOCAL_MAX_TYPES
+        # a caller who explicitly picks a distributed form (incremental=
+        # True/False) gets that form — auto-local must not silently
+        # benchmark/run the wrong strategy (round-10 review finding);
+        # with neither knob set, auto picks local under the RAM cap
+        local = incremental is None and words.count() <= LOCAL_MAX_TYPES
+    if incremental is None:
+        incremental = True
     if local:
         rows = [
             (list(r["syms"]), int(r["cnt"]))

@@ -864,7 +864,11 @@ def release_shingle_indexes() -> int:
     call it once the pair outputs are materialized."""
     n = len(_PERSISTED_INDEXES)
     while _PERSISTED_INDEXES:
-        _PERSISTED_INDEXES.pop().unpersist()
+        df = _PERSISTED_INDEXES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session stopped: its blocks
+            pass  # died with it; the registry entry is all that's left
     return n
 
 

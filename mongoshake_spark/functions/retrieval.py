@@ -236,7 +236,11 @@ def release_tf_tables() -> int:
     uncached parents — so call it once the mined output is materialized."""
     n = len(_PERSISTED_TF)
     while _PERSISTED_TF:
-        _PERSISTED_TF.pop().unpersist()
+        df = _PERSISTED_TF.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session stopped: its blocks
+            pass  # died with it; the registry entry is all that's left
     return n
 
 

@@ -170,12 +170,14 @@ def _apply_requests(coll, requests, bulk_size: int, on_dead) -> None:
     update releases a value in the same batch key B's insert takes; an
     unordered bulk may apply B first and hit dup-key). The reference
     segments batches by a collision matrix to force a safe order; here
-    failed writes are RETRIED ONCE after the whole request sequence has
-    been applied — by then every releasing op has landed, so any
-    conflict that is resolvable within the batch resolves. A residual
-    failure (the conflicting value is held by a key OUTSIDE this batch,
-    or a genuine data conflict) is handed to ``on_dead(request, error)``
-    — the W7 dead-letter contract — never silently dropped and never an
+    failed writes are RETRIED in passes until a pass makes no progress:
+    each pass re-attempts only the previous pass's failures, so a
+    depth-d rotation chain (A releases the value B takes, B releases
+    the value C takes, ...) resolves in at most d passes — bounded by
+    the failure count, so termination is guaranteed. A residual failure
+    (the conflicting value is held by a key OUTSIDE this batch, or a
+    genuine data conflict) is handed to ``on_dead(request, error)`` —
+    the W7 dead-letter contract — never silently dropped and never an
     opaque task crash.
 
     Write errors are detected structurally (an exception carrying a
@@ -200,8 +202,14 @@ def _apply_requests(coll, requests, bulk_size: int, on_dead) -> None:
 
     failed: list = []
     run_chunks(list(requests), lambda req, we: failed.append(req))
-    if failed:
-        run_chunks(failed, on_dead)
+    while failed:
+        still: list = []
+        run_chunks(failed, lambda req, we: still.append((req, we)))
+        if len(still) == len(failed):  # no progress: residuals are real
+            for req, we in still:
+                on_dead(req, we)
+            return
+        failed = [req for req, _ in still]
 
 
 def mongo_ops_mirror(

@@ -77,7 +77,9 @@ def window_flags(plan: str) -> list[str]:
 
 
 _NODE_RE = re.compile(r"^(?:\*\(\d+\)\s*)?(\w+)")
-_IN_FILTER_RE = re.compile(r"(\w+#\d+L?) IN \(")
+# both literal-set renderings: "x IN (1,2,3)" below the
+# inSetConversionThreshold (default 10) and "x INSET 1,2,..." above it
+_IN_FILTER_RE = re.compile(r"(\w+#\d+L?) (?:IN \(|INSET )")
 
 
 def post_window_filter_flags(plan: str) -> list[str]:

@@ -386,6 +386,42 @@ def test_apply_requests_residual_conflict_dead_letters():
     assert sorted(coll.applied) == ["del_C", "upd_A"]
 
 
+def test_apply_requests_resolves_multi_pass_rotation_chain():
+    """A depth-2 value-rotation chain (A releases the value B takes, B
+    releases the value C takes): pass 1 applies A, pass 2 applies B,
+    pass 3 applies C — the retry-until-no-progress loop must resolve it
+    with no dead letters (a single-retry design would dead-letter C)."""
+
+    class _ChainColl:
+        def __init__(self, fails):  # req -> number of times it dup-keys
+            self.fails = dict(fails)
+            self.applied = []
+            self.calls = []
+
+        def bulk_write(self, reqs, ordered=False):
+            self.calls.append(list(reqs))
+            errs = []
+            for i, r in enumerate(reqs):
+                if self.fails.get(r, 0) > 0:
+                    self.fails[r] -= 1
+                    errs.append({"index": i, "code": 11000,
+                                 "errmsg": f"E11000: {r}"})
+                else:
+                    self.applied.append(r)
+            if errs:
+                raise _WriteErr(errs)
+
+    dead = []
+    coll = _ChainColl({"ins_B": 1, "ins_C": 2})
+    live._apply_requests(
+        coll, ["upd_A", "ins_B", "ins_C"], bulk_size=10,
+        on_dead=lambda req, we: dead.append(req),
+    )
+    assert dead == []
+    assert sorted(coll.applied) == ["ins_B", "ins_C", "upd_A"]
+    assert len(coll.calls) == 3  # initial + two progress-making passes
+
+
 def test_apply_requests_non_write_errors_propagate():
     """Connection-class failures must fail the task (retrying or
     dead-lettering a down server would hide data loss)."""

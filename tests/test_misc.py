@@ -170,6 +170,13 @@ def test_plan_audit_post_window_filter_detector():
         "WindowGroupLimit [doc_id#5L], [score#7 DESC NULLS LAST], row_number(), 3",
     )
     assert post_window_filter_flags(fired_gl) == ["post-window-anchor-filter"]
+    # past spark.sql.optimizer.inSetConversionThreshold (default 10) the
+    # literal set renders as INSET — the detector must catch both forms
+    fired_inset = fired.replace(
+        "Filter doc_id#5L IN (1,2,3)",
+        "Filter doc_id#5L INSET 1,2,3,4,5,6,7,8,9,10,11,12",
+    )
+    assert post_window_filter_flags(fired_inset) == ["post-window-anchor-filter"]
     pushed = "\n".join([
         "Project [doc_id#5L, rank#9]",
         "+- Window [row_number() windowspecdefinition(doc_id#5L, score#7 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b)) AS rank#9], [doc_id#5L], [score#7 DESC NULLS LAST]",

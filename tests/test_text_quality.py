@@ -377,7 +377,9 @@ def test_term_filter_bloom_one_sided_vs_exact(spark):
     for d, (n, keep) in exact.items():
         tn, tkeep = tiny[d]
         assert tn >= n, d  # never undercounts
-        assert not keep or tkeep in (True, False)  # keep may only flip to False
+        # one-sided both ways: bloom-kept implies exact-kept (the filter
+        # can only ADD hits), and an exact drop is always a bloom drop
+        assert not tkeep or keep, d
         if not keep:
             assert not tkeep, d  # a real hit never escapes
         fp += tn - n
