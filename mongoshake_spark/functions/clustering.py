@@ -182,3 +182,64 @@ def sample_cluster_balanced(
         order_col="_neg_u",
         id_col=id_col,
     ).drop("_neg_u")
+
+
+def cluster_topics(
+    docs: DataFrame,
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    top_terms: int = 3,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Topic labels for embedding clusters — the corpus-cartography step
+    (BERTopic's class-based tf-idf, with the linear idf variant this
+    module's keyword extraction uses so both engines agree bitwise):
+    k-means-assign the embeddings, pool each cluster's documents into
+    one pseudo-document, and rank terms per cluster by
+    ``tf_(t,c) · n_clusters / df_t`` where ``df_t`` counts the CLUSTERS
+    containing the term — a term scores high when frequent in this
+    cluster and absent from the others, which is exactly what makes a
+    readable label. Returns ``(cluster, term, rank, score)`` with rank
+    1..top_terms per cluster (ties break term-ascending).
+
+    Scale shape: assignment is the broadcast-centroid map; the corpus
+    shuffle carries (cluster, term) pairs with map-side combine — one
+    row per DISTINCT (cluster, term), never per token; the cluster df
+    is a second aggregate OF that table (k·|vocab| rows max); the rank
+    window partitions by cluster, groups bounded by a cluster's
+    distinct-term count. The documents themselves never re-shuffle.
+    """
+    from mongoshake_spark.functions.retrieval import tokenize
+
+    assigned = kmeans_assign(vecs, k=k, iters=iters, id_col=vec_id_col).select(
+        F.col(vec_id_col).alias(id_col), "cluster"
+    )
+    tok = tokenize(docs.select(id_col, text_col), text_col)
+    tf = (
+        tok.join(assigned, id_col)
+        .select("cluster", F.explode("tokens").alias("term"))
+        .groupBy("cluster", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_clusters = assigned.select("cluster").distinct().count()
+    scored = tf.join(df_t, "term").select(
+        "cluster",
+        "term",
+        (F.col("tf").cast("double") * F.lit(float(n_clusters)) / F.col("df")).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_terms)
+        .select("cluster", "term", "rank", F.round("score", 6).alias("score"))
+    )

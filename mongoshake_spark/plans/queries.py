@@ -3571,6 +3571,68 @@ def kmeans_embed_q(spark, sf_dir):
 
 
 @_q(
+    "cluster_topics",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
+a1d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c0 c),
+a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
+a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
+       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
+         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
+              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
+c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
+c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
+a2d AS (SELECT v.vec_id, c.cluster,
+        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        FROM v CROSS JOIN c1r c),
+a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
+a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster
+       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+tok AS (SELECT d.doc_id, a.cluster,
+               unnest(list_filter(string_split_regex(lower(d.text),
+                 '[^a-z0-9]+'), t -> t != '')) AS term
+        FROM documents d JOIN a2 a ON a.vec_id = d.doc_id),
+tf AS (SELECT cluster, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nc AS (SELECT CAST(count(DISTINCT cluster) AS DOUBLE) AS n FROM tf),
+sc AS (SELECT tf.cluster, tf.term,
+              CAST(tf.tf AS DOUBLE) * nc.n / dfq.df AS score
+       FROM tf JOIN dfq USING (term) CROSS JOIN nc)
+SELECT cluster, term, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+        ORDER BY score DESC, term) AS rank FROM sc)
+WHERE rank <= 3 ORDER BY cluster, rank""",
+    "Topic labels for embedding clusters — corpus cartography (BERTopic's "
+    "class-based tf-idf, linear-idf variant): k-means-assign the "
+    "embeddings (the deterministic kmeans_embed chain), pool each "
+    "cluster's documents, rank terms by tf_(t,c) * n_clusters / "
+    "df_t where df counts CLUSTERS containing the term — high when "
+    "frequent here and absent elsewhere, which is what makes a readable "
+    "label. The corpus shuffle carries distinct (cluster, term) pairs "
+    "with map-side combine; the cluster-df aggregate and the per-cluster "
+    "rank window are both bounded by k x vocab, and the documents "
+    "themselves never re-shuffle (functions/clustering.cluster_topics).",
+)
+def cluster_topics_q(spark, sf_dir):
+    from mongoshake_spark.functions.clustering import cluster_topics
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return cluster_topics(docs, vecs, k=8, iters=2, top_terms=3).orderBy(
+        "cluster", "rank"
+    )
+
+
+@_q(
     "sample_cluster_balanced",
     """WITH v AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,

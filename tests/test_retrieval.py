@@ -485,3 +485,35 @@ def test_sample_cluster_balanced_quota_subset_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert rep == rows10
+
+
+def test_cluster_topics_separates_distinct_vocabularies(spark):
+    """Two well-separated embedding clusters with disjoint vocabularies:
+    each cluster's top terms come from ITS documents only, and a term
+    shared by both clusters scores below a same-frequency exclusive one
+    (the class-based idf at work)."""
+    from mongoshake_spark.functions.clustering import cluster_topics
+
+    # interleaved ids: min-id k-means init (ids 0 and 1) must seed BOTH
+    # groups, or the identical seeds collapse to one cluster
+    vec_rows = [
+        (i, [10.0, 0.0] if i % 2 == 0 else [0.0, 10.0]) for i in range(8)
+    ]
+    vecs = spark.createDataFrame(vec_rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha alpha shared" if i % 2 == 0 else "beta beta shared")
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    out = cluster_topics(docs, vecs, k=2, iters=2, top_terms=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append((r["rank"], r["term"]))
+    assert len(by_cluster) == 2
+    tops = {min(v)[1] for v in by_cluster.values()}
+    assert tops == {"alpha", "beta"}  # exclusive terms win both labels
+    for v in by_cluster.values():
+        ranked = [t for _, t in sorted(v)]
+        assert ranked[1] == "shared"  # the cross-cluster term ranks below
