@@ -27,7 +27,7 @@ buckets) and fewer update passes — the operator shape is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,16 +225,21 @@ def cluster_topics(
         .agg(F.count("*").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_clusters = assigned.select("cluster").distinct().count()
-    scored = tf.join(df_t, "term").select(
-        "cluster",
-        "term",
-        (F.col("tf").cast("double") * F.lit(float(n_clusters)) / F.col("df")).alias(
-            "score"
-        ),
+    # non-empty cluster count as a broadcast one-row aggregate (the
+    # tfidf_top_terms stats pattern) — a driver-side distinct().count()
+    # here would be an extra job re-evaluating the assignment chain
+    nc = tf.agg(F.count_distinct("cluster").cast("double").alias("_nc"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cluster",
+            "term",
+            (F.col("tf").cast("double") * F.col("_nc") / F.col("df")).alias(
+                "score"
+            ),
+        )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("cluster").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )

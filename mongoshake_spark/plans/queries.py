@@ -3527,9 +3527,14 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(docs, _BM25_TERMS, k=20)
 
 
-@_q(
-    "kmeans_embed",
-    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+# The deterministic k-means chain (k=8, min-id init, one rounded Lloyd
+# update, ties to the smallest cluster id) shared by the kmeans_embed /
+# sample_cluster_balanced / cluster_topics oracles — one definition so a
+# future change to the chain cannot de-synchronize the three. Ends at
+# ``a2(vec_id, cluster, d2)``, the final assignment. (ann_ivf_trained
+# keeps its own variant: its ``v`` CTE also carries vnorm and it
+# composes the probe/score chain off c1r instead of a2.)
+_KMEANS_A2 = """WITH v AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
        FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
@@ -3553,8 +3558,12 @@ a2d AS (SELECT v.vec_id, c.cluster,
         FROM v CROSS JOIN c1r c),
 a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
 a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster, min(m.md) AS d2
-       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1)
-SELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id""",
+       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1)"""
+
+
+@_q(
+    "kmeans_embed",
+    _KMEANS_A2 + "\nSELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id",
     "Deterministic k-means (k=8, 2 Lloyd iterations) over the 64-dim "
     "embeddings: min-id init, nearest-centroid assignment with rounded "
     "distances (ties to the smallest cluster id), centroids re-rounded "
@@ -3572,31 +3581,8 @@ def kmeans_embed_q(spark, sf_dir):
 
 @_q(
     "cluster_topics",
-    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
-       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
-a1d AS (SELECT v.vec_id, c.cluster,
-        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
-          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
-             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
-        FROM v CROSS JOIN c0 c),
-a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
-a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
-       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
-pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
-         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
-              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
-c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
-c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
-a2d AS (SELECT v.vec_id, c.cluster,
-        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
-          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
-             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
-        FROM v CROSS JOIN c1r c),
-a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
-a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster
-       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+    _KMEANS_A2
+    + """,
 tok AS (SELECT d.doc_id, a.cluster,
                unnest(list_filter(string_split_regex(lower(d.text),
                  '[^a-z0-9]+'), t -> t != '')) AS term
@@ -3634,31 +3620,8 @@ def cluster_topics_q(spark, sf_dir):
 
 @_q(
     "sample_cluster_balanced",
-    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
-       FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
-a1d AS (SELECT v.vec_id, c.cluster,
-        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
-          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
-             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
-        FROM v CROSS JOIN c0 c),
-a1m AS (SELECT vec_id, min(d2) AS md FROM a1d GROUP BY 1),
-a1 AS (SELECT d.vec_id, min(d.cluster) AS cluster
-       FROM a1d d JOIN a1m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
-pos1 AS (SELECT a.cluster, i AS pos, CAST(v.embedding[i] AS DOUBLE) AS val
-         FROM a1 a JOIN v ON a.vec_id = v.vec_id,
-              unnest(range(1, len(v.embedding) + 1)) AS t(i)),
-c1 AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM pos1 GROUP BY 1, 2),
-c1r AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
-a2d AS (SELECT v.vec_id, c.cluster,
-        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
-          i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
-             * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
-        FROM v CROSS JOIN c1r c),
-a2m AS (SELECT vec_id, min(d2) AS md FROM a2d GROUP BY 1),
-a2 AS (SELECT d.vec_id, min(d.cluster) AS cluster, min(m.md) AS d2
-       FROM a2d d JOIN a2m m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1),
+    _KMEANS_A2
+    + """,
 ranked AS (SELECT vec_id, cluster, d2,
   row_number() OVER (PARTITION BY cluster
     ORDER BY (CAST(vec_id * 2654435761 AS BIGINT) % 4294967296), vec_id) AS rk

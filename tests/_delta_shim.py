@@ -141,9 +141,10 @@ class _MergeBuilder:
                 f"shim merge: cannot infer source alias from {self._cond!r}"
             )
         sa = others.pop()
+        base = _read_table(spark, path)
+        target_cols = [f.name for f in base.schema.fields]
         tdf = (
-            _read_table(spark, path)
-            .withColumn("__t_rid", F.monotonically_increasing_id())
+            base.withColumn("__t_rid", F.monotonically_increasing_id())
             .withColumn("__t_present", F.lit(True))
             .alias(ta)
         )
@@ -163,10 +164,6 @@ class _MergeBuilder:
                 "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE: "
                 f"{n_dup} target rows matched by multiple source rows"
             )
-        target_cols = [
-            f.name
-            for f in _read_table(spark, path).schema.fields
-        ]
         if self._insert_all:
             missing = [c for c in target_cols if c not in self._source.columns]
             if missing:
