@@ -106,6 +106,27 @@ def brute_topk(
     )
 
 
+def _band_planes(n_bands: int, band_planes: int, dim: int):
+    """Deterministic hyperplane matrix for the BANDED LSH prebucket:
+    (n_bands*band_planes, dim) components in [-0.5, 0.5) from a SplitMix64
+    finalizer over the dense (plane, component) index. Unlike the
+    linear-congruential formula in :func:`lsh_buckets` (kept there for
+    oracle portability), the 64-bit avalanche makes every band's planes
+    statistically independent — consecutive LCG planes differ by a
+    constant vector, so extra LCG bands add almost no new recall
+    (measured: misses stop improving past ~8 bands)."""
+    import numpy as np
+
+    ks = np.arange(n_bands * band_planes * dim, dtype=np.uint64)
+    z = ks * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z.astype(np.float64) / 2.0**64 - 0.5).reshape(
+        n_bands * band_planes, dim
+    )
+
+
 def neardup_pairs(
     vecs: DataFrame,
     threshold_num: int = 9,
@@ -113,6 +134,9 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_tiles: int = 8,
+    prebucket: str | None = None,
+    n_bands: int = 8,
+    band_planes: int = 16,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= num/den (exact all-pairs).
 
@@ -127,9 +151,27 @@ def neardup_pairs(
     Cost model: shuffle = |corpus| × n_tiles rows (each row joins one group
     per opposing tile); peak task memory = 2 tiles. Size
     ``n_tiles ≈ N·dim·8B / 1 GiB`` so a tile fits an executor — the O(N²)
-    dot-product work is inherent to the *exact* variant and spreads over
-    T(T+1)/2 independent tasks. For approximate recall at extreme scale,
-    pre-bucket with ``lsh_buckets`` and rescore per bucket instead.
+    dot-product work is inherent to the *exact* variant, spreads over
+    T(T+1)/2 independent tasks, and the tile sizing rule makes shuffle
+    volume grow superlinearly with the corpus.
+
+    ``prebucket='lsh'`` is that cost model's 100 TB escape hatch, composed
+    directly (round-10 advice — previously documented but
+    assembly-required): banded random-hyperplane LSH -> within-bucket
+    exact rescoring -> cross-band dedup, as ONE operator. ``n_bands``
+    independent sign-signatures of ``band_planes`` hyperplanes each
+    (deterministic SplitMix64 seeds, :func:`_band_planes`); a pair is
+    compared iff it collides in >= 1 band, so shuffle = |corpus| ×
+    n_bands rows into 2^band_planes buckets per band — CONSTANT
+    replication regardless of corpus size, and the quadratic term drops
+    to per-bucket. Recall is the standard banded-LSH S-curve
+    1-(1-s^r)^T, tunable to ~1 at any target threshold; the registry
+    query pins recall == exact on the fixture against the brute-force
+    oracle. Defaults (16 planes -> 65k buckets/band, 8 bands) target
+    production thresholds (cos >= 0.9); LOWER thresholds need coarser
+    buckets (fewer planes, more bands) — collision probability per
+    plane is 1 - angle/pi, e.g. the fixture's 0.45 threshold uses
+    band_planes=3, n_bands=24.
 
     The threshold test mirrors the oracle's integer-scaled form
     (dot*den >= num*na*nb). BLAS summation order differs from the oracle's
@@ -145,6 +187,22 @@ def neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    if prebucket is not None:
+        if prebucket != "lsh":
+            raise ValueError(
+                f"neardup_pairs: unknown prebucket {prebucket!r} — None "
+                "(exact tiled) or 'lsh' (banded approximate)"
+            )
+        return _neardup_pairs_lsh(
+            vecs,
+            threshold_num,
+            threshold_den,
+            vec_col,
+            id_col,
+            n_bands,
+            band_planes,
+        )
+
     replicated = (
         vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .withColumn("_t", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_tiles)).cast("int"))
@@ -158,7 +216,7 @@ def neardup_pairs(
         )
     )
 
-    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = int(key[0]), int(key[1])
         a = pdf[pdf["_t"] == lo]
         b = pdf[pdf["_t"] == hi] if hi != lo else a
@@ -197,6 +255,92 @@ def neardup_pairs(
 
     return replicated.groupBy("_lo", "_hi").applyInPandas(
         block, schema="doc_a bigint, doc_b bigint, cos_sim double"
+    )
+
+
+def _neardup_pairs_lsh(
+    vecs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    vec_col: str,
+    id_col: str,
+    n_bands: int,
+    band_planes: int,
+) -> DataFrame:
+    """Banded-LSH near-dup path (see :func:`neardup_pairs` ``prebucket``):
+    one mapInPandas pass signs every vector against all bands' planes (a
+    single ``V @ planesᵀ`` per Arrow batch) and emits (band, bucket, id,
+    vec) — n_bands rows per vector, NO tile-count-scaled explode; one
+    shuffle groups (band, bucket); a vectorized block rescans each bucket
+    exactly; ``dropDuplicates`` collapses pairs colliding in several
+    bands (cos identical — same two vectors, same dot)."""
+    import numpy as np
+    import pandas as pd
+
+    row = vecs.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "neardup_pairs(prebucket='lsh') cannot infer the vector dim "
+            "(empty input or NULL first vector)"
+        )
+    dim = len(row[0])
+    planes = _band_planes(n_bands, band_planes, dim)
+    weights = np.int64(1) << np.arange(band_planes, dtype=np.int64)
+
+    def sign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (mat @ planes.T) > 0  # rows x (n_bands*band_planes)
+            out = []
+            for b in range(n_bands):
+                bucket = (
+                    signs[:, b * band_planes : (b + 1) * band_planes] * weights
+                ).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "_band": np.full(len(pdf), b, dtype=np.int32),
+                            "_bucket": bucket,
+                            "_id": pdf[id_col].to_numpy(),
+                            "_vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    keyed = vecs.select(id_col, vec_col).mapInPandas(
+        sign_batches,
+        schema="_band int, _bucket bigint, _id bigint, _vec array<float>",
+    )
+
+    def bucket_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        dots = mat @ mat.T
+        norms = np.outer(norm, norm)
+        keep = (
+            (dots * threshold_den >= threshold_num * norms)
+            & (norms > 0)
+            & (ids[:, None] < ids[None, :])
+        )
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ai],
+                "doc_b": ids[bi],
+                "cos_sim": np.round(dots[ai, bi] / (norm[ai] * norm[bi]), 6),
+            }
+        )
+
+    return (
+        keyed.groupBy("_band", "_bucket")
+        .applyInPandas(
+            bucket_block, schema="doc_a bigint, doc_b bigint, cos_sim double"
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -475,7 +619,7 @@ def semantic_neardup(
         unit, centroids, vec_col, id_col, carry=(vec_col,)
     ).withColumnRenamed(id_col, "_id")
 
-    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"doc_a": [], "doc_b": [], "cell": [], "cos_sim": []}
         ).astype(

@@ -263,7 +263,18 @@ def term_filter(
     )
     return (
         docs.crossJoin(F.broadcast(bloom_row))
-        .withColumn("_hs", F.expr(f"transform({_toks_sql(text_col)}, t -> {th})"))
+        # drop empty tokens BEFORE probing: consecutive/leading spaces
+        # split to '' which hashes to 0, and if the three h=0 positions
+        # happen to be set, whitespace alone would count as a hit — a
+        # false-positive class the exact-array form cannot produce
+        # (round-10 advice; the oracle mirrors this filter)
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"transform(filter({_toks_sql(text_col)}, t -> t != ''), "
+                f"t -> {th})"
+            ),
+        )
         .select(
             id_col,
             F.expr(f"size(filter(_hs, h -> {hit}))").alias("n_hits"),

@@ -808,6 +808,57 @@ def dedup_simhash64(spark, sf_dir):
     return dedup.simhash_pairs64(docs, bucket_cap=10000).orderBy("doc_a", "doc_b")
 
 
+_PHASH_ORACLE = f"""WITH ph AS (
+  SELECT doc_id, {poly_hash_duckdb('text')} AS h FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(0, 72), i -> (h * (2*i + 1) + 7919*i) % 256) AS g
+      FROM ph),
+bits AS (SELECT doc_id, b,
+                CASE WHEN g[(b // 8) * 9 + (b % 8) + 1] > g[(b // 8) * 9 + (b % 8) + 2]
+                     THEN 1 ELSE 0 END AS bit
+         FROM g, (SELECT unnest(range(0, 64)) AS b)),
+halves AS (SELECT doc_id,
+                  sum(CASE WHEN bit = 1 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo_f,
+                  sum(CASE WHEN bit = 1 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi_f
+           FROM bits GROUP BY doc_id),
+phs AS (SELECT doc_id,
+               CAST(CASE WHEN hi_f >= 2147483648
+                    THEN CAST(hi_f AS HUGEINT) * 4294967296 + lo_f - 18446744073709551616
+                    ELSE CAST(hi_f AS HUGEINT) * 4294967296 + lo_f END AS BIGINT) AS phash
+        FROM halves)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+FROM phs x JOIN phs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 3
+ORDER BY doc_a, doc_b"""
+
+
+@_q(
+    "dedup_phash",
+    _PHASH_ORACLE,
+    "Content-level multimodal near-dup: 64-bit perceptual difference hash "
+    "(dHash — grayscale mean-pooled to 8x9, bit = left cell brighter than "
+    "right) per media payload, pairs at Hamming <= 3 via the SAME 4x16-bit "
+    "band join the text SimHash path uses (pigeonhole-exact, never "
+    "all-pairs, hot-bucket re-split cap for solid-color skew). The fixture "
+    "decoder expands the payload body's polynomial hash to a deterministic "
+    "pseudo-brightness grid so both engines agree bit-for-bit; 'png' "
+    "decodes REAL pixels stdlib-only (CI-tested), 'pil'/'wav' cover a real "
+    "media cluster (operators/multimodal.phash64, phash_pairs; band "
+    "machinery functions/dedup.simhash_pairs64).",
+)
+def dedup_phash_q(spark, sf_dir):
+    from mongoshake_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    # bucket_cap exercises the capped path; fixture buckets stay under it,
+    # so the pair set remains the exact pigeonhole result.
+    return multimodal.phash_pairs(media, bucket_cap=10000).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 _NGRAM_ORACLE = """WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -872,6 +923,28 @@ ORDER BY doc_a, doc_b"""
 def dedup_embedding(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs(vecs, 9, 20).orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "dedup_embedding_lsh",
+    _NEARDUP_ORACLE,
+    "Embedding near-dup via the composed 100TB path: banded "
+    "random-hyperplane LSH prebucket -> within-bucket exact rescore -> "
+    "cross-band dedup (similarity.neardup_pairs(prebucket='lsh')). The "
+    "oracle is the BRUTE-FORCE all-pairs SQL — a hash match PINS recall "
+    "== exact on this fixture. Shuffle is |corpus| x n_bands (constant "
+    "replication — no tile-count term that grows with the corpus) and "
+    "the quadratic work drops to per-bucket. Band geometry follows the "
+    "threshold's S-curve: the fixture's far pairs (cos 0.45-0.6) need "
+    "coarse buckets (3 planes x 24 bands, verified 0 misses at all "
+    "three SFs); production cos>=0.9 dedup uses the 16-plane default "
+    "for 65k-bucket pruning.",
+)
+def dedup_embedding_lsh_q(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(
+        vecs, 9, 20, prebucket="lsh", n_bands=24, band_planes=3
+    ).orderBy("doc_a", "doc_b")
 
 
 _ANN_ORACLE = f"""WITH v AS (
@@ -4850,7 +4923,8 @@ ph AS (SELECT {poly_hash_duckdb("t")} AS h FROM terms),
 pos AS (SELECT DISTINCT unnest({_BLOOM_TERM_POS}) AS p FROM ph),
 plist AS (SELECT list(p) AS ps FROM pos),
 hs AS (SELECT doc_id,
-              list_transform(string_split(text, ' '),
+              list_transform(list_filter(string_split(text, ' '),
+                                         t -> t != ''),
                              t -> {poly_hash_duckdb("t")}) AS hs
        FROM documents),
 flags AS (SELECT doc_id,

@@ -184,11 +184,17 @@ def _apply_requests(coll, requests, bulk_size: int, on_dead) -> None:
     ``details`` dict with ``writeErrors``, pymongo's BulkWriteError
     shape) so the remediation logic is unit-testable without a live
     server; any other exception propagates (connection failures must
-    fail the task, not dead-letter)."""
+    fail the task, not dead-letter).
 
-    def run_chunks(reqs, on_fail):
-        for lo in range(0, len(reqs), bulk_size):
-            chunk = reqs[lo : lo + bulk_size]
+    ``requests`` may be any iterable — the FIRST pass streams it in
+    ``bulk_size`` chunks (``islice``), so a large partition never
+    materializes all its requests at once; only FAILURES buffer for the
+    retry passes (round-10 advice: the old list() here was a memory
+    regression vs the reference's flush-per-bulk writer)."""
+    from itertools import islice
+
+    def run_chunks(chunks, on_fail):
+        for chunk in chunks:
             try:
                 coll.bulk_write(chunk, ordered=False)
             except Exception as e:  # noqa: BLE001 — shape-checked below
@@ -200,11 +206,19 @@ def _apply_requests(coll, requests, bulk_size: int, on_dead) -> None:
                     if i is not None and 0 <= i < len(chunk):
                         on_fail(chunk[i], we)
 
+    def iter_chunks(it):
+        it = iter(it)
+        while True:
+            chunk = list(islice(it, bulk_size))
+            if not chunk:
+                return
+            yield chunk
+
     failed: list = []
-    run_chunks(list(requests), lambda req, we: failed.append(req))
+    run_chunks(iter_chunks(requests), lambda req, we: failed.append(req))
     while failed:
         still: list = []
-        run_chunks(failed, lambda req, we: still.append((req, we)))
+        run_chunks(iter_chunks(failed), lambda req, we: still.append((req, we)))
         if len(still) == len(failed):  # no progress: residuals are real
             for req, we in still:
                 on_dead(req, we)
@@ -247,6 +261,12 @@ def mongo_ops_mirror(
     partition per batch — no executor write contention); with no
     ``dead_letter_dir`` a residual conflict raises, failing the task
     loudly rather than dropping an op.
+
+    ``dead_letter_dir`` is opened with plain ``open()`` ON THE EXECUTOR,
+    so on a real cluster it MUST be a shared/persistent mount (NFS,
+    Fuse-mounted object store) — an executor-local path scatters the
+    records across machines and loses them with the executor. Same
+    contract as the apply kernel's own ``dead_letter_dir``.
     """
     try:
         import pymongo  # noqa: F401 — availability probe only
@@ -267,23 +287,31 @@ def mongo_ops_mirror(
             from pymongo import DeleteOne, MongoClient, ReplaceOne
             from pyspark import TaskContext
 
-            requests = []
-            for r in rows:
-                if r[op] == "d":
-                    requests.append(DeleteOne({id_field: r[key]}))
-                else:
-                    # document field named after the kernel's value
-                    # COLUMN — a kernel configured with val='amount'
-                    # must not silently write under 'value'
-                    requests.append(
-                        ReplaceOne(
+            # lazy request stream: _apply_requests flushes it in
+            # bulk_size chunks, so a huge partition holds at most one
+            # chunk plus its failures in memory (round-10 advice)
+            def gen_requests(row_iter):
+                for r in row_iter:
+                    if r[op] == "d":
+                        yield DeleteOne({id_field: r[key]})
+                    else:
+                        # document field named after the kernel's value
+                        # COLUMN — a kernel configured with val='amount'
+                        # must not silently write under 'value'
+                        yield ReplaceOne(
                             {id_field: r[key]},
                             {id_field: r[key], val: r[val]},
                             upsert=True,
                         )
-                    )
-            if not requests:
-                return
+
+            rows = iter(rows)
+            try:
+                first = next(rows)
+            except StopIteration:
+                return  # empty partition: never open a client
+            from itertools import chain
+
+            requests = gen_requests(chain([first], rows))
             dead: list[dict] = []
 
             def on_dead(req, we):

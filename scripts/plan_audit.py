@@ -78,8 +78,12 @@ def window_flags(plan: str) -> list[str]:
 
 _NODE_RE = re.compile(r"^(?:\*\(\d+\)\s*)?(\w+)")
 # both literal-set renderings: "x IN (1,2,3)" below the
-# inSetConversionThreshold (default 10) and "x INSET 1,2,..." above it
-_IN_FILTER_RE = re.compile(r"(\w+#\d+L?) (?:IN \(|INSET )")
+# inSetConversionThreshold (default 10) and "x INSET 1,2,..." above it.
+# (?<!\w) anchors the attribute start (no mid-identifier matches) and
+# (?<!NOT ) excludes NEGATED filters — an anti-filter keeps the bulk of
+# the corpus, so filtering the window input would not be the fix
+# (round-10 advice)
+_IN_FILTER_RE = re.compile(r"(?<!NOT )(?<!\w)(\w+#\d+L?) (?:IN \(|INSET )")
 
 
 def post_window_filter_flags(plan: str) -> list[str]:

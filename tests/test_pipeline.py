@@ -343,6 +343,215 @@ def test_resize_plan(spark, sf_dir):
             assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
 
 
+def _make_png(px, color_type, filters=None):
+    """Minimal in-test PNG encoder (8-bit, non-interlaced): applies the
+    requested PNG filter type per scanline so the decoder's unfilter paths
+    are all exercised against independently-encoded bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y]
+        cur = flat[y]
+        enc = np.empty(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_all_filters():
+    """The stdlib PNG pixel decoder recovers the exact pixel matrix
+    through every scanline filter type (None/Sub/Up/Average/Paeth) for
+    gray and RGB color types."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(5, 11), dtype=np.int64)
+    payload = _make_png(gray, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = multimodal._png_gray_pixels(payload)
+    assert np.array_equal(got, gray.astype(np.float64))
+
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.int64)
+    payload = _make_png(rgb, color_type=2, filters=[4, 3, 2, 1, 0])
+    got = multimodal._png_gray_pixels(payload)
+    want = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    assert np.allclose(got, want)
+
+
+def test_phash_real_png_dhash_bits(spark):
+    """REAL-pixel perceptual hash: an 8x9 gray PNG (resize is identity)
+    hashes to the hand-computed dHash; a one-cell brightness bump flips
+    exactly the adjacent difference bits; an inverted image is far away.
+    Runs through the same Spark mapInPandas plumbing as the fixture path."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(8, 9), dtype=np.int64)
+    base[3, 4], base[3, 5] = 200, 100  # strictly unequal adjacent pair
+    # hand-computed expectation (independent of the operator's numpy path)
+    expect = 0
+    for r in range(8):
+        for c in range(8):
+            if base[r, c] > base[r, c + 1]:
+                expect |= 1 << (r * 8 + c)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+
+    # swapping the unequal pair flips bit (3,4) for certain and can touch
+    # only its two neighbors (3,3) and (3,5): Hamming in [1, 3]
+    bump = base.copy()
+    bump[3, 4], bump[3, 5] = base[3, 5], base[3, 4]
+    inverted = 255 - base
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(_make_png(base, 0)), ("a.png", 9, 8)),
+            (2, "image/png", bytearray(_make_png(bump, 0)), ("b.png", 9, 8)),
+            (3, "image/png", bytearray(_make_png(inverted, 0)), ("c.png", 9, 8)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.phash64(media, decoder="png").collect()
+    }
+    assert got[1] == expect
+    ham12 = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham12 <= 3
+    assert ham13 > 20  # inversion flips (almost) every strict difference
+
+
+def test_phash_wav_envelope(spark):
+    """Audio dHash: the 1-D energy-envelope fingerprint is identical for a
+    bit-identical re-render, near for a mildly noised copy, far for a
+    different waveform."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    t = np.arange(4000)
+    tone = (3000 * np.sin(t / 20.0) * (1 + 0.5 * np.sin(t / 400.0))).astype(int)
+    noised = tone + np.random.default_rng(3).integers(-30, 31, size=t.size)
+    other = (3000 * np.sign(np.sin(t / 7.0)) * np.exp(-t / 2000.0)).astype(int)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(wav_bytes(tone)), ("a.wav", 0, 0)),
+            (2, "audio/wav", bytearray(wav_bytes(tone)), ("b.wav", 0, 0)),
+            (3, "audio/wav", bytearray(wav_bytes(noised)), ("c.wav", 0, 0)),
+            (4, "audio/wav", bytearray(wav_bytes(other)), ("d.wav", 0, 0)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.phash64(media, decoder="wav").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[1] == got[2]
+    assert ham(got[1], got[3]) <= 3
+    assert ham(got[1], got[4]) > 10
+
+
+def test_phash_pairs_band_join_equals_bruteforce(spark, sf_dir):
+    """The 4x16-bit Hamming-band candidate join returns EXACTLY the
+    brute-force pair set at max_hamming <= 3 (pigeonhole), with and
+    without the hot-bucket cap."""
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    media = multimodal.attach_fake_media(docs)
+    hashes = {
+        r["doc_id"]: r["phash"] for r in multimodal.phash64(media).collect()
+    }
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((a, b))
+    for cap in (None, 10000):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in multimodal.phash_pairs(media, bucket_cap=cap).collect()
+        }
+        assert got == want
+
+
+def test_phash_pil_parity_with_stdlib_png(spark):
+    """Cluster-only (importorskip): Pillow and the stdlib PNG path produce
+    the SAME perceptual hash for a grayscale PNG (no luma rounding in
+    play), proving the decoder swap changes nothing downstream."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    gray = np.random.default_rng(5).integers(0, 256, size=(32, 48), dtype=np.int64)
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(_make_png(gray, 0)), ("g.png", 48, 32))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    a = multimodal.phash64(media, decoder="png").collect()[0]["phash"]
+    b = multimodal.phash64(media, decoder="pil").collect()[0]["phash"]
+    assert a == b
+
+
 def test_index_sync_spec_emission(spark, sf_dir, tmp_path):
     """W12 (doc_syncer.go:206-287): the emitted layout spec must strip
     ns/v/background, skip single-field _id indexes, keep compound indexes

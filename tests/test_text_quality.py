@@ -242,6 +242,40 @@ def test_zero_norm_vectors_excluded_everywhere(spark):
     assert not any(2 in (r["doc_a"], r["doc_b"]) for r in pairs)
 
 
+def test_neardup_lsh_prebucket_matches_exact_and_skips_tile_explode(spark):
+    """prebucket='lsh' returns the identical pair set (the registry query
+    pins this against the brute-force oracle too) and its plan carries NO
+    tile replication — the |corpus| x n_tiles explode is exactly what the
+    escape hatch removes; zero-norm rows still never pair."""
+    from mongoshake_spark.functions.similarity import neardup_pairs
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in neardup_pairs(vecs, 9, 20).collect()
+    }
+    lsh_df = neardup_pairs(vecs, 9, 20, prebucket="lsh", n_bands=24, band_planes=3)
+    lsh = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in lsh_df.collect()}
+    assert lsh == exact and len(exact) > 0
+
+    tile_plan = neardup_pairs(vecs, 9, 20)._jdf.queryExecution().toString()
+    lsh_plan = lsh_df._jdf.queryExecution().toString()
+    assert "sequence(0" in tile_plan  # the tile path replicates by explode
+    assert "sequence(0" not in lsh_plan and "explode" not in lsh_plan.lower()
+
+    zn = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.95, 0.05]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = neardup_pairs(zn, 9, 10, prebucket="lsh").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown prebucket"):
+        neardup_pairs(vecs, prebucket="minhash")
+
+
 def test_semantic_neardup_raises_without_centroids(spark):
     import pytest
 
