@@ -451,27 +451,11 @@ def ivfpq_topk(
     if dim % m != 0:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     d = dim // m
-    assigned = assign_nearest_centroid(unit, cents, vec_col, id_col, carry=(vec_col,))
-    # residuals v - centroid(cell): what PQ quantizes in IVFADC
-    res = (
-        assigned.join(
-            F.broadcast(cents.select(F.col("cid").alias("cell"), "cvec")), "cell"
-        )
-        .select(
-            id_col,
-            "cell",
-            F.zip_with(
-                F.col(vec_col),
-                F.col("cvec"),
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ).alias("res"),
-        )
-        # persist, NOT an eager localCheckpoint: checkpointing an AQE
-        # plan can materialize at ~2 coalesced partitions, which would
-        # serialize every downstream Lloyd pass and the code scan; the
-        # cache keeps full stage width (blocks LRU-evict under pressure)
-        .persist()
-    )
+    # persist, NOT an eager localCheckpoint: checkpointing an AQE
+    # plan can materialize at ~2 coalesced partitions, which would
+    # serialize every downstream Lloyd pass and the code scan; the
+    # cache keeps full stage width (blocks LRU-evict under pressure)
+    res = ivfpq_assign_residuals(unit, cents, id_col, vec_col).persist()
     res.count()  # materialize once for train + encode + the cell map
     codebooks = pq_train(res, m, k_code, iters, id_col, "res")
     codes = pq_encode(res, codebooks, id_col, "res").join(
@@ -482,6 +466,68 @@ def ivfpq_topk(
         F.col(vec_col).alias("qvec"),
         F.col("vnorm").alias("qnorm"),
     )
+    return ivfadc_score(
+        codes,
+        cents,
+        codebooks,
+        queries,
+        m=m,
+        d=d,
+        k=k,
+        n_probe=n_probe,
+        rerank=rerank,
+        unit=unit,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivfpq_assign_residuals(
+    unit: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, res) — nearest-cell assignment plus the residual
+    ``v - centroid(cell)`` that IVFADC quantizes. Shared by the batch
+    :func:`ivfpq_topk` and the streaming ingest encoder
+    (streaming/ann_ingest) so a vector encodes IDENTICALLY whether it
+    arrived in the training corpus or in a later micro-batch."""
+    assigned = assign_nearest_centroid(unit, cents, vec_col, id_col, carry=(vec_col,))
+    return assigned.join(
+        F.broadcast(cents.select(F.col("cid").alias("cell"), "cvec")), "cell"
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("res"),
+    )
+
+
+def ivfadc_score(
+    codes: DataFrame,
+    cents: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int,
+    d: int,
+    k: int,
+    n_probe: int,
+    rerank: int | None = None,
+    unit: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVFADC scoring stage of :func:`ivfpq_topk`, factored out so it
+    runs identically over an in-flight model (batch path) or a PERSISTED
+    one (streaming/ann_ingest.ann_index_topk — the store's parquet
+    round-trip is exact for doubles, so scores hash-equal the batch
+    path). ``codes`` = (id, cell, codes), ``cents`` = (cid, cvec,
+    cnorm), ``queries`` = (query_id, qvec, qnorm). ``rerank`` requires
+    ``unit`` (the stored raw vectors)."""
+    if rerank is not None and unit is None:
+        raise ValueError("ivfadc_score: rerank needs the raw-vector table")
     # probe map: per query, the n_probe nearest cells (tiny, broadcast)
     probe_scored = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",

@@ -4540,6 +4540,78 @@ def ann_ivfpq_rerank_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@_q(
+    "stream_ann_ingest",
+    _IVFPQ_ORACLE,
+    "Streaming ANN index maintenance — the vector-ingest dual of "
+    "stream_neardup: the IVF-PQ model (coarse centroids + residual "
+    "codebooks) trains ONCE over the corpus (FAISS train-vs-add), then "
+    "the same corpus replays as a 3-micro-batch stream whose foreachBatch "
+    "encodes each batch against the FROZEN broadcast model (map-only — "
+    "the batch never shuffles) and appends (id, cell, codes) to the "
+    "persisted code table; queries then probe the LIVE store through the "
+    "shared IVFADC scoring stage. Because the model is frozen, a vector "
+    "encodes identically in any batch — so the drained store's top-k "
+    "hash-equals the batch ivfpq_topk, which is exactly what this oracle "
+    "pins. Restart-idempotent: replayed batches re-append, the probe "
+    "dedups by id (streaming/ann_ingest).",
+)
+def stream_ann_ingest_q(spark, sf_dir):
+    import os
+    import shutil
+    import time
+
+    from mongoshake_spark.streaming.ann_ingest import (
+        ann_index_bootstrap,
+        ann_index_topk,
+        streaming_ann_ingest,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    tmp = _stream_tmpdir("annidx_")
+    feed_dir, ckpt_dir, index_dir = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/index"
+    # model-sized aggregates everywhere (k centroids, m*k codewords):
+    # 32 near-empty shuffle tasks per Lloyd/score stage are pure
+    # scheduling overhead at ANY corpus size — same override as
+    # stream_dedup; the map-only encode stages keep full scan width
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ann_index_bootstrap(vecs, index_dir, m=4, k_code=8, iters=2)
+        os.makedirs(feed_dir, exist_ok=True)
+        for i in range(3):
+            d = f"{tmp}/b{i}"
+            vecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
+        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+        t0 = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = streaming_ann_ingest(stream, index_dir, ckpt_dir)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("ann ingest stream drain timed out")
+        out = ann_index_topk(
+            spark,
+            index_dir,
+            vecs.filter(F.col("vec_id") < 10),
+            k=5,
+            n_probe=2,
+        )
+        return out.orderBy("query_id", "rank").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQ8_ORACLE = f"""WITH v AS (
   SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
   FROM embeddings),

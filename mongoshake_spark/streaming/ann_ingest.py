@@ -1,0 +1,178 @@
+"""Streaming ANN index maintenance — IVF-PQ at ingest time.
+
+`streaming/neardup.py` maintains a persisted MinHash band index for
+text; a continuous EMBEDDING feed (the vector-ingest dual) needs the
+same shape for the ANN store: new vectors are encoded and appended to
+the code table per micro-batch, and queries probe the LIVE index.
+
+Production contract — train once, encode forever:
+
+1. :func:`ann_index_bootstrap` trains the model (coarse centroids +
+   residual PQ codebooks) ONCE over the historical corpus and persists
+   it under ``index_dir``. This is how real IVF-PQ deployments work
+   (FAISS `train` vs `add`): the model is frozen, so a vector encodes
+   identically whether it arrived in the bootstrap corpus or a later
+   micro-batch — which is exactly what the registry query pins: the
+   drained store's top-k hash-equals the batch ``ivfpq_topk`` on the
+   same corpus.
+2. :func:`streaming_ann_ingest` runs inside ``foreachBatch``: assign
+   each batch vector to its nearest cell (broadcast centroid join),
+   compute the residual, PQ-encode against the frozen codebooks (all
+   map-only against broadcast model state — the batch never shuffles),
+   and APPEND (id, cell, codes) to the parquet code table. State is the
+   code table itself — no state store; a replayed batch re-appends the
+   same rows, and the query path deduplicates by id, so restarts
+   converge (same argument as streaming/neardup.py's band index).
+3. :func:`ann_index_topk` probes the persisted store with the shared
+   IVFADC scoring stage (functions/quantization.ivfadc_score) — per
+   query only the ``n_probe`` nearest cells' m-byte codes are read.
+
+At 100 TB the code table is years of ingest at 32-128x compression and
+a batch is a day of vectors: the model broadcast is KB-scale, the batch
+encode is map-only, and the probe reads n_probe/|cells| of a code-sized
+store. Re-training (centroid drift) is a planned batch job that writes
+a NEW index_dir generation, never an in-place mutation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongoshake_spark.functions.quantization import (
+    ivfadc_score,
+    ivfpq_assign_residuals,
+    pq_encode,
+    pq_train,
+)
+from mongoshake_spark.functions.similarity import with_norm
+
+
+def _model_paths(index_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_dir, "model_centroids"),
+        os.path.join(index_dir, "model_codebooks"),
+        os.path.join(index_dir, "codes"),
+    )
+
+
+def ann_index_bootstrap(
+    vecs: DataFrame,
+    index_dir: str,
+    m: int = 4,
+    k_code: int = 8,
+    iters: int = 2,
+    centroid_mod: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the IVF-PQ model over the historical corpus and persist it:
+    coarse centroids (deterministic id-sample, same as ``ivfpq_topk``)
+    and residual PQ codebooks. Runs once; the streaming encoder and the
+    probe path read these tables as frozen model state."""
+    cent_path, cb_path, _ = _model_paths(index_dir)
+    unit = with_norm(vecs, vec_col)
+    cents = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    cent_probe = cents.select(F.size("cvec").alias("d")).first()
+    if cent_probe is None:
+        raise ValueError(
+            f"ann_index_bootstrap: no {id_col} divisible by {centroid_mod} — "
+            "choose a centroid_mod matching the corpus id space"
+        )
+    dim = int(cent_probe["d"])
+    if dim % m != 0:
+        raise ValueError(f"ann_index_bootstrap: dim {dim} not divisible by m={m}")
+    res = ivfpq_assign_residuals(unit, cents, id_col, vec_col).persist()
+    try:
+        res.count()
+        codebooks = pq_train(res, m, k_code, iters, id_col, "res")
+        cents.write.mode("overwrite").parquet(cent_path)
+        codebooks.write.mode("overwrite").parquet(cb_path)
+    finally:
+        res.unpersist()
+
+
+def streaming_ann_ingest(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Start the ingest stream over ``stream`` (a streaming DataFrame of
+    vectors): each micro-batch is encoded against the bootstrapped model
+    and appended to the code table. Returns the started StreamingQuery.
+
+    The model MUST exist (:func:`ann_index_bootstrap`) — encoding
+    against a missing model fails the batch loudly rather than training
+    a divergent model per batch."""
+    spark = stream.sparkSession
+    cent_path, cb_path, codes_path = _model_paths(index_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents = spark.read.parquet(cent_path)
+        codebooks = spark.read.parquet(cb_path)
+        unit = with_norm(batch_df, vec_col)
+        res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
+        codes = pq_encode(res, codebooks, id_col, "res").join(
+            res.select(id_col, "cell"), id_col
+        )
+        # append-only, like the band index: a crash before the commit
+        # replays the batch and re-appends the same rows — the probe
+        # path dedups by id, so the store converges
+        codes.write.mode("append").parquet(codes_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the live store: (query_id, neighbor_id, rank, cos_sim) via
+    the shared IVFADC scoring stage over the persisted model + code
+    table. ``queries`` is a DataFrame of (id, vector) rows. Codes are
+    deduplicated by id first (replayed-batch idempotency)."""
+    cent_path, cb_path, codes_path = _model_paths(index_dir)
+    cents = spark.read.parquet(cent_path)
+    codebooks = spark.read.parquet(cb_path)
+    codes = spark.read.parquet(codes_path).dropDuplicates([id_col])
+    shape = codebooks.agg(
+        F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
+    ).first()
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    return ivfadc_score(
+        codes,
+        cents,
+        codebooks,
+        q,
+        m=int(shape["mx"]) + 1,
+        d=int(shape["d"]),
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

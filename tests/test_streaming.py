@@ -1283,3 +1283,83 @@ def test_multi_table_cmd_only_batch_reaches_live_kernels(spark, tmp_path):
         [(3, t0, 0, "c", "db0.$cmd", 0.0, '{"drop":"c1"}')], schema), 1)
     assert [o[0] for o in multi.kernels["db0.c1"].ddl_log] == [3]
     assert multi.kernels["db1.c9"].ddl_log == []  # other dbs untouched
+
+
+def test_ann_ingest_store_matches_batch_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """streaming/ann_ingest: the drained store's top-k equals the batch
+    ivfpq_topk on the same corpus (frozen model => batch-size-invariant
+    encode), and a full REPLAY of the feed (fresh checkpoint, same files
+    re-appended) changes nothing — the probe dedups by id."""
+    import os
+
+    from mongoshake_spark.functions.quantization import ivfpq_topk
+    from mongoshake_spark.streaming.ann_ingest import (
+        ann_index_bootstrap,
+        ann_index_topk,
+        streaming_ann_ingest,
+    )
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+        .localCheckpoint(eager=True)
+    )
+    idx = str(tmp_path / "index")
+    feed = str(tmp_path / "feed")
+    ann_index_bootstrap(vecs, idx, m=4, k_code=8, iters=2)
+    os.makedirs(feed)
+    for i in range(2):
+        d = str(tmp_path / f"b{i}")
+        vecs.filter(F.col("vec_id") % 2 == i).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(os.path.join(d, part), f"{feed}/c{i}.parquet")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_ann_ingest(stream, idx, ckpt)
+        assert q.awaitTermination(300)
+
+    drain(str(tmp_path / "ckpt1"))
+    queries = vecs.filter(F.col("vec_id") < 5)
+    got1 = sorted(
+        tuple(r) for r in ann_index_topk(spark, idx, queries, k=5, n_probe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            vecs, list(range(5)), k=5, n_probe=2, m=4, k_code=8, iters=2
+        ).collect()
+    )
+    assert got1 == want and len(got1) == 25
+    # replay: fresh checkpoint reprocesses every file -> duplicate appends
+    drain(str(tmp_path / "ckpt2"))
+    got2 = sorted(
+        tuple(r) for r in ann_index_topk(spark, idx, queries, k=5, n_probe=2).collect()
+    )
+    assert got2 == got1
+
+
+def test_ann_ingest_without_bootstrap_fails_loudly(spark, tmp_path):
+    import os
+
+    from mongoshake_spark.streaming.ann_ingest import streaming_ann_ingest
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    vecs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "b0")) if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "b0" / part), f"{feed}/c0.parquet")
+    stream = spark.readStream.schema(vecs.schema).parquet(feed)
+    q = streaming_ann_ingest(stream, str(tmp_path / "idx"), str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        q.awaitTermination(300)
+        q.processAllAvailable()
