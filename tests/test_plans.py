@@ -545,3 +545,51 @@ def test_hard_negatives_windows_are_anchor_bounded(spark, sf_dir):
             for n in subtree
         ), f"corpus-wide keyword window: {node[:120]}"
     assert doc_windows >= 1  # the gate actually saw the keyword window
+
+
+def test_registry_package_integrity():
+    """The plans/queries package split must preserve the registry contract:
+    every query registers exactly once through the shared @_q, every
+    domain module contributes, the export surface (queries()/oracle_sql())
+    is a permutation of the registry with oracles a subset, and the
+    per-name (oracle, doc) payload round-trips through a stable hash so an
+    accidental drop/dup during future file moves fails loudly."""
+    import hashlib
+    import json
+
+    import mongoshake_spark.plans.queries as qpkg
+    from mongoshake_spark.plans import QUERIES, oracle_queries, spark_queries
+
+    domains = [
+        "cdc", "dedup", "text", "retrieval", "ann", "curation",
+        "streaming", "temporal", "multimodal",
+    ]
+    per_module = {}
+    for d in domains:
+        mod = getattr(qpkg, d)
+        fns = {
+            name
+            for name, q in QUERIES.items()
+            if getattr(q.fn, "__module__", "") == mod.__name__
+        }
+        assert fns, f"domain module {d} registers no queries"
+        per_module[d] = fns
+    union = set().union(*per_module.values())
+    assert union == set(QUERIES)  # nothing registered outside the domains
+    assert sum(map(len, per_module.values())) == len(QUERIES)  # no dup names
+
+    sq, oq = spark_queries(), oracle_queries()
+    assert list(sq) == qpkg._export_order()
+    assert set(sq) == set(QUERIES)
+    assert set(oq) <= set(sq)
+
+    payload = {n: [QUERIES[n].oracle, QUERIES[n].doc] for n in sorted(QUERIES)}
+    digest = hashlib.md5(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()
+    # pre-split registry hash (131 queries, round 11) — update alongside
+    # any intentional registry change; a silent change here means a query
+    # was dropped, renamed, or its oracle/doc mutated during a file move
+    assert len(QUERIES) >= 131
+    if len(QUERIES) == 131:
+        assert digest == "342b8412e4f9d4db98d2165b56f75daa"
