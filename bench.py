@@ -181,18 +181,50 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        t_all = time.perf_counter()
-        for name, q in QUERIES.items():
-            if not q.oracle:
-                continue
-            t0 = time.perf_counter()
-            try:
-                con.execute(q.oracle).fetchall()
-                duck_timings[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001 — record, keep timing
-                print(f"bench: duck {name} failed: {exc}", file=sys.stderr)
-                duck_timings[name] = -1.0
-        duck_total = round(time.perf_counter() - t_all, 3)
+
+        def run_duck_pass(names=None) -> dict[str, float]:
+            spans: dict[str, float] = {}
+            for name, q in QUERIES.items():
+                if not q.oracle or (names is not None and name not in names):
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    con.execute(q.oracle).fetchall()
+                    spans[name] = round(time.perf_counter() - t0, 3)
+                except Exception as exc:  # noqa: BLE001 — record, keep timing
+                    print(f"bench: duck {name} failed: {exc}", file=sys.stderr)
+                    spans[name] = -1.0
+            return spans
+
+        # Per-query MIN-of-2 with an adaptive third pass — the duck-side
+        # twin of the Spark serial min(cold, warm). Round-10 lesson: a
+        # single duck pass let one GC/host spike land on one heavy staged
+        # oracle (ann_ivfpq 10.1 -> 35.4 s on byte-identical SQL) and
+        # swing the headline ratio +-0.5; with per-query minima on BOTH
+        # sides the pair measures plans, not weather. The third pass
+        # re-runs only heavy queries whose two samples still disagree
+        # badly (>=1 s and >50% apart), so the common case costs one
+        # clean re-pass and a spiky query gets a tie-breaking sample.
+        p1, p2 = run_duck_pass(), run_duck_pass()
+        duck_timings = {
+            k: (min(v, p2[k]) if v >= 0 and p2.get(k, -1) >= 0 else max(v, p2.get(k, -1.0)))
+            for k, v in p1.items()
+        }
+        unsettled = {
+            k
+            for k, v in duck_timings.items()
+            if v >= 1.0 and abs(p1[k] - p2[k]) > 0.5 * v
+        }
+        if unsettled:
+            p3 = run_duck_pass(unsettled)
+            for k, v in p3.items():
+                if v >= 0:
+                    duck_timings[k] = min(duck_timings[k], v)
+        # sum of per-query minima — comparable to serial_total, which is
+        # the same statistic on the Spark side
+        duck_total = round(
+            sum(v for v in duck_timings.values() if v >= 0), 3
+        )
 
     def _ratio(a, b):
         return round(a / b, 3) if (a is not None and b) else None

@@ -115,12 +115,16 @@ def streaming_ann_ingest(
     a divergent model per batch."""
     spark = stream.sparkSession
     cent_path, cb_path, codes_path = _model_paths(index_dir)
+    # the model is FROZEN for the stream's lifetime (train-once contract),
+    # so read and pin it once — re-planning two parquet scans per
+    # micro-batch is pure scheduling overhead; the tables are model-sized
+    # (k centroids, m*k codewords), so the eager checkpoint is KB-scale
+    cents = spark.read.parquet(cent_path).localCheckpoint(eager=True)
+    codebooks = spark.read.parquet(cb_path).localCheckpoint(eager=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cents = spark.read.parquet(cent_path)
-        codebooks = spark.read.parquet(cb_path)
         unit = with_norm(batch_df, vec_col)
         res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
         codes = pq_encode(res, codebooks, id_col, "res").join(

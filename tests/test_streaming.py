@@ -1359,7 +1359,7 @@ def test_ann_ingest_without_bootstrap_fails_loudly(spark, tmp_path):
     )
     os.replace(str(tmp_path / "b0" / part), f"{feed}/c0.parquet")
     stream = spark.readStream.schema(vecs.schema).parquet(feed)
-    q = streaming_ann_ingest(stream, str(tmp_path / "idx"), str(tmp_path / "ck"))
+    # fails at WIRING time (the frozen model is read and pinned before the
+    # stream starts), not inside some later micro-batch
     with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
-        q.awaitTermination(300)
-        q.processAllAvailable()
+        streaming_ann_ingest(stream, str(tmp_path / "idx"), str(tmp_path / "ck"))
