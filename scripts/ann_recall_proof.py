@@ -317,6 +317,69 @@ def main() -> int:
     # over the corpus; the mean over vectors is sum(n^2)/(N^2)
     lsh_cand_frac = round(sum(n * n for n in bucket_sizes) / (n_corpus**2), 4)
 
+    # H. banded-LSH neardup prebucket (similarity.neardup_pairs(
+    # prebucket='lsh'), production default geometry: 16 planes x 8
+    # bands) at the production threshold cos >= 0.9, on the clustered
+    # corpus PLUS planted near-dup copies (every 10th vector re-noised
+    # at sigma 0.02 -> cos ~0.999 against its original — the
+    # re-encode/re-crawl class the operator exists to catch).
+    # Deterministic corpus + deterministic SplitMix64 planes => the
+    # gates below are stable facts, not flaky samples. Reported:
+    # overall pair recall vs the exact tiled join, PLANTED-pair recall
+    # (the production claim), and the cross-band candidate fraction
+    # (sum over (band, bucket) of C(sz,2) / C(N,2) — the cost bound
+    # the prebucket buys vs the all-pairs tile join).
+    import numpy as np
+
+    rng_h = np.random.RandomState(20260816)
+    n_cl = 25
+    centers_h = rng_h.randn(n_cl, dim) * 4.0
+    pts_h = centers_h[np.arange(n_corpus) % n_cl] + rng_h.randn(n_corpus, dim) * 0.6
+    dup_idx = np.arange(0, n_corpus, 10)
+    dups_h = pts_h[dup_idx] + np.random.RandomState(7).randn(
+        len(dup_idx), dim
+    ) * 0.02
+    all_h = np.vstack([pts_h, dups_h])
+    ids_h = list(range(n_corpus)) + [1_000_000 + int(i) for i in dup_idx]
+    ndvecs = spark.createDataFrame(
+        [(int(ids_h[i]), [float(x) for x in all_h[i]]) for i in range(len(ids_h))],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    nd_exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in similarity.neardup_pairs(ndvecs, 9, 10).collect()
+    }
+    t_nd_exact = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    nd_lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in similarity.neardup_pairs(ndvecs, 9, 10, prebucket="lsh").collect()
+    }
+    t_nd_lsh = round(time.perf_counter() - t0, 2)
+    planted = {(int(i), 1_000_000 + int(i)) for i in dup_idx}
+    assert planted <= nd_exact, "planted near-dups must qualify exactly"
+    nd_planes = similarity._band_planes(8, 16, dim)
+    w16 = np.int64(1) << np.arange(16, dtype=np.int64)
+    signs_h = (all_h @ nd_planes.T) > 0
+    n_h = len(all_h)
+    cand = 0.0
+    for b in range(8):
+        bkts = (signs_h[:, b * 16 : (b + 1) * 16] * w16).sum(axis=1)
+        _, cnts = np.unique(bkts, return_counts=True)
+        cand += float((cnts * (cnts - 1) / 2).sum())
+    neardup_lsh = {
+        "n_vectors": n_h,
+        "n_exact_pairs": len(nd_exact),
+        "pair_recall": round(len(nd_lsh & nd_exact) / len(nd_exact), 4),
+        "planted_recall": round(
+            len(nd_lsh & planted) / len(planted), 4
+        ),
+        "candidate_frac": round(cand / (n_h * (n_h - 1) / 2), 4),
+        "exact_sec": t_nd_exact,
+        "lsh_sec": t_nd_lsh,
+    }
+
     out = {
         "sf_dir": sf_dir,
         "n_corpus": n_corpus,
@@ -335,6 +398,7 @@ def main() -> int:
         "clustered_ivfpq_rerank": c_rr_curve,
         "lsh_mean_candidate_frac": lsh_cand_frac,
         "lsh_n_buckets": len(bucket_sizes),
+        "neardup_lsh_prebucket": neardup_lsh,
     }
     # convergence: probing every cell IS the exact scan
     t0 = time.perf_counter()
@@ -412,6 +476,14 @@ def main() -> int:
             - 1e-9
             for c in c_ivfpq_curve
         )
+        # H gates: the banded prebucket must catch every planted
+        # near-identical pair (the production near-dup class), keep
+        # >= 0.95 of ALL qualifying pairs on the clustered corpus, and
+        # restrict candidates to <= 15% of all pairs (measured 0.9569 /
+        # 1.0 / 0.108 at n=2200 — deterministic, so these are facts)
+        and neardup_lsh["planted_recall"] >= 0.99
+        and neardup_lsh["pair_recall"] >= 0.95
+        and neardup_lsh["candidate_frac"] <= 0.15
     )
     out["claims_hold"] = ok
     print(json.dumps(out))
