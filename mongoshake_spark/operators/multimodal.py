@@ -448,22 +448,59 @@ def phash64(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     bit_range = np.arange(64, dtype=np.uint64)
 
+    def fake_batch(pdf: pd.DataFrame) -> np.ndarray:
+        """Batch-vectorized fixture path: ONE poly_hash_numpy call for
+        the whole Arrow batch (the same column-fold kernel the SimHash
+        signatures use), then the grid/diff/pack pipeline as 2-D numpy —
+        no per-row Python in the registry's hot path. The real decoders
+        stay per-row below (a pixel decode is per-payload by nature)."""
+        from mongoshake_spark.functions.texthash import poly_hash_numpy
+
+        bodies = []
+        for payload in pdf["payload"]:
+            b = bytes(payload)
+            if b[:4] != b"FMI0" or len(b) < 12:
+                raise ValueError("bad magic")
+            bodies.append(b[12:].decode("utf-8"))
+        h = poly_hash_numpy(bodies)  # (n,)
+        i = np.arange(PHASH_ROWS * PHASH_COLS, dtype=np.int64)
+        g = ((h[:, None] * (2 * i + 1) + 7919 * i) % 256).reshape(
+            len(bodies), PHASH_ROWS, PHASH_COLS
+        )
+        bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(len(bodies), 64)
+        u = (bits.astype(np.uint64) << bit_range).sum(axis=1, dtype=np.uint64)
+        return u.view(np.int64)
+
     def batches(it):
         for pdf in it:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                grid = _gray_grid(bytes(payload), decoder)
-                bits = (grid[:, :-1] > grid[:, 1:]).ravel()
-                if bits.size != 64:
-                    raise ValueError(
-                        f"phash grid {grid.shape} yields {bits.size} bits, need 64"
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "phash": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            if decoder == "fake":
+                hashes = fake_batch(pdf)
+            else:
+                out = []
+                for payload in pdf["payload"]:
+                    grid = _gray_grid(bytes(payload), decoder)
+                    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+                    if bits.size != 64:
+                        raise ValueError(
+                            f"phash grid {grid.shape} yields {bits.size} "
+                            "bits, need 64"
+                        )
+                    u = (bits.astype(np.uint64) << bit_range).sum(
+                        dtype=np.uint64
                     )
-                u = (bits.astype(np.uint64) << bit_range).sum(dtype=np.uint64)
-                ids.append(doc_id)
-                hashes.append(int(np.uint64(u).view(np.int64)))
+                    out.append(int(np.uint64(u).view(np.int64)))
+                hashes = np.asarray(out, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(pdf["doc_id"].to_numpy(), dtype="int64"),
                     "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
