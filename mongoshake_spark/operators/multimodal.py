@@ -530,3 +530,134 @@ def phash_pairs(
     return _dedup.simhash_pairs64(
         media, max_hamming=max_hamming, bucket_cap=bucket_cap, sims=sims
     )
+
+
+def frame_phashes(
+    media: DataFrame,
+    n_frames_col: str,
+    every_k: int = 1,
+    decoder: str = "fake",
+) -> DataFrame:
+    """(doc_id, frame, phash) — one perceptual hash per SAMPLED frame of
+    a video payload: :func:`frame_sample_plan` picks the frame indexes
+    JVM-side (sequence explode — the skipped frames are never decoded),
+    then one vectorized mapInPandas pass hashes every (payload, frame)
+    row. ``n_frames_col`` must hold a REAL frame count from decoded
+    metadata, same contract as frame_sample_plan.
+
+    The ``fake`` decoder derives frame f's brightness grid from the
+    payload hash with the frame index mixed in —
+    ``(h*(2i+1) + 7919*i + 104729*f) mod 256`` — so identical payloads
+    produce identical frame sequences (both engines agree bit-for-bit)
+    and different frames of one video hash apart. A REAL video decoder
+    (pyav/ffmpeg) is deliberately NOT stubbed as a fake: frame pixel
+    decode needs a media library this container lacks, so any non-fake
+    decoder raises loudly; the Spark-side plumbing (sample plan, explode
+    shape, batch vectorization, downstream band join) is identical
+    either way and is what these tests pin."""
+    import numpy as np
+    import pandas as pd
+
+    if decoder != "fake":
+        raise NotImplementedError(
+            "frame_phashes: real video frame decode needs a media library "
+            "(pyav/ffmpeg) on the executors; only the deterministic 'fake' "
+            "decoder runs in this environment"
+        )
+
+    frames = media.select(
+        "doc_id",
+        "payload",
+        F.explode(frame_sample_plan(n_frames_col, every_k)).alias("frame"),
+    )
+    bit_range = np.arange(64, dtype=np.uint64)
+
+    def batches(it):
+        from mongoshake_spark.functions.texthash import poly_hash_numpy
+
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "frame": pd.Series(dtype="int32"),
+                        "phash": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            bodies = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if b[:4] != b"FMI0" or len(b) < 12:
+                    raise ValueError("bad magic")
+                bodies.append(b[12:].decode("utf-8"))
+            h = poly_hash_numpy(bodies)
+            f_idx = pdf["frame"].to_numpy().astype(np.int64)
+            i = np.arange(PHASH_ROWS * PHASH_COLS, dtype=np.int64)
+            g = (
+                (h[:, None] * (2 * i + 1) + 7919 * i + 104729 * f_idx[:, None])
+                % 256
+            ).reshape(len(bodies), PHASH_ROWS, PHASH_COLS)
+            bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(len(bodies), 64)
+            u = (bits.astype(np.uint64) << bit_range).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(pdf["doc_id"].to_numpy(), dtype="int64"),
+                    "frame": pd.Series(f_idx, dtype="int32").astype("int32"),
+                    "phash": pd.Series(u.view(np.int64), dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        batches, schema="doc_id bigint, frame int, phash bigint"
+    )
+
+
+#: frame index width inside the packed frame id (doc_id * 2^12 + frame);
+#: 4096 frames per video at every_k sampling is the supported bound —
+#: beyond it, raise every_k (the id packing is an internal join key only)
+VIDEO_FRAME_LIMIT = 4096
+
+
+def video_phash_pairs(
+    media: DataFrame,
+    n_frames_col: str,
+    every_k: int = 1,
+    min_shared: int = 2,
+    max_hamming: int = 3,
+    decoder: str = "fake",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Content-level VIDEO near-dup: (video_a, video_b, n_shared_frames)
+    for every video pair sharing >= ``min_shared`` near-duplicate frames
+    (frame-phash Hamming <= ``max_hamming``) — the standard frame-vote
+    video dedup. Composition, not new machinery: frame phashes pack into
+    frame ids (doc_id * 4096 + frame), the 64-bit SimHash band join
+    produces frame-level candidate pairs (pigeonhole-exact, never
+    all-pairs), same-video matches drop, and one aggregate counts
+    matched frame pairs per video pair. Frame-id ordering makes
+    video_a < video_b canonical for free (fid_a < fid_b and distinct
+    videos => doc_a < doc_b). Scale shape: |frames| x 4 band rows of
+    shuffle, per-bucket quadratics only, one count aggregate — every
+    piece already carries the 100 TB argument from the text path."""
+    from mongoshake_spark.functions import dedup as _dedup
+
+    fp = frame_phashes(media, n_frames_col, every_k, decoder)
+    fid = (F.col("doc_id") * VIDEO_FRAME_LIMIT + F.col("frame")).alias("doc_id")
+    sims = fp.select(fid, F.col("phash").alias("simhash"))
+    frame_pairs = _dedup.simhash_pairs64(
+        media, max_hamming=max_hamming, bucket_cap=bucket_cap, sims=sims
+    )
+    lim = F.lit(VIDEO_FRAME_LIMIT)
+    return (
+        frame_pairs.select(
+            (F.col("doc_a") / lim).cast("bigint").alias("video_a"),
+            (F.col("doc_b") / lim).cast("bigint").alias("video_b"),
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count("*").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= F.lit(int(min_shared)))
+    )

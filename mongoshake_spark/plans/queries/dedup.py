@@ -667,3 +667,67 @@ ORDER BY p.src_a, p.src_b""",
 def corpus_overlap_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.source_overlap(docs).orderBy("src_a", "src_b")
+
+
+_VIDEO_PHASH_ORACLE = f"""WITH ph AS (
+  SELECT doc_id, {poly_hash_duckdb('text')} AS h FROM documents),
+fr AS (SELECT doc_id, h, CAST(t.f AS BIGINT) AS f
+       FROM ph, unnest(range(0, (doc_id % 5) + 3)) AS t(f)),
+g AS (SELECT doc_id, f,
+             list_transform(range(0, 72),
+                            i -> (h * (2*i + 1) + 7919*i + 104729*f) % 256) AS g
+      FROM fr),
+bits AS (SELECT doc_id, f, b,
+                CASE WHEN g[(b // 8) * 9 + (b % 8) + 1] > g[(b // 8) * 9 + (b % 8) + 2]
+                     THEN 1 ELSE 0 END AS bit
+         FROM g, (SELECT unnest(range(0, 64)) AS b)),
+halves AS (SELECT doc_id, f,
+                  sum(CASE WHEN bit = 1 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo_f,
+                  sum(CASE WHEN bit = 1 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi_f
+           FROM bits GROUP BY doc_id, f),
+phs AS (SELECT doc_id, f,
+               CAST(CASE WHEN hi_f >= 2147483648
+                    THEN CAST(hi_f AS HUGEINT) * 4294967296 + lo_f - 18446744073709551616
+                    ELSE CAST(hi_f AS HUGEINT) * 4294967296 + lo_f END AS BIGINT) AS phash
+        FROM halves),
+bands AS (SELECT doc_id, f, phash, CAST(t.b AS INT) AS band,
+                 (phash >> (16 * CAST(t.b AS INT))) & 65535 AS bkey
+          FROM phs, unnest(range(0, 4)) AS t(b)),
+cand AS (SELECT DISTINCT x.doc_id AS va, x.f AS fa, x.phash AS pa,
+                         y.doc_id AS vb, y.f AS fb, y.phash AS pb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+matched AS (SELECT va, vb FROM cand WHERE bit_count(xor(pa, pb)) <= 3)
+SELECT va AS video_a, vb AS video_b,
+       CAST(count(*) AS BIGINT) AS n_shared_frames
+FROM matched GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY video_a, video_b"""
+
+
+@_q(
+    "dedup_video_phash",
+    _VIDEO_PHASH_ORACLE,
+    "Content-level VIDEO near-dup — the frame-vote composition: "
+    "frame_sample_plan picks frame indexes JVM-side (skipped frames are "
+    "never decoded), one vectorized pass hashes every sampled frame "
+    "(per-frame dHash, frame index mixed into the fixture grid so "
+    "identical payloads give identical frame SEQUENCES), the frame "
+    "hashes ride the SAME 4x16-bit Hamming band join as every other "
+    "64-bit fingerprint (packed frame ids; pigeonhole-exact, never "
+    "all-pairs), and one aggregate counts matched frame pairs per video "
+    "pair — videos sharing >= 2 near-dup frames are re-encode/re-upload "
+    "candidates. The oracle replays the band join in SQL (the brute "
+    "frame cross-product would be |frames|^2). Scale: |frames| x 4 band "
+    "rows of shuffle, per-bucket quadratics, one count aggregate "
+    "(operators/multimodal.frame_phashes, video_phash_pairs).",
+)
+def dedup_video_phash_q(spark, sf_dir):
+    from mongoshake_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs).withColumn(
+        "n_frames", (F.col("doc_id") % 5 + 3).cast("int")
+    )
+    return multimodal.video_phash_pairs(
+        media, "n_frames", every_k=1, min_shared=2
+    ).orderBy("video_a", "video_b")

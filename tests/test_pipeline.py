@@ -949,3 +949,39 @@ def test_decode_raw_frames_compressed_frame_dead_letters(spark):
     good, corrupt = decode_raw_frames(frames)
     assert good.count() == 0
     assert corrupt.count() == 1
+
+
+def test_video_phash_pairs_frame_vote(spark):
+    """Frame-vote video dedup: identical payloads share every sampled
+    frame; distinct payloads share none; every_k sampling halves the
+    hashed frames (the skipped ones are never decoded); a real decoder
+    request fails loudly (no video lib in this container)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta five")],
+        "doc_id bigint, text string",
+    )
+    media = multimodal.attach_fake_media(docs).withColumn(
+        "n_frames", F.lit(6).cast("int")
+    )
+    fp = multimodal.frame_phashes(media, "n_frames").collect()
+    assert len(fp) == 18  # 3 videos x 6 frames
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], {})[r["frame"]] = r["phash"]
+    assert by_doc[1] == by_doc[2]  # same payload -> identical sequence
+    assert by_doc[1] != by_doc[3]
+    assert len(set(by_doc[1].values())) > 1  # frames hash apart
+
+    pairs = multimodal.video_phash_pairs(media, "n_frames", min_shared=2).collect()
+    assert [(r["video_a"], r["video_b"], r["n_shared_frames"]) for r in pairs] == [
+        (1, 2, 6)
+    ]
+
+    sampled = multimodal.frame_phashes(media, "n_frames", every_k=2).collect()
+    assert len(sampled) == 9  # frames 0, 2, 4 only
+    assert {r["frame"] for r in sampled} == {0, 2, 4}
+
+    with pytest.raises(NotImplementedError, match="media library"):
+        multimodal.frame_phashes(media, "n_frames", decoder="pyav")

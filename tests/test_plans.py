@@ -587,9 +587,14 @@ def test_registry_package_integrity():
     digest = hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()
     ).hexdigest()
-    # pre-split registry hash (131 queries, round 11) — update alongside
-    # any intentional registry change; a silent change here means a query
-    # was dropped, renamed, or its oracle/doc mutated during a file move
+    # registry payload hash — update alongside any intentional registry
+    # change; a silent change here means a query was dropped, renamed,
+    # or its oracle/doc mutated during a file move. Known pins:
+    # 131 = post-split round 11; 132 = + dedup_video_phash.
+    pins = {
+        131: "342b8412e4f9d4db98d2165b56f75daa",
+        132: "b7040d6cae08de07948ad14c747f8809",
+    }
     assert len(QUERIES) >= 131
-    if len(QUERIES) == 131:
-        assert digest == "342b8412e4f9d4db98d2165b56f75daa"
+    if len(QUERIES) in pins:
+        assert digest == pins[len(QUERIES)]
