@@ -422,3 +422,68 @@ def stream_neardup_q(spark, sf_dir):
     return pairs.orderBy("origin", "doc_a", "doc_b").localCheckpoint(
         eager=True
     )
+
+
+from mongoshake_spark.plans.queries.dedup import _PHASH_ORACLE  # noqa: E402
+
+
+@_q(
+    "stream_media_neardup",
+    _PHASH_ORACLE,
+    "Streaming ingest MEDIA near-dup — the perceptual twin of "
+    "stream_neardup: the documents-derived media corpus replays as a "
+    "2-micro-batch stream; each batch fingerprints its payloads "
+    "(phash64), bands the hashes with the shared 4x16-bit SimHash "
+    "machinery, probes the PERSISTED band index (batch bands broadcast "
+    "onto a map-only index scan — the corpus never self-joins), pairs "
+    "the batch against itself, and appends pairs + bands. Pigeonhole "
+    "(Hamming <= 3 < 4 bands) makes the drained pair set EQUAL the "
+    "batch dedup_phash result, which this oracle pins bit-for-bit. "
+    "Restart-idempotent: replayed batches re-emit the same (doc_a, "
+    "doc_b) pairs (streaming/neardup.streaming_phash_dedup).",
+)
+def stream_media_neardup_q(spark, sf_dir):
+    import os
+    import shutil
+    import time
+
+    from mongoshake_spark.operators import multimodal
+    from mongoshake_spark.streaming.neardup import streaming_phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    tmp = _stream_tmpdir("mneardup_")
+    feed_dir = f"{tmp}/feed"
+    try:
+        os.makedirs(feed_dir, exist_ok=True)
+        for i in range(2):
+            d = f"{tmp}/b{i}"
+            media.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
+        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+        t0 = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = streaming_phash_dedup(
+            stream, f"{tmp}/index", f"{tmp}/pairs", f"{tmp}/ckpt"
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("media neardup stream drain timed out")
+        return (
+            spark.read.parquet(f"{tmp}/pairs")
+            .select("doc_a", "doc_b", "hamming")
+            .dropDuplicates()
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

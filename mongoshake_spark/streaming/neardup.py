@@ -133,3 +133,82 @@ def run_streaming_lsh_dedup(
         q.stop()
         raise RuntimeError("streaming_lsh_dedup: drain timed out")
     return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "origin").distinct()
+
+
+def streaming_phash_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    decoder: str = "fake",
+    max_hamming: int = 3,
+    trigger_available_now: bool = True,
+):
+    """MEDIA twin of :func:`streaming_lsh_dedup`: ingest-time perceptual
+    near-dup over a media stream. Per micro-batch: fingerprint each
+    payload (operators/multimodal.phash64), band the 64-bit hashes with
+    the SAME 4x16-bit SimHash machinery, probe the PERSISTED band index
+    (batch bands broadcast onto a map-only index scan — the corpus never
+    self-joins), pair the batch against itself, then append pairs and the
+    batch's bands. State is the parquet band index itself — append-only,
+    restart-idempotent for pair consumers keyed on (doc_a, doc_b), the
+    identical argument to the text index above. Pigeonhole: Hamming <=
+    ``max_hamming`` (< 4) pairs always share >= 1 band, so the drained
+    pair set equals the batch ``phash_pairs`` run — which is exactly what
+    the registry query pins against the brute-force oracle."""
+    from mongoshake_spark.functions.dedup import (
+        simhash_band_keys,
+        simhash_pairs64,
+    )
+    from mongoshake_spark.operators.multimodal import phash64
+
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sims = (
+            phash64(batch_df, decoder)
+            .withColumnRenamed("phash", "simhash")
+            .localCheckpoint(eager=True)  # serves intra-pairs, probe, append
+        )
+        bands = simhash_band_keys(sims)
+        intra = simhash_pairs64(
+            batch_df, max_hamming=max_hamming, sims=sims
+        ).withColumn("origin", F.lit("increment"))
+        if _index_exists(index_dir):
+            corpus = spark.read.parquet(index_dir)
+            cross = (
+                corpus.alias("c")
+                .join(
+                    F.broadcast(bands.alias("b")),
+                    (F.col("c.k") == F.col("b.k"))
+                    & (F.col("c.band_val") == F.col("b.band_val"))
+                    & (F.col("c.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("c.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("c.doc_id", "b.doc_id").alias("doc_b"),
+                    F.expr(
+                        "CAST(bit_count(c.simhash ^ b.simhash) AS INT)"
+                    ).alias("hamming"),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+                .distinct()
+                .withColumn("origin", F.lit("corpus"))
+            )
+            pairs = intra.unionByName(cross)
+        else:
+            pairs = intra
+        pairs.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        # index append LAST (crash => batch replays => same pairs re-emit)
+        bands.write.mode("append").parquet(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -594,6 +594,7 @@ def test_registry_package_integrity():
     pins = {
         131: "342b8412e4f9d4db98d2165b56f75daa",
         132: "b7040d6cae08de07948ad14c747f8809",
+        133: "e5d19436ecbd5ccb424c5df51ab814c5",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:

@@ -1363,3 +1363,67 @@ def test_ann_ingest_without_bootstrap_fails_loudly(spark, tmp_path):
     # stream starts), not inside some later micro-batch
     with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
         streaming_ann_ingest(stream, str(tmp_path / "idx"), str(tmp_path / "ck"))
+
+
+def test_streaming_phash_dedup_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Media twin of the LSH ingest stream: drained pairs equal the batch
+    phash_pairs run (pigeonhole — every Hamming<=3 pair shares a band, so
+    cross-batch probing + intra-batch join lose nothing), and a full
+    replay only re-emits the same (doc_a, doc_b) pairs."""
+    import os
+
+    from mongoshake_spark.operators.multimodal import attach_fake_media, phash_pairs
+    from mongoshake_spark.streaming.neardup import streaming_phash_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .localCheckpoint(eager=True)
+    )
+    media = attach_fake_media(docs)
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in phash_pairs(media).collect()
+    }
+    assert want  # the fixture has exact dups -> hamming-0 pairs exist
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i in range(2):
+        d = str(tmp_path / f"b{i}")
+        media.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(os.path.join(d, part), f"{feed}/c{i}.parquet")
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_phash_dedup(
+            stream, str(tmp_path / "index"), str(tmp_path / "pairs"), ck
+        )
+        assert q.awaitTermination(300)
+
+    drain(str(tmp_path / "ck1"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got == want
+    # some pairs must genuinely cross the batch boundary (origin=corpus)
+    origins = {
+        r["origin"]
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert origins == {"increment", "corpus"}
+    # replay: fresh checkpoint reprocesses the feed; pair SET unchanged
+    drain(str(tmp_path / "ck2"))
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got2 == want
