@@ -526,7 +526,15 @@ def phash_pairs(
     same skew bound the text path carries."""
     from mongoshake_spark.functions import dedup as _dedup
 
-    sims = phash64(media, decoder).withColumnRenamed("phash", "simhash")
+    # eager checkpoint: a caller-supplied sims is used as-is by the band
+    # join, and BOTH sides of the self-join would otherwise re-run the
+    # decode+hash pass (the batch's dominant cost — measured 2x on the
+    # registry query)
+    sims = (
+        phash64(media, decoder)
+        .withColumnRenamed("phash", "simhash")
+        .localCheckpoint(eager=True)
+    )
     return _dedup.simhash_pairs64(
         media, max_hamming=max_hamming, bucket_cap=bucket_cap, sims=sims
     )
@@ -539,11 +547,15 @@ def frame_phashes(
     decoder: str = "fake",
 ) -> DataFrame:
     """(doc_id, frame, phash) — one perceptual hash per SAMPLED frame of
-    a video payload: :func:`frame_sample_plan` picks the frame indexes
-    JVM-side (sequence explode — the skipped frames are never decoded),
-    then one vectorized mapInPandas pass hashes every (payload, frame)
-    row. ``n_frames_col`` must hold a REAL frame count from decoded
-    metadata, same contract as frame_sample_plan.
+    a video payload. Each payload crosses the Arrow boundary ONCE and
+    all its sampled frames hash in the same vectorized pass — the
+    explode-then-hash alternative replicates every payload's bytes once
+    per frame through the Arrow transfer, which at video sizes dwarfs
+    the hash itself (measured 2x on the registry query even at fixture
+    sizes). Sampling semantics are :func:`frame_sample_plan`'s: frames
+    0, k, 2k, ... below ``n_frames_col``, and the skipped frames are
+    never decoded. ``n_frames_col`` must hold a REAL frame count from
+    decoded metadata, same contract as frame_sample_plan.
 
     The ``fake`` decoder derives frame f's brightness grid from the
     payload hash with the frame index mixed in —
@@ -552,9 +564,9 @@ def frame_phashes(
     and different frames of one video hash apart. A REAL video decoder
     (pyav/ffmpeg) is deliberately NOT stubbed as a fake: frame pixel
     decode needs a media library this container lacks, so any non-fake
-    decoder raises loudly; the Spark-side plumbing (sample plan, explode
-    shape, batch vectorization, downstream band join) is identical
-    either way and is what these tests pin."""
+    decoder raises loudly; the Spark-side plumbing (sample plan, batch
+    vectorization, downstream band join) is identical either way and is
+    what these tests pin."""
     import numpy as np
     import pandas as pd
 
@@ -564,12 +576,9 @@ def frame_phashes(
             "(pyav/ffmpeg) on the executors; only the deterministic 'fake' "
             "decoder runs in this environment"
         )
+    if every_k < 1:
+        raise ValueError("frame_phashes: every_k must be >= 1")
 
-    frames = media.select(
-        "doc_id",
-        "payload",
-        F.explode(frame_sample_plan(n_frames_col, every_k)).alias("frame"),
-    )
     bit_range = np.arange(64, dtype=np.uint64)
 
     def batches(it):
@@ -591,28 +600,42 @@ def frame_phashes(
                 if b[:4] != b"FMI0" or len(b) < 12:
                     raise ValueError("bad magic")
                 bodies.append(b[12:].decode("utf-8"))
-            h = poly_hash_numpy(bodies)
-            f_idx = pdf["frame"].to_numpy().astype(np.int64)
+            h = poly_hash_numpy(bodies)  # one hash per PAYLOAD, not per frame
+            n_fr = pdf["_n_frames"].to_numpy().astype(np.int64)
+            samples = [np.arange(0, max(int(n), 0), every_k) for n in n_fr]
+            counts = np.array([len(s) for s in samples], dtype=np.int64)
+            if counts.sum() == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "frame": pd.Series(dtype="int32"),
+                        "phash": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            rep_ids = np.repeat(pdf["doc_id"].to_numpy(), counts)
+            rep_h = np.repeat(h, counts)
+            f_idx = np.concatenate([s for s in samples if len(s)])
             i = np.arange(PHASH_ROWS * PHASH_COLS, dtype=np.int64)
             g = (
-                (h[:, None] * (2 * i + 1) + 7919 * i + 104729 * f_idx[:, None])
+                (rep_h[:, None] * (2 * i + 1) + 7919 * i + 104729 * f_idx[:, None])
                 % 256
-            ).reshape(len(bodies), PHASH_ROWS, PHASH_COLS)
-            bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(len(bodies), 64)
+            ).reshape(len(f_idx), PHASH_ROWS, PHASH_COLS)
+            bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(len(f_idx), 64)
             u = (bits.astype(np.uint64) << bit_range).sum(
                 axis=1, dtype=np.uint64
             )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(pdf["doc_id"].to_numpy(), dtype="int64"),
-                    "frame": pd.Series(f_idx, dtype="int32").astype("int32"),
+                    "doc_id": pd.Series(rep_ids, dtype="int64"),
+                    "frame": pd.Series(f_idx, dtype="int64").astype("int32"),
                     "phash": pd.Series(u.view(np.int64), dtype="int64"),
                 }
             )
 
-    return frames.mapInPandas(
-        batches, schema="doc_id bigint, frame int, phash bigint"
-    )
+    return media.select(
+        "doc_id", "payload", F.col(n_frames_col).cast("int").alias("_n_frames")
+    ).mapInPandas(batches, schema="doc_id bigint, frame int, phash bigint")
 
 
 #: frame index width inside the packed frame id (doc_id * 2^12 + frame);
@@ -646,7 +669,12 @@ def video_phash_pairs(
 
     fp = frame_phashes(media, n_frames_col, every_k, decoder)
     fid = (F.col("doc_id") * VIDEO_FRAME_LIMIT + F.col("frame")).alias("doc_id")
-    sims = fp.select(fid, F.col("phash").alias("simhash"))
+    # eager checkpoint for the same reason as phash_pairs: both sides of
+    # the band self-join reuse the materialized frame hashes instead of
+    # re-running the frame hashing pass
+    sims = fp.select(fid, F.col("phash").alias("simhash")).localCheckpoint(
+        eager=True
+    )
     frame_pairs = _dedup.simhash_pairs64(
         media, max_hamming=max_hamming, bucket_cap=bucket_cap, sims=sims
     )
