@@ -310,9 +310,15 @@ def _neardup_pairs_lsh(
                 )
             yield pd.concat(out, ignore_index=True)
 
+    # _vec rides the shuffle as array<double>: float32 inputs widen
+    # exactly, and double inputs keep full precision so the within-bucket
+    # exact rescore scores IDENTICALLY to the prebucket=None tiled path
+    # (both build float64 matrices) — a float32 schema here made
+    # near-threshold pairs and cos_sim values diverge between the modes
+    # for array<double> corpora
     keyed = vecs.select(id_col, vec_col).mapInPandas(
         sign_batches,
-        schema="_band int, _bucket bigint, _id bigint, _vec array<float>",
+        schema="_band int, _bucket bigint, _id bigint, _vec array<double>",
     )
 
     def bucket_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -638,10 +638,16 @@ def frame_phashes(
     ).mapInPandas(batches, schema="doc_id bigint, frame int, phash bigint")
 
 
-#: frame index width inside the packed frame id (doc_id * 2^12 + frame);
-#: 4096 frames per video at every_k sampling is the supported bound —
-#: beyond it, raise every_k (the id packing is an internal join key only)
-VIDEO_FRAME_LIMIT = 4096
+#: sample-ordinal width inside the packed frame id
+#: (doc_id << VIDEO_FRAME_BITS | ordinal, ordinal = frame // every_k);
+#: 4096 SAMPLED frames per video is the supported bound — raising
+#: every_k genuinely raises the frame-count ceiling because the ordinal
+#: (not the raw frame index) is what gets packed, and the guard inside
+#: ``video_phash_pairs`` raises loudly instead of silently colliding
+#: into the next doc_id's range (the id packing is an internal join key
+#: only, so widening it is a local change if a corpus ever needs more)
+VIDEO_FRAME_BITS = 12
+VIDEO_FRAME_LIMIT = 1 << VIDEO_FRAME_BITS
 
 
 def video_phash_pairs(
@@ -657,9 +663,13 @@ def video_phash_pairs(
     for every video pair sharing >= ``min_shared`` near-duplicate frames
     (frame-phash Hamming <= ``max_hamming``) — the standard frame-vote
     video dedup. Composition, not new machinery: frame phashes pack into
-    frame ids (doc_id * 4096 + frame), the 64-bit SimHash band join
-    produces frame-level candidate pairs (pigeonhole-exact, never
-    all-pairs), same-video matches drop, and one aggregate counts
+    frame ids (``doc_id << 12 | sample_ordinal`` where ``ordinal =
+    frame // every_k`` — the ordinal, NOT the raw frame index, so
+    every_k genuinely bounds the packed width, and a video whose sampled
+    frame count exceeds 4096 raises at runtime instead of silently
+    colliding into the neighbouring doc_id's range), the 64-bit SimHash
+    band join produces frame-level candidate pairs (pigeonhole-exact,
+    never all-pairs), same-video matches drop, and one aggregate counts
     matched frame pairs per video pair. Frame-id ordering makes
     video_a < video_b canonical for free (fid_a < fid_b and distinct
     videos => doc_a < doc_b). Scale shape: |frames| x 4 band rows of
@@ -668,7 +678,25 @@ def video_phash_pairs(
     from mongoshake_spark.functions import dedup as _dedup
 
     fp = frame_phashes(media, n_frames_col, every_k, decoder)
-    fid = (F.col("doc_id") * VIDEO_FRAME_LIMIT + F.col("frame")).alias("doc_id")
+    # frame_phashes emits raw indices 0, k, 2k, ...; `div` recovers the
+    # sample ordinal exactly (indices are non-negative)
+    ordinal = F.expr(f"frame div {int(every_k)}")
+    fid = (
+        F.when(
+            ordinal >= VIDEO_FRAME_LIMIT,
+            F.raise_error(
+                F.format_string(
+                    "video_phash_pairs: sampled frame ordinal %s >= "
+                    f"VIDEO_FRAME_LIMIT={VIDEO_FRAME_LIMIT} for doc_id %s "
+                    "— raise every_k (or widen VIDEO_FRAME_BITS)",
+                    ordinal,
+                    F.col("doc_id"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.shiftleft(F.col("doc_id"), VIDEO_FRAME_BITS) + ordinal)
+        .alias("doc_id")
+    )
     # eager checkpoint for the same reason as phash_pairs: both sides of
     # the band self-join reuse the materialized frame hashes instead of
     # re-running the frame hashing pass
@@ -678,11 +706,13 @@ def video_phash_pairs(
     frame_pairs = _dedup.simhash_pairs64(
         media, max_hamming=max_hamming, bucket_cap=bucket_cap, sims=sims
     )
-    lim = F.lit(VIDEO_FRAME_LIMIT)
     return (
         frame_pairs.select(
-            (F.col("doc_a") / lim).cast("bigint").alias("video_a"),
-            (F.col("doc_b") / lim).cast("bigint").alias("video_b"),
+            # arithmetic shift right = exact floor division by 2^12 for
+            # ALL bigint ids (double division loses bits past 2^53 and
+            # truncates negatives toward zero)
+            F.shiftright(F.col("doc_a"), VIDEO_FRAME_BITS).alias("video_a"),
+            F.shiftright(F.col("doc_b"), VIDEO_FRAME_BITS).alias("video_b"),
         )
         .filter(F.col("video_a") != F.col("video_b"))
         .groupBy("video_a", "video_b")

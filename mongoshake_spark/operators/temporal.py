@@ -136,7 +136,8 @@ def range_join(
     if upper_us < lower_us:
         raise ValueError("range_join: upper_us < lower_us")
     on = [] if on is None else [on] if isinstance(on, str) else list(on)
-    clash = {"_bkt", "_lus", "_rus"} & (set(left.columns) | set(right.columns))
+    internals = {"_bkt", "_r_bkt", "_lus", "_rus"} | {f"_r_{k}" for k in on}
+    clash = internals & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"range_join: columns collide with internals: {clash}")
     width = int(upper_us - lower_us) + 1
@@ -166,24 +167,27 @@ def range_join(
         ),
     )
     rx = right.withColumn("_rus", rus).withColumn(
-        "_bkt",
+        "_r_bkt",
         F.expr(f"(_rus - pmod(_rus, {width}L)) div {width}L"),
     )
-    # equality keys join by NAME (coalesced, no duplicate columns); the
-    # range predicate is the residual on the internal microsecond columns
-    cond = [lx["_bkt"] == rx["_bkt"]] + [lx[k] == rx[k] for k in on]
-    joined = (
+    # the right side's equality keys are renamed apart (`_r_<k>`): both
+    # sides often derive from the same base frame, and `lx[k] == rx[k]`
+    # then resolves to the SAME attribute — Spark warns "trivially true
+    # equals predicate" even though scoped resolution keeps it correct;
+    # distinct names make the join keys unambiguous in the plan
+    for k in on:
+        rx = rx.withColumnRenamed(k, f"_r_{k}")
+    cond = [lx["_bkt"] == rx["_r_bkt"]] + [
+        lx[k] == rx[f"_r_{k}"] for k in on
+    ]
+    return (
         lx.join(rx, cond, "inner")
         .filter(
             (rx["_rus"] >= lx["_lus"] + F.lit(int(lower_us)))
             & (rx["_rus"] <= lx["_lus"] + F.lit(int(upper_us)))
         )
-        .drop(rx["_bkt"])
-        .drop(lx["_bkt"])
+        .drop("_bkt", "_r_bkt", "_lus", "_rus", *[f"_r_{k}" for k in on])
     )
-    for k in on:
-        joined = joined.drop(rx[k])
-    return joined.drop("_lus", "_rus")
 
 
 def session_ids(

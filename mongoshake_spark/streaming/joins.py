@@ -44,11 +44,20 @@ def stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("stream_interval_join: alias the ts columns apart")
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    # the key columns are renamed apart before the join: when both sides
+    # derive from the same base frame, `lw[on] == rw[on]` resolves to the
+    # SAME attribute and Spark warns "trivially true equals predicate" —
+    # DataFrame-scoped resolution kept it correct, but distinct names make
+    # the resolution explicit (and the plan readable)
+    lw = left.withWatermark(left_ts, watermark).withColumnRenamed(on, "_l_key")
+    rw = right.withWatermark(right_ts, watermark).withColumnRenamed(on, "_r_key")
     cond = (
-        (lw[on] == rw[on])
+        (lw["_l_key"] == rw["_r_key"])
         & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower_seconds} SECOND"))
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_seconds} SECOND"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return (
+        lw.join(rw, cond, "inner")
+        .drop("_r_key")
+        .withColumnRenamed("_l_key", on)
+    )

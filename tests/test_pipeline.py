@@ -984,4 +984,34 @@ def test_video_phash_pairs_frame_vote(spark):
     assert {r["frame"] for r in sampled} == {0, 2, 4}
 
     with pytest.raises(NotImplementedError, match="media library"):
-        multimodal.frame_phashes(media, "n_frames", decoder="pyav")
+        multimodal.frame_phashes(media, "n_frames", decoder="unknown-codec")
+
+
+def test_video_phash_pairs_frame_limit_guard(spark):
+    """The packed frame id carries the SAMPLE ORDINAL (frame // every_k),
+    so a long video is fine as long as its sampled count stays under
+    VIDEO_FRAME_LIMIT — and the over-limit case raises loudly instead of
+    silently colliding into the next doc_id's packed range."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    lim = multimodal.VIDEO_FRAME_LIMIT
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    # raw frame count way past the limit, but every_k keeps the ORDINAL
+    # under it — this is the documented remedy and it must actually work
+    long_media = multimodal.attach_fake_media(docs).withColumn(
+        "n_frames", F.lit(lim + 8).cast("int")
+    )
+    ok = multimodal.video_phash_pairs(
+        long_media, "n_frames", every_k=2, min_shared=2
+    ).collect()
+    assert [(r["video_a"], r["video_b"]) for r in ok] == [(1, 2)]
+
+    # every_k=1 pushes ordinals to lim+7 -> loud failure, not collision
+    with pytest.raises(SparkRuntimeException, match="VIDEO_FRAME_LIMIT"):
+        multimodal.video_phash_pairs(
+            long_media, "n_frames", every_k=1, min_shared=2
+        ).collect()
