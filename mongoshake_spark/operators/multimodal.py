@@ -561,25 +561,77 @@ def frame_phashes(
     payload hash with the frame index mixed in —
     ``(h*(2i+1) + 7919*i + 104729*f) mod 256`` — so identical payloads
     produce identical frame sequences (both engines agree bit-for-bit)
-    and different frames of one video hash apart. A REAL video decoder
-    (pyav/ffmpeg) is deliberately NOT stubbed as a fake: frame pixel
-    decode needs a media library this container lacks, so any non-fake
-    decoder raises loudly; the Spark-side plumbing (sample plan, batch
-    vectorization, downstream band join) is identical either way and is
-    what these tests pin."""
+    and different frames of one video hash apart. ``pyav`` is the REAL
+    decoder lane (same availability-gating pattern as ``pil`` /
+    ``soundfile``): each payload opens as an in-memory container, the
+    codec decodes sequentially (inter-frame codecs require it) but only
+    the SAMPLED frames pay the pixel conversion (``to_ndarray`` +
+    grayscale reformat — the dominant per-frame cost), and each sampled
+    frame runs the same box-resize + dHash as the image path. Absent the
+    ``av`` library (this sandbox) it raises ``NotImplementedError`` at
+    plan time; the Spark-side plumbing (sample plan, Arrow batching,
+    downstream band join) is identical either way and is what the
+    always-on tests pin."""
     import numpy as np
     import pandas as pd
 
-    if decoder != "fake":
+    if decoder not in ("fake", "pyav"):
         raise NotImplementedError(
-            "frame_phashes: real video frame decode needs a media library "
-            "(pyav/ffmpeg) on the executors; only the deterministic 'fake' "
-            "decoder runs in this environment"
+            f"frame_phashes decoder {decoder!r}: unknown — 'fake' (the "
+            "deterministic fixture path) or 'pyav' (real video decode, "
+            "needs the av media library on the executors)"
         )
+    if decoder == "pyav":
+        # eager driver-side gate (executors re-import inside the task):
+        # fail at plan time, not minutes into the job
+        try:
+            import av  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "frame_phashes: decoder 'pyav' needs the av package on "
+                "driver and executors (pip install av); 'fake' is the "
+                "library-free fixture path"
+            ) from e
     if every_k < 1:
         raise ValueError("frame_phashes: every_k must be >= 1")
 
     bit_range = np.arange(64, dtype=np.uint64)
+
+    def pyav_batches(it):
+        import av
+        import io
+
+        for pdf in it:
+            ids, frs, hs = [], [], []
+            for doc_id, payload, n in zip(
+                pdf["doc_id"], pdf["payload"], pdf["_n_frames"]
+            ):
+                with av.open(io.BytesIO(bytes(payload))) as container:
+                    vstream = container.streams.video[0]
+                    vstream.thread_type = "AUTO"
+                    for idx, frame in enumerate(container.decode(vstream)):
+                        if idx >= int(n):
+                            break
+                        if idx % every_k:
+                            continue  # skipped frames never pay to_ndarray
+                        px = frame.to_ndarray(format="gray").astype(
+                            np.float64
+                        )
+                        grid = _box_resize(px, PHASH_ROWS, PHASH_COLS)
+                        bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+                        u = (bits.astype(np.uint64) << bit_range).sum(
+                            dtype=np.uint64
+                        )
+                        ids.append(int(doc_id))
+                        frs.append(idx)
+                        hs.append(int(np.uint64(u).view(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frs, dtype="int64").astype("int32"),
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
+            )
 
     def batches(it):
         from mongoshake_spark.functions.texthash import poly_hash_numpy
@@ -635,7 +687,10 @@ def frame_phashes(
 
     return media.select(
         "doc_id", "payload", F.col(n_frames_col).cast("int").alias("_n_frames")
-    ).mapInPandas(batches, schema="doc_id bigint, frame int, phash bigint")
+    ).mapInPandas(
+        pyav_batches if decoder == "pyav" else batches,
+        schema="doc_id bigint, frame int, phash bigint",
+    )
 
 
 #: sample-ordinal width inside the packed frame id

@@ -983,8 +983,77 @@ def test_video_phash_pairs_frame_vote(spark):
     assert len(sampled) == 9  # frames 0, 2, 4 only
     assert {r["frame"] for r in sampled} == {0, 2, 4}
 
-    with pytest.raises(NotImplementedError, match="media library"):
+    with pytest.raises(NotImplementedError, match="unknown"):
         multimodal.frame_phashes(media, "n_frames", decoder="unknown-codec")
+
+
+def test_frame_phashes_pyav_gate(spark):
+    """Absent the av library, decoder='pyav' fails at PLAN time with the
+    install hint (not minutes into the job on an executor); unknown
+    decoder names get the distinct 'unknown' error. Skips on a real
+    media cluster where av exists (the real-decode test covers it)."""
+    import pytest
+
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("av installed — gate n/a, real-decode test covers pyav")
+    except ImportError:
+        pass
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id bigint, text string")
+    media = multimodal.attach_fake_media(docs).withColumn(
+        "n_frames", F.lit(3).cast("int")
+    )
+    with pytest.raises(NotImplementedError, match="pip install av"):
+        multimodal.frame_phashes(media, "n_frames", decoder="pyav")
+
+
+def test_frame_phashes_pyav_real_decode(spark):
+    """Cluster-only (importorskip): a REAL tiny video — synthesized
+    in-memory with av itself (mpeg4, 4 gradient frames whose brightness
+    shifts per frame) — decodes through the SAME mapInPandas plumbing as
+    the fixture path: one row per sampled frame, identical payloads give
+    identical frame sequences, every_k skips the pixel conversion."""
+    import io
+
+    import pytest
+
+    av = pytest.importorskip("av")
+    np = pytest.importorskip("numpy")
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 64, 48
+        stream.pix_fmt = "yuv420p"
+        for f in range(4):
+            px = np.tile(
+                np.linspace(0, 255, 64, dtype=np.uint8), (48, 1)
+            )
+            frame = av.VideoFrame.from_ndarray(
+                np.roll(px, f * 16, axis=1), format="gray"
+            )
+            for packet in stream.encode(frame.reformat(format="yuv420p")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), 4), (2, bytearray(payload), 4)],
+        "doc_id bigint, payload binary, n_frames int",
+    )
+    rows = multimodal.frame_phashes(media, "n_frames", decoder="pyav").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame"]] = r["phash"]
+    assert set(by_doc[1]) == {0, 1, 2, 3}
+    assert by_doc[1] == by_doc[2]  # same payload -> identical sequence
+
+    sampled = multimodal.frame_phashes(
+        media, "n_frames", every_k=2, decoder="pyav"
+    ).collect()
+    assert {r["frame"] for r in sampled} == {0, 2}
 
 
 def test_video_phash_pairs_frame_limit_guard(spark):
