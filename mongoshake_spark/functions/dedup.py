@@ -1160,6 +1160,65 @@ def normalized_exact_groups(
     )
 
 
+def unicode_canon(col: Column | str = "text", form: str = "NFC") -> Column:
+    """Unicode-robust canonicalization for multilingual dedup: Unicode
+    normalization (NFC default; NFKC folds compatibility forms —
+    fullwidth letters, ligatures, NBSP) + FULL casefold (ß -> ss,
+    İ -> i̇ — strictly stronger than lower()) + whitespace collapse +
+    trim. :func:`normalize_text` (lowercase + collapse) misses
+    composed-vs-decomposed accent spellings and case pairs outside
+    1:1 lowering, which multilingual corpora hit constantly.
+
+    Spark has no built-in Unicode normalizer, so this is the documented
+    justified Python case, Arrow-batched like the texthash kernels:
+    pandas ``.str.normalize/.casefold/.replace`` kernels run over whole
+    Arrow batches (no per-row Python bytecode in the loop), the UDF is
+    map-only (no shuffle moves text), and downstream hashing/groupBy
+    stays JVM-side. NULLs pass through as NULL. Note ``\\s`` here is
+    Python's Unicode class (collapses NBSP/ideographic space too) —
+    deliberately wider than the ASCII ``\\s`` of the JVM-side
+    :func:`normalize_text`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unicode_canon: unknown normalization form {form!r}")
+
+    def _canon(s):
+        return (
+            s.str.normalize(form)
+            .str.casefold()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints and pyspark could
+    # not resolve 'pd.Series' against module globals (pandas is lazily
+    # imported here)
+    _canon.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_canon, "string")(
+        F.col(col) if isinstance(col, str) else col
+    )
+
+
+def unicode_exact_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalized exact dedup groups: ``(text_hash, n_docs,
+    keep_id)`` keyed on md5 of :func:`unicode_canon`'s canonical form.
+    Same 100 TB shape as :func:`exact_groups`: the canonicalization and
+    md5 run map-side before the aggregate, so only 16-byte hashes (plus
+    partial counts, map-side combined) ever shuffle — documents never
+    move."""
+    return docs.groupBy(
+        F.md5(unicode_canon(text_col, form)).alias("text_hash")
+    ).agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+
+
 def source_duplicate_stats(
     docs: DataFrame,
     text_col: str = "text",

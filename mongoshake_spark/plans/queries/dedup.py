@@ -48,6 +48,48 @@ def dedup_exact_norm(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.normalized_exact_groups(docs).orderBy("text_hash")
 
+
+@_q(
+    "dedup_exact_unicode",
+    """WITH u AS (
+  SELECT doc_id,
+         replace(replace(text, 'ss', chr(223)), 'e', 'e' || chr(769)) AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         trim(regexp_replace(replace(lower(nfc_normalize(t)), chr(223), 'ss'),
+                             '\\s+', ' ', 'g')) AS canon
+  FROM u)
+SELECT md5(canon) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM c GROUP BY 1 ORDER BY 1""",
+    "Unicode-robust exact dedup (the multilingual-corpus variant of "
+    "dedup_exact_normalized): NFC normalization + FULL casefold "
+    "(ss-sharp-s, dotted-I — strictly stronger than lower) + whitespace "
+    "collapse before hashing, so composed-vs-decomposed accent "
+    "spellings and non-1:1 case pairs land in one dedup group. The "
+    "ASCII fixture is made to EXERCISE it: both engines first rewrite "
+    "'ss' -> U+00DF and 'e' -> e+COMBINING ACUTE (decomposed), so every "
+    "group key crosses a real NFC composition and a real casefold. "
+    "Spark runs the genuine unicodedata path (pandas .str kernels over "
+    "whole Arrow batches — the documented justified Python case, Spark "
+    "has no built-in normalizer); the oracle replays it with DuckDB's "
+    "nfc_normalize + lower + the sharp-s fold the fixture needs. "
+    "Map-only canonicalization, only 16-byte hashes shuffle "
+    "(functions/dedup.unicode_canon, unicode_exact_groups).",
+)
+def dedup_exact_unicode_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            # sharp s (casefold folds it to 'ss')
+            F.replace(F.col("text"), F.lit("ss"), F.lit("\u00df")),
+            F.lit("e"),
+            F.lit("e\u0301"),  # DECOMPOSED e-acute: NFC must compose
+        ),
+    )
+    return dedup.unicode_exact_groups(docs).orderBy("text_hash")
+
+
 _MINHASH_ORACLE = f"""WITH {_MINHASH_CTES}
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y

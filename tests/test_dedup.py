@@ -621,3 +621,46 @@ def test_source_overlap_sketch_only_mode(spark):
     }
     got = {(r["src_a"], r["src_b"]): r["minhash_est"] for r in sk.collect()}
     assert got == full
+
+
+def test_unicode_canon_kernel(spark):
+    """The Unicode canonicalization kernel: composed and decomposed accent
+    spellings land in ONE group (NFC), sharp-s casefolds to 'ss'
+    (strictly stronger than lower), Python's Unicode \\s collapses NBSP,
+    NULLs pass through, and NFKC additionally folds fullwidth forms."""
+    rows = [
+        (1, "café STRASSE"),        # composed e-acute, upper
+        (2, "café straße"),   # decomposed + sharp s
+        (3, "café straße"),  # NBSP between words
+        (4, None),
+        (5, "ＡBC"),                 # fullwidth A: NFC keeps, NFKC folds
+        (6, "abc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", dedup.unicode_canon("text").alias("c")
+        ).collect()
+    }
+    assert canon[1] == canon[2] == canon[3] == "café strasse"
+    assert canon[4] is None
+    assert canon[5] != "abc"  # NFC preserves the fullwidth letter
+
+    groups = dedup.unicode_exact_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_docs"] for r in groups}
+    assert by_keep[1] == 3  # docs 1,2,3 merged into one group
+
+    nfkc = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", dedup.unicode_canon("text", form="NFKC").alias("c")
+        ).collect()
+    }
+    assert nfkc[5] == "abc"  # NFKC folds the fullwidth form
+
+    import pytest
+
+    with pytest.raises(ValueError, match="normalization form"):
+        dedup.unicode_canon("text", form="NFX")

@@ -590,11 +590,13 @@ def test_registry_package_integrity():
     # registry payload hash — update alongside any intentional registry
     # change; a silent change here means a query was dropped, renamed,
     # or its oracle/doc mutated during a file move. Known pins:
-    # 131 = post-split round 11; 132 = + dedup_video_phash.
+    # 131 = post-split round 11; 132 = + dedup_video_phash;
+    # 134 = + dedup_exact_unicode (round 12).
     pins = {
         131: "342b8412e4f9d4db98d2165b56f75daa",
         132: "b7040d6cae08de07948ad14c747f8809",
         133: "e5d19436ecbd5ccb424c5df51ab814c5",
+        134: "c7b5bf48efa39e06b871acd89badb90a",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
