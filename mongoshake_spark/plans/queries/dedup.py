@@ -213,7 +213,9 @@ def dedup_simhash64(spark, sf_dir):
     return dedup.simhash_pairs64(docs, bucket_cap=10000).orderBy("doc_a", "doc_b")
 
 
-_PHASH_ORACLE = f"""WITH ph AS (
+# per-doc 64-bit dHash replay from the fixture grid — shared CTE chain
+# (dedup_phash here; stream_media_neardup and pipeline_media import it)
+_PHASH_CTES = f"""ph AS (
   SELECT doc_id, {poly_hash_duckdb('text')} AS h FROM documents),
 g AS (SELECT doc_id,
              list_transform(range(0, 72), i -> (h * (2*i + 1) + 7919*i) % 256) AS g
@@ -230,7 +232,9 @@ phs AS (SELECT doc_id,
                CAST(CASE WHEN hi_f >= 2147483648
                     THEN CAST(hi_f AS HUGEINT) * 4294967296 + lo_f - 18446744073709551616
                     ELSE CAST(hi_f AS HUGEINT) * 4294967296 + lo_f END AS BIGINT) AS phash
-        FROM halves)
+        FROM halves)"""
+
+_PHASH_ORACLE = f"""WITH {_PHASH_CTES}
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
 FROM phs x JOIN phs y ON x.doc_id < y.doc_id

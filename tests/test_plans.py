@@ -597,6 +597,7 @@ def test_registry_package_integrity():
         132: "b7040d6cae08de07948ad14c747f8809",
         133: "e5d19436ecbd5ccb424c5df51ab814c5",
         134: "c7b5bf48efa39e06b871acd89badb90a",
+        135: "ee89f7ddab3b1f97765141606278d45f",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
