@@ -30,8 +30,13 @@ Production contract — train once, encode forever:
 At 100 TB the code table is years of ingest at 32-128x compression and
 a batch is a day of vectors: the model broadcast is KB-scale, the batch
 encode is map-only, and the probe reads n_probe/|cells| of a code-sized
-store. Re-training (centroid drift) is a planned batch job that writes
-a NEW index_dir generation, never an in-place mutation.
+store. Lifecycle (``streaming/index_lifecycle``): replay-duplicate
+compaction rewrites the codes as a new deduped generation
+(``compact_ann_store``), and centroid-drift re-training writes a fresh
+model+codes generation with an atomic pointer cutover
+(``retrain_ann_store``) — never an in-place mutation; ingest streams
+pin model+generation at start and fail loudly (then replay from the
+checkpoint) if the generation moves under them.
 """
 
 from __future__ import annotations
@@ -51,10 +56,15 @@ from mongoshake_spark.functions.similarity import with_norm
 
 
 def _model_paths(index_dir: str) -> tuple[str, str, str]:
+    """Payload paths of the ACTIVE generation (streaming/index_lifecycle
+    pointer convention; legacy flat stores resolve to themselves)."""
+    from mongoshake_spark.streaming.index_lifecycle import resolve_store
+
+    base = resolve_store(index_dir)
     return (
-        os.path.join(index_dir, "model_centroids"),
-        os.path.join(index_dir, "model_codebooks"),
-        os.path.join(index_dir, "codes"),
+        os.path.join(base, "model_centroids"),
+        os.path.join(base, "model_codebooks"),
+        os.path.join(base, "codes"),
     )
 
 
@@ -113,6 +123,8 @@ def streaming_ann_ingest(
     The model MUST exist (:func:`ann_index_bootstrap`) — encoding
     against a missing model fails the batch loudly rather than training
     a divergent model per batch."""
+    from mongoshake_spark.streaming.index_lifecycle import read_current
+
     spark = stream.sparkSession
     cent_path, cb_path, codes_path = _model_paths(index_dir)
     # the model is FROZEN for the stream's lifetime (train-once contract),
@@ -121,8 +133,22 @@ def streaming_ann_ingest(
     # (k centroids, m*k codewords), so the eager checkpoint is KB-scale
     cents = spark.read.parquet(cent_path).localCheckpoint(eager=True)
     codebooks = spark.read.parquet(cb_path).localCheckpoint(eager=True)
+    # generation pinned WITH the model: a retrain/compaction cutover
+    # (streaming/index_lifecycle) swaps the active generation, and rows
+    # encoded under the pinned model must not land in a store this stream
+    # no longer owns — the per-batch check below turns the silent-loss
+    # race into a loud failure; the checkpoint replays the failed batch
+    # after the stream restarts against the new generation
+    gen_at_start = read_current(index_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if read_current(index_dir) != gen_at_start:
+            raise RuntimeError(
+                "streaming_ann_ingest: store generation changed "
+                f"({gen_at_start!r} -> {read_current(index_dir)!r}) under a "
+                "pinned-model stream — restart the ingest stream to pick up "
+                "the new generation"
+            )
         if batch_df.isEmpty():
             return
         unit = with_norm(batch_df, vec_col)

@@ -14,11 +14,20 @@ shape), run per micro-batch inside ``foreachBatch``:
 
 State is the parquet band index itself — no state store: the index is
 append-only, shared across restarts (the checkpoint replays any batch
-whose appends didn't commit; pair emission is idempotent downstream
-because pairs are keyed by (doc_a, doc_b)). At 100 TB the index is
+whose appends didn't commit; pair emission is idempotent downstream for
+consumers keyed on the UNORDERED pair — a replayed batch finds its own
+bands already indexed, so a pair first seen increment-internal can
+re-emit reversed with origin='corpus'; self-matches from that same
+replay are dropped outright below). At 100 TB the index is
 years of bands and the batch is a day — exactly the asymmetry the
 broadcast probe exploits; index scans partition-prune nothing (bands
-hash uniformly) but stay one map-only pass per batch.
+hash uniformly) but stay one map-only pass per batch. The append-only
+growth (plus every crash-replay's re-appends) is bounded by the
+maintenance plane in ``streaming/index_lifecycle``: a planned
+compaction rewrites the index as a deduplicated new generation behind
+an atomic ``CURRENT`` pointer, which these streams resolve per
+micro-batch — a cutover between batches transparently redirects probe
+and append to the compacted generation.
 """
 
 from __future__ import annotations
@@ -32,6 +41,7 @@ from mongoshake_spark.functions.dedup import (
     incremental_minhash_pairs,
     minhash_bands,
 )
+from mongoshake_spark.streaming.index_lifecycle import resolve_store
 
 
 def streaming_lsh_dedup(
@@ -51,20 +61,30 @@ def streaming_lsh_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # band indexes are model-free, so the ACTIVE generation resolves
+        # per batch (streaming/index_lifecycle): a compaction cutover
+        # between micro-batches transparently redirects both the probe
+        # and the append to the compacted generation
+        idx = resolve_store(index_dir)
         # one pass of the incremental operator against the index-so-far;
         # first batch has no index yet -> increment-internal pairs only
-        if _index_exists(index_dir):
-            corpus_bands = spark.read.parquet(index_dir)
+        if _index_exists(idx):
+            corpus_bands = spark.read.parquet(idx)
             # bands materialize ONCE per batch and serve both the pair
             # probe and the index append — without the shared handle the
             # signature kernel (the batch's dominant compute) ran twice
             inc_bands = minhash_bands(batch_df, text_col).localCheckpoint(
                 eager=True
             )
+            # a crash-REPLAYED batch violates the operator's disjoint-id
+            # contract (its own bands are already in the index), which
+            # would emit (x, x) self-pairs — new pair keys that no batch
+            # run produces, breaking the restart-idempotency argument;
+            # a doc is never its own near-dup, so drop them here
             pairs = incremental_minhash_pairs(
                 corpus_bands, batch_df, text_col=text_col,
                 increment_bands=inc_bands,
-            )
+            ).filter(F.col("doc_a") != F.col("doc_b"))
         else:
             inc_bands = minhash_bands(batch_df, text_col).localCheckpoint(
                 eager=True
@@ -91,7 +111,7 @@ def streaming_lsh_dedup(
         # batch, which re-emits the same (doc_a, doc_b) pairs — idempotent
         # for any consumer keyed on the pair — rather than silently
         # growing an index whose pairs were never reported
-        inc_bands.write.mode("append").parquet(index_dir)
+        inc_bands.write.mode("append").parquet(idx)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -167,6 +187,7 @@ def streaming_phash_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        idx = resolve_store(index_dir)  # per-batch generation resolution
         sims = (
             phash64(batch_df, decoder)
             .withColumnRenamed("phash", "simhash")
@@ -176,8 +197,8 @@ def streaming_phash_dedup(
         intra = simhash_pairs64(
             batch_df, max_hamming=max_hamming, sims=sims
         ).withColumn("origin", F.lit("increment"))
-        if _index_exists(index_dir):
-            corpus = spark.read.parquet(index_dir)
+        if _index_exists(idx):
+            corpus = spark.read.parquet(idx)
             cross = (
                 corpus.alias("c")
                 .join(
@@ -204,7 +225,7 @@ def streaming_phash_dedup(
             "append"
         ).parquet(pairs_dir)
         # index append LAST (crash => batch replays => same pairs re-emit)
-        bands.write.mode("append").parquet(index_dir)
+        bands.write.mode("append").parquet(idx)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
