@@ -27,11 +27,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 @dataclass(frozen=True)
 class Query:
-    """One declared query: Spark builder + (optional) DuckDB oracle."""
+    """One declared query: Spark builder + (optional) DuckDB oracle.
+
+    ``stream`` declares the query's PERFORMANCE CLASS, not its
+    correctness semantics: True means its wall-clock is dominated by a
+    fixed runtime floor the batch-SQL oracle prices at ~0 — a real
+    Structured Streaming drain (micro-batch scheduling, state stores,
+    sink commits), a live socket/daemon transport, or an in-plan wire
+    codec roundtrip (encode+decode work the aggregate-only oracle never
+    pays, q28/q38). bench.py derives
+    its stream-spacing set from this flag and reports the
+    data-proportional ratio (non-stream queries only) and the stream
+    floor seconds as separate headline metrics, so registry growth in
+    either class stays attributable."""
 
     fn: QueryFn
     oracle: str | None
     doc: str = ""
+    stream: bool = False
 
 
 def _oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,9 +65,9 @@ _CHUNKS_CTE = """chunks AS (
 QUERIES: dict[str, Query] = {}
 
 
-def _q(name: str, oracle: str | None, doc: str = ""):
+def _q(name: str, oracle: str | None, doc: str = "", stream: bool = False):
     def reg(fn: QueryFn):
-        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc, stream=stream)
         return fn
 
     return reg

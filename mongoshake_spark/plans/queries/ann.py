@@ -670,6 +670,7 @@ def ann_ivfpq_rerank_q(spark, sf_dir):
     "hash-equals the batch ivfpq_topk, which is exactly what this oracle "
     "pins. Restart-idempotent: replayed batches re-append, the probe "
     "dedups by id (streaming/ann_ingest).",
+    stream=True,
 )
 def stream_ann_ingest_q(spark, sf_dir):
     import os

@@ -752,6 +752,7 @@ FROM oplog_v GROUP BY op ORDER BY op""",
     "S8/S12 end-to-end: rows are encoded to wire frames and decoded back "
     "(in-plan), then aggregated; the oracle aggregates the original rows — "
     "any encode/decode corruption breaks the checksums.",
+    stream=True,
 )
 def q28_tunnel_roundtrip(spark, sf_dir):
     from mongoshake_spark.sources.tunnel import decode_frames, encode_frames
@@ -876,6 +877,7 @@ ORDER BY CAST(lsid AS BIGINT), seq"""
     "partialTxn chunks span >=2 micro-batches; committed sessions emit every "
     "buffered op at commit time, aborted sessions (user_id % 7 == 0) emit "
     "nothing. Runs a real applyInPandasWithState stream over a 3-file feed.",
+    stream=True,
 )
 def q31(spark, sf_dir):
     """The one declared query that executes the STREAMING plane: builds a
@@ -988,6 +990,7 @@ FROM oplog_v GROUP BY 1 ORDER BY 1""",
     "receiver/replayer.go:54-146): every row streams through a real socket "
     "(zlib frames, crc32-xor checksums, reject-until-retransmit handshake) "
     "and back; per-partition count/checksum must equal the source.",
+    stream=True,
 )
 def q32(spark, sf_dir):
     """Unlike q28's file tunnel, the transport here is a live embedded TCP
@@ -1153,6 +1156,7 @@ WHERE last_op <> 'd' ORDER BY ns, user_id""",
     "accumulation + watermark advance need one boundary; each extra "
     "batch costs a MERGE cycle per namespace on the bench's critical "
     "path) (streaming/multi.py; CLI --multi-ns).",
+    stream=True,
 )
 def q37_multi_ns(spark, sf_dir):
     import os
@@ -1225,6 +1229,7 @@ GROUP BY fmt, op ORDER BY fmt, op""",
     "aggregates the original rows per format, so any encode/decode "
     "corruption or CRC failure changes the counts (sources/tunnel.py; "
     "byte-level wire parity pinned by test_tunnel_raw_tmessage_wire).",
+    stream=True,
 )
 def q38_tunnel_formats(spark, sf_dir):
     from mongoshake_spark.sources.tunnel import (
@@ -1277,6 +1282,7 @@ FROM oplog_v GROUP BY 1 ORDER BY 1""",
     "CRC-gated and decoded; the oracle aggregates the original rows per "
     "shard, so any framing, batching, CRC or routing defect changes the "
     "counts (sources/file_dump).",
+    stream=True,
 )
 def q39_dump_file_roundtrip(spark, sf_dir):
     import os
@@ -1327,6 +1333,7 @@ WHERE last_op <> 'd' ORDER BY user_id""",
     "received frames; the receiver's MATERIALIZED target must equal the "
     "last-writer-wins reconstruction. CLI: --sync-mode receive paired "
     "with a tunnel=tcp collector.",
+    stream=True,
 )
 def q40_receiver_daemon(spark, sf_dir):
     import threading

@@ -27,6 +27,7 @@ from mongoshake_spark.plans.queries._shared import (  # noqa: F401
     "puts ALL originals in batch 1 and ALL re-crawls in batch 2, so "
     "every duplicate crosses the batch boundary — more batches add "
     "state-store rounds, not coverage).",
+    stream=True,
 )
 def stream_dedup_q(spark, sf_dir):
     import os
@@ -129,6 +130,7 @@ FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start""",
     "micro-batch flushes every real session. The emitted set must equal "
     "the BATCH session model exactly — exactly-once and complete over a "
     "finite replay.",
+    stream=True,
 )
 def session_window_stream_q(spark, sf_dir):
     import os
@@ -221,6 +223,7 @@ GROUP BY 1 ORDER BY 1""",
     "to a parquet sink and aggregated; totals must equal the batch "
     "join. Stateless per batch — at 100 TB/day the only cost above the "
     "scan is the broadcast.",
+    stream=True,
 )
 def stream_static_enrich_q(spark, sf_dir):
     import os
@@ -280,6 +283,7 @@ GROUP BY 1 ORDER BY 1""",
     "independent of history; the replay uses a generous delay so the "
     "finite drain is complete). Drained totals must equal the batch "
     "join (streaming/joins.stream_interval_join).",
+    stream=True,
 )
 def stream_join_q(spark, sf_dir):
     import os
@@ -381,6 +385,7 @@ ORDER BY origin, doc_a, doc_b"""
     "'corpus', same-class as 'increment' "
     "(streaming/neardup.streaming_lsh_dedup; state is the append-only "
     "parquet index, no state store).",
+    stream=True,
 )
 def stream_neardup_q(spark, sf_dir):
     import os
@@ -441,6 +446,7 @@ from mongoshake_spark.plans.queries.dedup import _PHASH_ORACLE  # noqa: E402
     "batch dedup_phash result, which this oracle pins bit-for-bit. "
     "Restart-idempotent: replayed batches re-emit the same (doc_a, "
     "doc_b) pairs (streaming/neardup.streaming_phash_dedup).",
+    stream=True,
 )
 def stream_media_neardup_q(spark, sf_dir):
     import os

@@ -602,3 +602,43 @@ def test_registry_package_integrity():
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
         assert digest == pins[len(QUERIES)]
+
+
+def test_stream_class_declared_and_exhaustive():
+    """Query.stream is the registry-declared performance class bench.py
+    builds its headline decomposition from (data_proportional_ratio /
+    stream_floor_sec) and its pooled stream-spacing set. Two gates:
+    (1) the declared set is pinned, so additions are conscious; (2) a
+    source heuristic — any query whose implementation drives a streaming
+    drain, live transport, or in-plan wire codec must be declared, and
+    nothing else may be — so a new streaming query cannot silently land
+    in the data-proportional class (or vice versa)."""
+    import inspect
+
+    from mongoshake_spark.plans import QUERIES
+
+    pinned = {
+        "q28_tunnel_roundtrip", "q31_txn_crossbatch", "q32_socket_tunnel",
+        "q37_multi_ns_sync", "q38_tunnel_formats", "q39_dump_file_roundtrip",
+        "q40_receiver_daemon", "session_window_stream", "stream_ann_ingest",
+        "stream_dedup", "stream_join", "stream_media_neardup",
+        "stream_neardup", "stream_static_enrich",
+    }
+    declared = {n for n, q in QUERIES.items() if q.stream}
+    assert declared == pinned
+
+    markers = (
+        "readStream", "writeStream", "run_streaming", "_stream_tmpdir",
+        "streaming_", "socket_tunnel", "receive", "sources.tunnel",
+        "sources import tunnel",
+    )
+    heuristic = {
+        n
+        for n, q in QUERIES.items()
+        if any(m in inspect.getsource(q.fn) for m in markers)
+    }
+    assert heuristic == declared, (
+        f"undeclared stream-class queries: {sorted(heuristic - declared)}; "
+        f"declared but source shows no stream/transport machinery: "
+        f"{sorted(declared - heuristic)}"
+    )
