@@ -728,6 +728,83 @@ def stream_ann_ingest_q(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q(
+    "stream_ann_compaction",
+    _IVFPQ_ORACLE,
+    "Persisted-index LIFECYCLE, driver-verified end to end: bootstrap "
+    "the frozen IVF-PQ model, drain the corpus through the ingest "
+    "stream, then REPLAY the whole feed under a fresh checkpoint (the "
+    "crash-replay worst case — every code row appended twice), compact "
+    "the store (streaming/index_lifecycle.compact_ann_store: codes "
+    "deduped by id into a new generation behind the atomic CURRENT "
+    "pointer, superseded payload pruned), and probe the compacted "
+    "generation. A hash match against the SAME batch-IVFPQ oracle that "
+    "pins stream_ann_ingest proves the compaction + generation cutover "
+    "preserve probe results exactly while the store halves; the "
+    "compacted row count is asserted in-plan (a silent no-op compaction "
+    "would still hash-match). Maintenance is one distributed "
+    "dedup-by-id pass; the pointer flip is a metadata op "
+    "(streaming/index_lifecycle, streaming/ann_ingest).",
+    stream=True,
+)
+def stream_ann_compaction_q(spark, sf_dir):
+    import os
+    import shutil
+    import time
+
+    from mongoshake_spark.streaming.ann_ingest import (
+        ann_index_bootstrap,
+        ann_index_topk,
+        streaming_ann_ingest,
+    )
+    from mongoshake_spark.streaming.index_lifecycle import (
+        compact_ann_store,
+        read_current,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    tmp = _stream_tmpdir("annlc_")
+    feed_dir, index_dir = f"{tmp}/feed", f"{tmp}/index"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ann_index_bootstrap(vecs, index_dir, m=4, k_code=8, iters=2)
+        os.makedirs(feed_dir, exist_ok=True)
+        d = f"{tmp}/b0"
+        vecs.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(os.path.join(d, part), f"{feed_dir}/c0.parquet")
+        os.utime(f"{feed_dir}/c0.parquet", (time.time() - 10,) * 2)
+
+        def drain(ck):
+            stream = spark.readStream.schema(vecs.schema).parquet(feed_dir)
+            q = streaming_ann_ingest(stream, index_dir, f"{tmp}/{ck}")
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("ann lifecycle drain timed out")
+
+        drain("ck1")
+        drain("ck2")  # full replay: every code row appended twice
+        stats = compact_ann_store(spark, index_dir)
+        if stats["rows_after"] * 2 != stats["rows_before"]:
+            raise RuntimeError(
+                f"compaction did not halve the replay-doubled store: {stats}"
+            )
+        if read_current(index_dir) != stats["generation"]:
+            raise RuntimeError("generation pointer did not cut over")
+        out = ann_index_topk(
+            spark,
+            index_dir,
+            vecs.filter(F.col("vec_id") < 10),
+            k=5,
+            n_probe=2,
+        )
+        return out.orderBy("query_id", "rank").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SQ8_ORACLE = f"""WITH v AS (
   SELECT vec_id, embedding, sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm
   FROM embeddings),

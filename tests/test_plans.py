@@ -598,6 +598,7 @@ def test_registry_package_integrity():
         133: "e5d19436ecbd5ccb424c5df51ab814c5",
         134: "c7b5bf48efa39e06b871acd89badb90a",
         135: "ee89f7ddab3b1f97765141606278d45f",
+        136: "bb092e2a13f96c09137958606433e351",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
@@ -620,9 +621,9 @@ def test_stream_class_declared_and_exhaustive():
     pinned = {
         "q28_tunnel_roundtrip", "q31_txn_crossbatch", "q32_socket_tunnel",
         "q37_multi_ns_sync", "q38_tunnel_formats", "q39_dump_file_roundtrip",
-        "q40_receiver_daemon", "session_window_stream", "stream_ann_ingest",
-        "stream_dedup", "stream_join", "stream_media_neardup",
-        "stream_neardup", "stream_static_enrich",
+        "q40_receiver_daemon", "session_window_stream", "stream_ann_compaction",
+        "stream_ann_ingest", "stream_dedup", "stream_join",
+        "stream_media_neardup", "stream_neardup", "stream_static_enrich",
     }
     declared = {n for n, q in QUERIES.items() if q.stream}
     assert declared == pinned
