@@ -733,13 +733,15 @@ def stream_ann_ingest_q(spark, sf_dir):
     _IVFPQ_ORACLE,
     "Persisted-index LIFECYCLE, driver-verified end to end: bootstrap "
     "the frozen IVF-PQ model, drain the corpus through the ingest "
-    "stream, then REPLAY the whole feed under a fresh checkpoint (the "
-    "crash-replay worst case — every code row appended twice), compact "
-    "the store (streaming/index_lifecycle.compact_ann_store: codes "
-    "deduped by id into a new generation behind the atomic CURRENT "
-    "pointer, superseded payload pruned), and probe the compacted "
-    "generation. A hash match against the SAME batch-IVFPQ oracle that "
-    "pins stream_ann_ingest proves the compaction + generation cutover "
+    "stream, then re-append the full code table once — byte-identical "
+    "rows, exactly what a crash-replayed feed appends (the checkpoint-"
+    "replay path itself is pytested; a second live drain here only "
+    "re-bought stream startup, +30 s measured) — compact the store "
+    "(streaming/index_lifecycle.compact_ann_store: codes deduped by id "
+    "into a new generation behind the atomic CURRENT pointer, "
+    "superseded payload pruned), and probe the compacted generation. A "
+    "hash match against the SAME batch-IVFPQ oracle that pins "
+    "stream_ann_ingest proves the compaction + generation cutover "
     "preserve probe results exactly while the store halves; the "
     "compacted row count is asserted in-plan (a silent no-op compaction "
     "would still hash-match). Maintenance is one distributed "
@@ -776,15 +778,18 @@ def stream_ann_compaction_q(spark, sf_dir):
         os.replace(os.path.join(d, part), f"{feed_dir}/c0.parquet")
         os.utime(f"{feed_dir}/c0.parquet", (time.time() - 10,) * 2)
 
-        def drain(ck):
-            stream = spark.readStream.schema(vecs.schema).parquet(feed_dir)
-            q = streaming_ann_ingest(stream, index_dir, f"{tmp}/{ck}")
-            if not q.awaitTermination(600):
-                q.stop()
-                raise RuntimeError("ann lifecycle drain timed out")
-
-        drain("ck1")
-        drain("ck2")  # full replay: every code row appended twice
+        stream = spark.readStream.schema(vecs.schema).parquet(feed_dir)
+        q = streaming_ann_ingest(stream, index_dir, f"{tmp}/ck1")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("ann lifecycle drain timed out")
+        # crash-replay worst case: every code row appended a second time
+        # (byte-identical rows — what a replayed feed writes; the actual
+        # via-checkpoint replay is pinned in tests/test_index_lifecycle)
+        codes_path = os.path.join(index_dir, "codes")
+        spark.read.parquet(codes_path).localCheckpoint(eager=True).write.mode(
+            "append"
+        ).parquet(codes_path)
         stats = compact_ann_store(spark, index_dir)
         if stats["rows_after"] * 2 != stats["rows_before"]:
             raise RuntimeError(
