@@ -598,7 +598,7 @@ def test_registry_package_integrity():
         133: "e5d19436ecbd5ccb424c5df51ab814c5",
         134: "c7b5bf48efa39e06b871acd89badb90a",
         135: "ee89f7ddab3b1f97765141606278d45f",
-        136: "bb092e2a13f96c09137958606433e351",
+        136: "c896409bee9f15781f641c9592f3ac4c",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
