@@ -153,6 +153,28 @@ def main(argv: list[str] | None = None) -> int:
                    help="inspect a reference-format file-tunnel dump "
                         "(scripts/filestat analog): header, log count, "
                         "per-shard histogram as JSON")
+    p.add_argument("--compact-index", metavar="STORE_DIR",
+                   help="persisted-index maintenance (streaming/"
+                        "index_lifecycle): rewrite the store as a "
+                        "replay-deduplicated new generation behind the "
+                        "atomic CURRENT pointer and prune superseded "
+                        "payloads; prints the compaction stats as JSON")
+    p.add_argument("--index-kind", choices=("band", "ann"), default="band",
+                   help="store layout for --compact-index: 'band' "
+                        "(MinHash/perceptual band rows, full-row dedup) "
+                        "or 'ann' (IVF-PQ model + codes, dedup by id)")
+    p.add_argument("--index-retention", metavar="SQL_EXPR", default=None,
+                   help="optional retention predicate applied during "
+                        "compaction, e.g. 'doc_id >= 1000000'")
+    p.add_argument("--retrain-corpus", metavar="PARQUET_DIR", default=None,
+                   help="with --compact-index --index-kind ann: re-train "
+                        "the IVF-PQ model over this vector corpus and cut "
+                        "over to a fresh model+codes generation instead "
+                        "of compacting (restart ingest streams after)")
+    p.add_argument("--index-generations", metavar="STORE_DIR",
+                   help="print the store's generation dashboard "
+                        "(generation, is_current, n_files, n_bytes) as "
+                        "JSON and exit")
     args = p.parse_args(argv)
 
     if args.filestat:
@@ -163,6 +185,48 @@ def main(argv: list[str] | None = None) -> int:
         except (OSError, ValueError) as e:
             print(f"filestat error: {e}", file=sys.stderr)
             return 2
+        return 0
+
+    if args.index_generations:
+        from mongoshake_spark.session import get_spark
+        from mongoshake_spark.streaming.index_lifecycle import index_generations
+
+        rows = index_generations(
+            get_spark("index-maintenance"), args.index_generations
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
+        return 0
+
+    if args.compact_index:
+        from mongoshake_spark.session import get_spark
+        from mongoshake_spark.streaming import index_lifecycle as _lc
+
+        if args.retrain_corpus and args.index_kind != "ann":
+            print(
+                "conf error: --retrain-corpus applies only to "
+                "--index-kind ann (band indexes are model-free)",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("index-maintenance")
+        try:
+            if args.retrain_corpus:
+                stats = _lc.retrain_ann_store(
+                    spark, args.compact_index,
+                    spark.read.parquet(args.retrain_corpus),
+                )
+            elif args.index_kind == "ann":
+                stats = _lc.compact_ann_store(
+                    spark, args.compact_index, retention=args.index_retention
+                )
+            else:
+                stats = _lc.compact_band_index(
+                    spark, args.compact_index, retention=args.index_retention
+                )
+        except ValueError as e:
+            print(f"compact error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(stats))
         return 0
 
     if args.stat:

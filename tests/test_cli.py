@@ -706,3 +706,32 @@ def test_cli_tcp_tunnel_address_validation(tmp_path, capsys):
     rc = main(["--conf", str(conf)])
     assert rc == 2
     assert "feed_dir" in capsys.readouterr().err
+
+
+def test_cli_compact_index_and_generations(spark, tmp_path, capsys):
+    """Maintenance entrypoints: --compact-index rewrites a band store as
+    a deduplicated generation and prints stats; --index-generations
+    prints the dashboard; --retrain-corpus on a band store exits 2."""
+    import json as _json
+
+    store = str(tmp_path / "bands")
+    rows = spark.createDataFrame(
+        [(i % 5, i % 4, i % 7) for i in range(40)],
+        "doc_id bigint, band int, band_key bigint",
+    )
+    rows.write.mode("append").parquet(store)
+    rows.write.mode("append").parquet(store)  # replay duplicates
+
+    assert main(["--compact-index", store, "--index-retention", "doc_id >= 1"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_before"] == 80  # doubled appends, 40 distinct rows
+    assert stats["rows_after"] == 32  # 40 distinct minus the 8 doc_id=0 rows
+
+    assert main(["--index-generations", store]) == 0
+    gens = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [g["generation"] for g in gens if g["is_current"]] == [
+        stats["generation"]
+    ]
+
+    assert main(["--compact-index", store, "--retrain-corpus", store]) == 2
+    assert "model-free" in capsys.readouterr().err

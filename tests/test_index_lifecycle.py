@@ -298,3 +298,23 @@ def test_retrain_cutover_and_rollback_path(spark, tmp_path):
         for r in ann_index_topk(spark, index_dir, queries, k=5, n_probe=2).collect()
     )
     assert still == got
+
+
+def test_lifecycle_pointer_edge_cases(spark, tmp_path):
+    store = str(tmp_path / "s")
+    os.makedirs(store)
+    # malformed CURRENT: fail loudly, never resolve to a junk payload
+    with open(os.path.join(store, lc.CURRENT_FILE), "w") as fh:
+        fh.write("not-a-generation\n")
+    with pytest.raises(ValueError, match="not a gen"):
+        lc.resolve_store(store)
+    os.remove(os.path.join(store, lc.CURRENT_FILE))
+    # activation target must exist (a typo must not brick the pointer)
+    with pytest.raises(ValueError, match="does not exist"):
+        lc.activate_generation(store, "gen-000099")
+    # compaction of an empty store is an error, not a silent empty gen
+    with pytest.raises(ValueError, match="no parquet payload"):
+        lc.compact_band_index(spark, store)
+    # dashboard on a store with nothing generational
+    assert lc.index_generations(spark, store).count() == 0
+    assert lc.prune_generations(store) == []
