@@ -862,3 +862,138 @@ def ann_sq8_q(spark, sf_dir):
     return pq.sq8_topk(vecs, list(range(10)), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+_COV_ORACLE = """WITH flat AS (
+  SELECT vec_id, CAST(t.i AS INT) AS i,
+         CAST(embedding[CAST(t.i + 1 AS BIGINT)] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(0, 64)) AS t(i)),
+stats AS (SELECT i, sum(v) AS s, count(*) AS n FROM flat GROUP BY i),
+prod AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy, count(*) AS n
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i)
+SELECT p.i, p.j,
+       round(p.sxy / p.n - (sa.s / sa.n) * (sb.s / sb.n), 6) AS cov
+FROM prod p JOIN stats sa ON sa.i = p.i JOIN stats sb ON sb.i = p.j
+ORDER BY p.i, p.j"""
+
+
+@_q(
+    "embedding_covariance",
+    _COV_ORACLE,
+    "Distributed second moments of the embedding corpus (population "
+    "covariance, upper triangle): per-partition numpy partials over ONE "
+    "mapInPandas pass — each partition emits a single (n, sum, outer-sum) "
+    "row, the driver combines #partitions rows — the treeAggregate shape "
+    "MLlib's RowMatrix.computeCovariance uses; no shuffle and nothing "
+    "per-row leaves the executors. The oracle explodes to (row, dim) "
+    "pairs and self-joins, which is exactly the N*dim^2-row plan the "
+    "Spark side exists to avoid at scale "
+    "(functions/projection.embedding_moments/covariance_df).",
+)
+def embedding_covariance_q(spark, sf_dir):
+    from mongoshake_spark.functions import projection
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    m = projection.embedding_moments(vecs)
+    return projection.covariance_df(spark, m).orderBy("i", "j")
+
+
+@_q(
+    "ann_pca_rerank",
+    _ANN_ORACLE,
+    "Two-stage ANN with a PCA first stage: fit principal components from "
+    "the distributed moments (driver eigh on the dim x dim covariance — "
+    "corpus-size-independent), project corpus and queries map-only "
+    "through JVM fold expressions (components as double-literal arrays, "
+    "no UDF), rank ALL pairs by projected cosine (d/dim of the exact "
+    "FLOPs and bandwidth on the corpus-scan stage), shortlist per query, "
+    "exact-rerank only the broadcast shortlist at full precision. Oracle "
+    "= exact brute-force top-5: the hash match IS the recall-1.0 gate "
+    "for the shortlist. d=48, C=200 here because the synthetic corpus is "
+    "near-ISOTROPIC (top-16 eigenvalues carry 38pct of variance — the "
+    "PCA worst case, measured in tests/test_projection.py); real encoder "
+    "embeddings are strongly anisotropic and reduce far harder "
+    "(functions/projection.pca_fit/pca_project/pca_topk).",
+)
+def ann_pca_rerank_q(spark, sf_dir):
+    from mongoshake_spark.functions import projection
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return projection.pca_topk(
+        vecs, list(range(10)), k=5, d=48, shortlist=200
+    ).orderBy("query_id", "rank")
+
+
+_EQUALITY_ORACLE = f"""SELECT vec_id,
+       round(vnorm, 6) AS vnorm,
+       round(vnorm - 1.0, 6) + 0.0 AS norm_dev,
+       has_nan,
+       round(frac_zero, 6) AS frac_zero,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS comp_min,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS comp_max,
+       (abs(vnorm - 1.0) <= 0.001 AND NOT has_nan AND frac_zero < 0.5) AS keep
+FROM (
+  SELECT vec_id, embedding,
+         sqrt({_dd_dot('embedding', 'embedding')}) AS vnorm,
+         len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS has_nan,
+         len(list_filter(embedding, x -> x = 0)) / len(embedding) AS frac_zero
+  FROM embeddings)
+ORDER BY vec_id"""
+
+
+@_q(
+    "embedding_quality",
+    _EQUALITY_ORACLE,
+    "Embedding quality gate (the vector-side twin of text_quality): "
+    "per-vector norm and its deviation from the encoder's unit-norm "
+    "contract, NaN detection, zero-fraction, and component range, with a "
+    "keep flag (|norm-1| <= 1e-3, NaN-free, < half zeros) — catches "
+    "failed encodes, padding rows, and truncated vectors before they "
+    "poison ANN and dedup. Deliberately PER-ROW statistics only: every "
+    "column is a JVM higher-order fold that is bit-identical to the "
+    "oracle's list_reduce (a corpus-z-score variant amplifies "
+    "summation-order noise when norms are all ~1, i.e. it is not "
+    "cross-engine stable — the contract check is, and is also the "
+    "operationally meaningful gate). Map-only scan, no shuffle, no UDF.",
+)
+def embedding_quality_q(spark, sf_dir):
+    from mongoshake_spark.functions.similarity import with_norm
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    unit = (
+        with_norm(vecs, drop_zero=False)
+        .withColumn(
+            "has_nan",
+            F.expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)))"),
+        )
+        .withColumn(
+            "frac_zero",
+            F.size(F.expr("filter(embedding, x -> x = 0)"))
+            / F.size("embedding"),
+        )
+    )
+    return unit.select(
+        "vec_id",
+        F.round("vnorm", 6).alias("vnorm"),
+        # + 0.0 collapses IEEE -0.0 (a deviation rounded up from below
+        # the contract norm) to +0.0 on both engines — the value hash
+        # distinguishes the two zero bit patterns
+        (F.round(F.col("vnorm") - F.lit(1.0), 6) + F.lit(0.0)).alias(
+            "norm_dev"
+        ),
+        "has_nan",
+        F.round("frac_zero", 6).alias("frac_zero"),
+        F.round(F.expr("CAST(array_min(embedding) AS DOUBLE)"), 6).alias(
+            "comp_min"
+        ),
+        F.round(F.expr("CAST(array_max(embedding) AS DOUBLE)"), 6).alias(
+            "comp_max"
+        ),
+        (
+            (F.abs(F.col("vnorm") - F.lit(1.0)) <= 0.001)
+            & ~F.col("has_nan")
+            & (F.col("frac_zero") < 0.5)
+        ).alias("keep"),
+    ).orderBy("vec_id")

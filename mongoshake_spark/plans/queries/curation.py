@@ -661,3 +661,45 @@ def sample_weighted_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_weighted(docs, k=40).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@_q(
+    "corpus_shuffle",
+    """WITH k AS (
+  SELECT doc_id,
+         md5(concat('seed42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+  FROM documents),
+r AS (
+  SELECT doc_id, shuffle_key,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+  FROM k)
+SELECT doc_id, shuffle_key, shuffle_pos,
+       CAST(shuffle_pos % 8 AS INT) AS shard
+FROM r ORDER BY doc_id""",
+    "Seeded deterministic global shuffle (the training-order permutation "
+    "every epoch pipeline needs): order by md5(seed || doc_id) — a "
+    "reproducible pseudo-random key both engines hash identically — and "
+    "assign dense positions via the shared two-pass distributed prefix "
+    "sum (one range exchange + broadcast offsets, never a "
+    "single-partition window), then round-robin positions into 8 output "
+    "shards. Changing the seed literal re-deals the permutation; the "
+    "oracle's global row_number is the very plan the operator avoids.",
+)
+def corpus_shuffle_q(spark, sf_dir):
+    from mongoshake_spark.functions.curation import assign_row_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))),
+    )
+    out = assign_row_ids(
+        keyed, ["shuffle_key", "doc_id"], out_col="shuffle_pos"
+    )
+    return out.select(
+        "doc_id",
+        "shuffle_key",
+        "shuffle_pos",
+        (F.col("shuffle_pos") % 8).cast("int").alias("shard"),
+    ).orderBy("doc_id")

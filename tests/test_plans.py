@@ -599,6 +599,7 @@ def test_registry_package_integrity():
         134: "c7b5bf48efa39e06b871acd89badb90a",
         135: "ee89f7ddab3b1f97765141606278d45f",
         136: "c896409bee9f15781f641c9592f3ac4c",
+        140: "d1dbae0d9844607a37a04ba22f9ae3ab",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:
