@@ -997,3 +997,62 @@ def embedding_quality_q(spark, sf_dir):
             & (F.col("frac_zero") < 0.5)
         ).alias("keep"),
     ).orderBy("vec_id")
+
+
+# ---- OPQ (variance-balanced dimension permutation, the SQL-replayable
+# half of Ge et al. 2013's OPQ-P; the eigen-rotation production path is
+# functions/quantization.opq_fit, contract-pinned in tests) ------------
+
+_PQ_HEAD = "WITH v AS (SELECT vec_id, embedding FROM embeddings),"
+
+_OPQ_PERM_HEAD = """WITH var AS (
+  SELECT CAST(t.i AS INT) AS dim,
+         round(sum(CAST(embedding[t.i + 1] AS DOUBLE)
+                   * CAST(embedding[t.i + 1] AS DOUBLE)) / count(*)
+               - pow(sum(CAST(embedding[t.i + 1] AS DOUBLE)) / count(*), 2),
+               6) AS v
+  FROM embeddings, unnest(range(0, 64)) AS t(i) GROUP BY 1),
+rk AS (SELECT dim, row_number() OVER (ORDER BY v DESC, dim) - 1 AS r FROM var),
+alloc AS (SELECT dim, r,
+                 CASE WHEN (r // 4) % 2 = 0 THEN r % 4
+                      ELSE 3 - (r % 4) END AS bucket
+          FROM rk),
+perm AS (SELECT dim AS old_dim,
+                bucket * 16
+                + row_number() OVER (PARTITION BY bucket ORDER BY r) - 1
+                  AS new_pos
+         FROM alloc),
+pv AS (SELECT e.vec_id,
+              list(e.embedding[p.old_dim + 1] ORDER BY p.new_pos) AS embedding
+       FROM embeddings e, perm p GROUP BY e.vec_id),
+v AS (SELECT vec_id, embedding FROM pv),"""
+
+assert _PQ_ORACLE.startswith(_PQ_HEAD)
+_OPQ_PERM_ORACLE = _PQ_ORACLE.replace(_PQ_HEAD, _OPQ_PERM_HEAD, 1)
+
+
+@_q(
+    "ann_opq_perm",
+    _OPQ_PERM_ORACLE,
+    "Optimized product quantization, parametric allocation (Ge et al. "
+    "CVPR 2013 OPQ-P): per-dim variances from the one-pass distributed "
+    "moments are rounded (both engines rank identical values) and dealt "
+    "to the m subspaces in a snake draft, balancing per-subspace "
+    "variance so no single codebook absorbs most of the distortion; the "
+    "corpus is permuted map-only (array indexing, zero arithmetic) and "
+    "the UNCHANGED PQ train/encode/ADC machinery runs on top. The "
+    "oracle replays every stage — variance ranking, snake allocation, "
+    "permutation, codebooks, codes, ADC — as window SQL, so the hash "
+    "match pins the whole fit, not just the scores. The eigen-ROTATION "
+    "variant (opq_fit/opq_rotate/opq_topk) is the production path where "
+    "anisotropy is real; its fit (eigh) is not SQL-replayable, so its "
+    "contracts are pytest-pinned instead "
+    "(functions/quantization.opq_perm_fit/opq_permute/opq_perm_topk).",
+)
+def ann_opq_perm_q(spark, sf_dir):
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq.opq_perm_topk(
+        vecs, list(range(10)), k=5, m=4, k_code=8, iters=2
+    ).orderBy("query_id", "rank")

@@ -600,6 +600,7 @@ def test_registry_package_integrity():
         135: "ee89f7ddab3b1f97765141606278d45f",
         136: "c896409bee9f15781f641c9592f3ac4c",
         140: "d1dbae0d9844607a37a04ba22f9ae3ab",
+        141: "0f360e6e0f19fbbf79e59897d173ecb8",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:

@@ -517,3 +517,126 @@ def test_cluster_topics_separates_distinct_vocabularies(spark):
     for v in by_cluster.values():
         ranked = [t for _, t in sorted(v)]
         assert ranked[1] == "shared"  # the cross-cluster term ranks below
+
+
+# ---------------------------------------------------------------------------
+# OPQ (eigen rotation + variance-balanced permutation)
+# ---------------------------------------------------------------------------
+
+
+def _aniso(vecs):
+    """Deterministic anisotropic corpus: dim j scaled by 2^(-j/8), so
+    variance spans ~2^16 across dims — the regime OPQ exists for."""
+    from pyspark.sql import functions as F
+
+    return vecs.withColumn(
+        "embedding",
+        F.expr("transform(embedding, (x, j) -> CAST(x * pow(2.0, -j/8.0) AS float))"),
+    )
+
+
+def test_opq_fit_rotation_contract(spark, sf_dir):
+    import numpy as np
+
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pq.opq_fit(vecs, m=4)
+    R = np.asarray(model.rotation)
+    assert R.shape == (64, 64)
+    np.testing.assert_allclose(R @ R.T, np.eye(64), atol=1e-10)
+    # allocation: m buckets of dim/m eigen indices, a partition of range(dim)
+    assert sorted(i for b in model.allocation for i in b) == list(range(64))
+    assert [len(b) for b in model.allocation] == [16] * 4
+    # snake draft balances the per-subspace variance products: on the
+    # anisotropic corpus no subspace may carry >60% of total variance
+    aniso = _aniso(vecs)
+    amod = pq.opq_fit(aniso, m=4)
+    rot = pq.opq_rotate(aniso, amod)
+    rows = rot.select("embedding").limit(200).collect()
+    Y = np.array([r["embedding"] for r in rows])
+    sub_var = np.array(
+        [Y[:, s * 16 : (s + 1) * 16].var(axis=0).sum() for s in range(4)]
+    )
+    assert sub_var.max() / sub_var.sum() < 0.6
+
+
+def test_opq_rotate_preserves_cosine(spark, sf_dir):
+    """Orthonormal rotation without centering: exact cosine on rotated
+    vectors equals exact cosine on the originals (what makes the
+    exact-rerank stage score the oracle's quantity)."""
+    from mongoshake_spark.functions import quantization as pq
+    from mongoshake_spark.functions.similarity import brute_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pq.opq_fit(vecs, m=4)
+    rot = pq.opq_rotate(vecs, model)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in brute_topk(vecs, [0, 1, 2], k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in brute_topk(rot, [0, 1, 2], k=5).collect()
+    }
+    assert a == b  # cos rounded to 6dp on both sides
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark, sf_dir):
+    """The OPQ claim itself (Ge et al. 2013): balanced subspace variance
+    improves ADC shortlist recall where variance is concentrated. On the
+    2^(-j/8)-scaled corpus both OPQ variants must clearly beat plain PQ
+    (measured: 0.8 / 0.8 vs 0.36)."""
+    from mongoshake_spark.functions import quantization as pq
+    from mongoshake_spark.functions.similarity import brute_topk
+
+    aniso = _aniso(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_topk(aniso, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    r_pq = recall(pq.pq_topk(aniso, q, k=25, m=4, k_code=8, iters=2))
+    r_rot = recall(pq.opq_topk(aniso, q, k=25, m=4, k_code=8, iters=2))
+    r_perm = recall(pq.opq_perm_topk(aniso, q, k=25, m=4, k_code=8, iters=2))
+    assert r_rot >= r_pq + 0.2
+    assert r_perm >= r_pq + 0.2
+
+
+def test_opq_perm_fit_is_permutation_and_snake(spark, sf_dir):
+    import numpy as np
+
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perm = pq.opq_perm_fit(vecs, m=4)
+    assert sorted(perm) == list(range(64))
+    # replicate: rounded variances -> snake -> same layout
+    from mongoshake_spark.functions.projection import embedding_moments
+
+    var = np.round(np.diag(embedding_moments(vecs).cov), 6)
+    order = sorted(range(64), key=lambda d: (-var[d], d))
+    buckets = [[] for _ in range(4)]
+    for r, d in enumerate(order):
+        b = r % 4 if (r // 4) % 2 == 0 else 3 - (r % 4)
+        buckets[b].append(d)
+    assert perm == [d for b in buckets for d in b]
+
+
+def test_opq_validation_errors(spark, sf_dir):
+    import pytest as _pytest
+
+    from mongoshake_spark.functions import quantization as pq
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="divisible"):
+        pq.opq_fit(vecs, m=5)
+    with _pytest.raises(ValueError, match="divisible"):
+        pq.opq_perm_fit(vecs, m=7)
+    with _pytest.raises(ValueError, match="rerank"):
+        pq.opq_topk(vecs, [0], k=5, rerank=2).collect()
