@@ -270,3 +270,46 @@ def pca_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def merge_moments(a: Moments, b: Moments) -> Moments:
+    """Exact merge of two Moments (the parallel-variance identity on raw
+    sums): recover each side's raw sums from (n, mean, cov), add, and
+    re-derive. Enables incremental maintenance — compute moments for an
+    ingest increment only and merge with the persisted corpus moments,
+    so a PCA/OPQ refit never re-scans history (the projection-plane
+    analog of the ANN store's incremental encode; pair with
+    streaming/index_lifecycle generations to persist the running
+    moments)."""
+    import numpy as np
+
+    am, bm = np.asarray(a.mean), np.asarray(b.mean)
+    s = a.n * am + b.n * bm
+    xx = (
+        a.n * (np.asarray(a.cov) + np.outer(am, am))
+        + b.n * (np.asarray(b.cov) + np.outer(bm, bm))
+    )
+    n = a.n + b.n
+    mean = s / n
+    return Moments(n=n, mean=mean, cov=xx / n - np.outer(mean, mean))
+
+
+def pca_fit_from_moments(m: Moments, k: int) -> PCAModel:
+    """`pca_fit` for pre-computed (possibly merged) moments."""
+    import numpy as np
+
+    dim = len(m.mean)
+    if not 0 < k <= dim:
+        raise ValueError(f"pca_fit_from_moments: k={k} out of range for dim={dim}")
+    evals, evecs = np.linalg.eigh(m.cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            np.negative(c, out=c)
+    return PCAModel(
+        mean=m.mean,
+        components=comps,
+        explained_variance=np.maximum(evals[order], 0.0),
+    )

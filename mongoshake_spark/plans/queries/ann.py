@@ -1056,3 +1056,25 @@ def ann_opq_perm_q(spark, sf_dir):
     return pq.opq_perm_topk(
         vecs, list(range(10)), k=5, m=4, k_code=8, iters=2
     ).orderBy("query_id", "rank")
+
+
+@_q(
+    "embedding_covariance_incremental",
+    _COV_ORACLE,
+    "Incremental-maintenance path for the moments plane: the corpus is "
+    "split into two increments (vec_id parity — standing in for "
+    "history + a new ingest batch), per-increment moments are computed "
+    "independently and combined with the exact parallel-variance merge "
+    "(functions/projection.merge_moments), then the merged covariance "
+    "must hash-match the SAME full-pass oracle as embedding_covariance "
+    "— a PCA/OPQ refit never re-scans history (pair with "
+    "index_lifecycle generations to persist the running moments).",
+)
+def embedding_covariance_incremental_q(spark, sf_dir):
+    from mongoshake_spark.functions import projection
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = projection.embedding_moments(vecs.filter(F.col("vec_id") % 2 == 0))
+    b = projection.embedding_moments(vecs.filter(F.col("vec_id") % 2 == 1))
+    merged = projection.merge_moments(a, b)
+    return projection.covariance_df(spark, merged).orderBy("i", "j")

@@ -125,3 +125,35 @@ def test_lit_array_roundtrips_doubles():
     assert expr.startswith("array(") and expr.count("CAST") == len(vals)
     for v in vals:
         assert repr(v) in expr
+
+
+def test_merge_moments_exact(vecs, xmat):
+    from pyspark.sql import functions as F
+
+    a = projection.embedding_moments(vecs.filter(F.col("vec_id") % 2 == 0))
+    b = projection.embedding_moments(vecs.filter(F.col("vec_id") % 2 == 1))
+    merged = projection.merge_moments(a, b)
+    assert merged.n == xmat.shape[0]
+    np.testing.assert_allclose(merged.mean, xmat.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(
+        merged.cov, np.cov(xmat.T, bias=True), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_pca_fit_from_merged_moments_matches_full_fit(vecs):
+    from pyspark.sql import functions as F
+
+    full = projection.pca_fit(vecs, k=8)
+    a = projection.embedding_moments(vecs.filter(F.col("vec_id") % 3 == 0))
+    b = projection.embedding_moments(vecs.filter(F.col("vec_id") % 3 != 0))
+    inc = projection.pca_fit_from_moments(projection.merge_moments(a, b), k=8)
+    # same covariance up to fp merge noise => same subspace; components
+    # agree to tight tolerance with the deterministic sign convention
+    np.testing.assert_allclose(
+        np.asarray(inc.components), np.asarray(full.components), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(inc.explained_variance),
+        np.asarray(full.explained_variance),
+        rtol=1e-9,
+    )
