@@ -428,3 +428,133 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "rank", "score")
     )
+
+
+def hash_tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors (the hashing trick,
+    Weinberger et al. 2009): every whitespace token is weighted
+    tf · (ln((N+1)/(df+1)) + 1) and summed into bucket
+    poly_hash(token) % dim — a dense ``array<double>`` embedding of the
+    text with NO trained model and NO vocabulary table, which drops the
+    documents table straight into the vector plane (cosine near-dup,
+    LSH prebucketing, PCA/OPQ, ANN all operate on it unchanged).
+
+    Scale shape: tokenize/count is map-side + one (doc, token) combine;
+    document frequencies are ONE token-keyed aggregate joined back on
+    the token shuffle key (never a vocabulary broadcast — the vocab can
+    exceed memory at corpus scale); bucket-summing is one (doc, dim)
+    combine with map-side partials; densification builds a per-doc
+    <= dim-entry map in-row. The only driver scalar is N = docs.count().
+    Weights are rounded AFTER the bucket sum so both engines fold
+    identical doubles downstream (the poly hash is the dialect-portable
+    one from functions/texthash).
+
+    Tokenizer is the dedup family's raw whitespace split (NOT bm25's
+    lowercased alnum split) so hashed vectors agree with the shingle
+    machinery about what a token is."""
+    from mongoshake_spark.functions.texthash import poly_hash_spark
+
+    n_docs = docs.count()  # bounded: one scalar
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    wt = (
+        tf.join(dfreq, "tok")
+        .withColumn(
+            "dim", F.expr(f"({poly_hash_spark('tok')}) % {dim}").cast("int")
+        )
+        .withColumn(
+            "wt",
+            F.col("tf")
+            * F.round(
+                F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0),
+                round_digits,
+            ),
+        )
+    )
+    sparse = wt.groupBy(id_col, "dim").agg(
+        F.round(F.sum("wt"), round_digits).alias("w")
+    )
+    m = sparse.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "w"))).alias("_m")
+    )
+    dense = docs.join(m, id_col, "left").withColumn(
+        out_col,
+        F.array(
+            *[
+                F.coalesce(F.element_at("_m", F.lit(d)), F.lit(0.0))
+                for d in range(dim)
+            ]
+        ),
+    )
+    return dense.drop("_m")
+
+
+def hash_vector_neardup(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "lang",
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate document pairs by cosine over the hashed TF-IDF
+    vectors — text near-dup through the VECTOR plane (weighted-cosine
+    semantics: catches reorderings and heavy-overlap rewrites that
+    byte/shingle dedup scores differently). Pairs are blocked on
+    ``block_col`` (a metadata key near-dups share — language here), the
+    standard blocking step that keeps the candidate set sum-of-blocks²
+    instead of corpus²; for unblocked scale the vectors drop into
+    similarity.neardup_pairs(prebucket='lsh') unchanged, which is the
+    recall-gated production path. Key columns are renamed apart before
+    the self-join so resolution is explicit (no trivially-true-predicate
+    hazard)."""
+    from mongoshake_spark.functions.similarity import dot_expr, with_norm
+
+    vecs = with_norm(
+        hash_tfidf_vectors(
+            docs.select(id_col, block_col, text_col),
+            dim=dim,
+            text_col=text_col,
+            id_col=id_col,
+        ),
+        "tvec",
+    )
+    a = vecs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(block_col).alias("_blk_a"),
+        F.col("tvec").alias("_va"),
+        F.col("vnorm").alias("_na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(block_col).alias("_blk_b"),
+        F.col("tvec").alias("_vb"),
+        F.col("vnorm").alias("_nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.expr(dot_expr("_va", "_vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )

@@ -212,3 +212,99 @@ def mine_hard_negatives_q(spark, sf_dir):
     return hard_negatives(docs, anchor_ids=list(range(5))).orderBy(
         "anchor_id", "rank"
     )
+
+
+# ---- hashed TF-IDF vectors (text -> vector plane bridge) -------------
+
+from mongoshake_spark.plans.queries._shared import F, poly_hash_duckdb  # noqa: E402
+
+_HTV_POLY = poly_hash_duckdb("t.tok")
+
+_HTV_CTES = f"""toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+tf AS (SELECT doc_id, lang, tok, count(*) AS tf
+       FROM toks WHERE tok <> '' GROUP BY 1, 2, 3),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+t2 AS (SELECT t.doc_id, t.lang, t.tok, t.tf, d.df FROM tf t JOIN dfreq d USING (tok)),
+wt AS (SELECT t.doc_id, t.lang, {_HTV_POLY} % 64 AS dim,
+              t.tf * round(ln((n.n_docs + 1.0) / (t.df + 1.0)) + 1, 6) AS wt
+       FROM t2 t, n),
+sparse AS (SELECT doc_id, lang, dim, round(sum(wt), 6) AS w FROM wt GROUP BY 1, 2, 3),
+dims AS (SELECT CAST(range AS INT) AS dim FROM range(0, 64)),
+grid AS (SELECT d.doc_id, d.lang, m.dim FROM documents d, dims m),
+dense AS (SELECT g.doc_id, g.lang, list(coalesce(s.w, 0.0) ORDER BY g.dim) AS tvec
+          FROM grid g LEFT JOIN sparse s ON s.doc_id = g.doc_id AND s.dim = g.dim
+          GROUP BY 1, 2),
+v AS (SELECT doc_id, lang, tvec, sqrt({_dd_dot('tvec', 'tvec')}) AS vnorm
+      FROM dense)"""
+
+
+@_q(
+    "text_hash_embed",
+    f"""WITH {_HTV_CTES}
+SELECT doc_id,
+       round(vnorm, 6) AS l2norm,
+       CAST(len(list_filter(tvec, x -> x <> 0)) AS INT) AS nnz,
+       CAST(list_position(tvec, list_max(tvec)) - 1 AS INT) AS top_dim,
+       list_max(tvec) AS top_w
+FROM v ORDER BY doc_id""",
+    "Feature-hashed TF-IDF document vectors (the hashing trick, "
+    "Weinberger et al. 2009): whitespace tokens weighted "
+    "tf*(ln((N+1)/(df+1))+1) and bucket-summed by poly_hash(token) % 64 "
+    "into a dense array<double> — a model-free, vocabulary-table-free "
+    "text embedding that drops documents straight into the vector plane "
+    "(near-dup, LSH, PCA/OPQ, ANN unchanged). df is a token-keyed "
+    "aggregate joined on the token shuffle key, never a vocabulary "
+    "broadcast; weights round AFTER the bucket sum so both engines fold "
+    "identical doubles. Checked per-doc: L2 norm, nonzero bucket count, "
+    "argmax bucket and weight "
+    "(functions/retrieval.hash_tfidf_vectors).",
+)
+def text_hash_embed_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import hash_tfidf_vectors
+    from mongoshake_spark.functions.similarity import dot_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = hash_tfidf_vectors(docs.select("doc_id", "text"))
+    return (
+        vecs.select(
+            "doc_id",
+            F.round(F.expr(f"sqrt({dot_expr('tvec', 'tvec')})"), 6).alias(
+                "l2norm"
+            ),
+            F.size(F.expr("filter(tvec, x -> x != 0D)")).alias("nnz"),
+            (F.array_position("tvec", F.array_max("tvec")) - 1)
+            .cast("int")
+            .alias("top_dim"),
+            F.array_max("tvec").alias("top_w"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "text_vector_neardup",
+    f"""WITH {_HTV_CTES}
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round({_dd_dot('a.tvec', 'b.tvec')} / (a.vnorm * b.vnorm), 6) AS cos_sim
+  FROM v a JOIN v b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE a.vnorm > 0 AND b.vnorm > 0)
+WHERE cos_sim >= 0.95 ORDER BY doc_a, doc_b""",
+    "Text near-duplicate pairs through the VECTOR plane: cosine >= 0.95 "
+    "over the hashed TF-IDF vectors, blocked on language (the standard "
+    "metadata blocking step — candidates are sum-of-blocks², never "
+    "corpus²; for unblocked scale the same vectors drop into "
+    "similarity.neardup_pairs(prebucket='lsh'), the recall-gated path). "
+    "Weighted-cosine semantics catch reorderings and heavy-overlap "
+    "rewrites that byte/shingle dedup scores differently; self-join "
+    "keys renamed apart (functions/retrieval.hash_vector_neardup).",
+)
+def text_vector_neardup_q(spark, sf_dir):
+    from mongoshake_spark.functions.retrieval import hash_vector_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_vector_neardup(docs, threshold=0.95).orderBy(
+        "doc_a", "doc_b"
+    )

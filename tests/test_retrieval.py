@@ -640,3 +640,100 @@ def test_opq_validation_errors(spark, sf_dir):
         pq.opq_perm_fit(vecs, m=7)
     with _pytest.raises(ValueError, match="rerank"):
         pq.opq_topk(vecs, [0], k=5, rerank=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# hashed TF-IDF vectors
+# ---------------------------------------------------------------------------
+
+
+def test_hash_tfidf_hand_computed_weights(spark):
+    import math
+
+    from mongoshake_spark.functions.retrieval import hash_tfidf_vectors
+    from mongoshake_spark.functions.texthash import MOD
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "aa cc"), (2, "dd")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["tvec"]
+        for r in hash_tfidf_vectors(docs, dim=8).collect()
+    }
+
+    def ph(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % MOD
+        return h % 8
+
+    def idf(df):
+        return round(math.log(4.0 / (df + 1.0)) + 1, 6)
+
+    # doc 0: aa tf=2 df=2, bb tf=1 df=1 — all other buckets zero
+    want = [0.0] * 8
+    want[ph("aa")] += round(2 * idf(2), 6)
+    want[ph("bb")] += round(1 * idf(1), 6)
+    assert out[0] == [round(w, 6) for w in want]
+    assert sum(1 for x in out[2] if x != 0) == 1  # dd only
+
+
+def test_hash_tfidf_empty_text_zero_vector(spark):
+    from mongoshake_spark.functions.retrieval import hash_tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "   ")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["tvec"]
+        for r in hash_tfidf_vectors(docs, dim=8).collect()
+    }
+    assert out[1] == [0.0] * 8 and out[2] == [0.0] * 8
+    assert any(x != 0 for x in out[0])
+
+
+def test_hash_vector_neardup_blocks_and_scores(spark):
+    from mongoshake_spark.functions.retrieval import hash_vector_neardup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the quick brown fox jumps over the lazy dog"),
+            (1, "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "de", "the quick brown fox jumps over the lazy dog"),
+            (3, "en", "completely different words entirely unrelated text"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in hash_vector_neardup(docs, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1): 1.0}  # identical same-lang pair only;
+    # doc 2 is identical text but blocked out by lang, doc 3 dissimilar
+
+
+def test_hash_vectors_compose_with_lsh_neardup(spark, sf_dir):
+    """The bridge claim: hashed text vectors drop into the embedding
+    near-dup machinery unchanged (LSH prebucket path included)."""
+    from pyspark.sql import functions as F
+
+    from mongoshake_spark.functions.retrieval import hash_tfidf_vectors
+    from mongoshake_spark.functions.similarity import neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    vecs = hash_tfidf_vectors(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("vec_id"), F.col("tvec").alias("embedding")
+    )
+    exact = {
+        (r["id_a"], r["id_b"]) if "id_a" in r.asDict() else (r[0], r[1])
+        for r in neardup_pairs(vecs, 95, 100).collect()
+    }
+    lsh = {
+        (r[0], r[1])
+        for r in neardup_pairs(vecs, 95, 100, prebucket="lsh").collect()
+    }
+    assert lsh <= exact  # banded candidates are a subset
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # sane recall on hashed vecs
