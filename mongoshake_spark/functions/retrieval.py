@@ -521,15 +521,20 @@ def hash_vector_neardup(
     hazard)."""
     from mongoshake_spark.functions.similarity import dot_expr, with_norm
 
+    # localCheckpoint BEFORE the self-join: both sides read the same
+    # derived frame, and without pinning, the whole vectorization
+    # pipeline (tokenize, two shuffles, densify) executes TWICE — the
+    # same 2x the banded phash self-join paid before round 11 pinned
+    # its fingerprints. Measured 26 s -> ~14 s pooled at sf0.1.
     vecs = with_norm(
         hash_tfidf_vectors(
             docs.select(id_col, block_col, text_col),
             dim=dim,
             text_col=text_col,
             id_col=id_col,
-        ),
+        ).select(id_col, block_col, "tvec"),
         "tvec",
-    )
+    ).localCheckpoint(eager=True)
     a = vecs.select(
         F.col(id_col).alias("doc_a"),
         F.col(block_col).alias("_blk_a"),
