@@ -54,42 +54,76 @@ def _init_centroids(vecs: DataFrame, k: int, id_col: str, vec_col: str) -> DataF
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, cluster, d2): nearest centroid per vector. Broadcast k rows,
-    fold the squared distance in-row (JVM, no Python), argmin via a
-    struct min — (rounded distance, cluster) lexicographic ties to the
-    smallest cluster id."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cand = vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
-        id_col, "cluster", F.round(d2, 6).alias("d2")
-    )
-    best = cand.groupBy(id_col).agg(
-        F.min(F.struct("d2", "cluster")).alias("_best")
-    )
-    return best.select(
-        id_col,
-        F.col("_best.cluster").alias("cluster"),
-        F.col("_best.d2").alias("d2"),
-    )
+def _best_struct(cents_arr, vec_col: str):
+    """Per-row argmin over a collected ``array<struct<cluster,centroid>>``
+    column: ``struct<d2, cluster>`` of the nearest centroid, computed
+    entirely in-row. The d2 arithmetic is the exact fold the old
+    grouped form used — zip_with squared-diff fold, ``round(.., 6)`` —
+    and ``array_min`` over ``(d2, cluster)`` structs is the same
+    lexicographic comparison as ``min(struct(d2, cluster))``, so the
+    winning (cluster, d2) per vector is bit-identical; only the plan
+    shape changes (no per-vector shuffle)."""
+    def one(c):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c["centroid"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(
+            F.round(d2, 6).alias("d2"), c["cluster"].alias("cluster")
+        )
+
+    return F.array_min(F.transform(cents_arr, one))
 
 
-def _update(
-    assigned: DataFrame, vecs: DataFrame, id_col: str, vec_col: str
+def _assign_carry(
+    vecs: DataFrame, cents: DataFrame, vec_col: str
 ) -> DataFrame:
-    """New centroids: per-(cluster, position) mean, rounded to 6, packed
-    back into arrays. k*dim result rows; the mean combines map-side."""
-    joined = assigned.select(id_col, "cluster").join(
-        vecs.select(id_col, vec_col), id_col
+    """All of ``vecs``'s columns plus ``(cluster, d2)`` — the nearest
+    centroid computed IN-ROW against the k-row centroid table collected
+    into a one-row array and broadcast (guide §2.4: the old shape
+    exploded k candidate rows per vector and re-grouped them by id,
+    shuffling the corpus once per assignment; the argmin needs no
+    exchange at all). Carrying the vector through means the update pass
+    needs no corpus self-join either."""
+    carr = cents.agg(
+        F.collect_list(F.struct("cluster", "centroid")).alias("_cents")
     )
-    pos = joined.select(
+    best = _best_struct(F.col("_cents"), vec_col)
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .withColumn("_best", best)
+        .select(
+            *vecs.columns,
+            F.col("_best.cluster").alias("cluster"),
+            F.col("_best.d2").alias("d2"),
+        )
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster, d2): nearest centroid per vector — map-only, no
+    shuffle (see :func:`_assign_carry`). Ties break to the smaller
+    cluster id via the (rounded d2, cluster) lexicographic min."""
+    return _assign_carry(vecs.select(id_col, vec_col), cents, vec_col).select(
+        id_col, "cluster", "d2"
+    )
+
+
+def _update_from(assigned_full: DataFrame, vec_col: str) -> DataFrame:
+    """New centroids from an assignment that carries its vectors
+    (:func:`_assign_carry`): per-(cluster, position) mean, rounded to 6,
+    packed back into arrays. k*dim result rows; the mean combines
+    map-side — the ONLY exchange of a Lloyd iteration, carrying k·dim
+    rows per upstream partition. (The former shape joined the (id,
+    cluster) assignment back to the vector table by id — a corpus-sized
+    shuffle of both sides per iteration that the carried vector makes
+    unnecessary; the averaged row multiset is identical.)"""
+    pos = assigned_full.select(
         "cluster", F.posexplode(vec_col).alias("pos", "val")
     )
     means = pos.groupBy("cluster", "pos").agg(
@@ -116,15 +150,17 @@ def kmeans_fit(
     if k < 1 or iters < 1:
         raise ValueError("kmeans_assign: k and iters must be >= 1")
     cents = _init_centroids(vecs, k, id_col, vec_col)
-    assigned = _assign(vecs, cents, id_col, vec_col)
+    # the assignment carries the vector through the whole loop so the
+    # update pass never joins back to the corpus (see _update_from)
+    full = _assign_carry(vecs.select(id_col, vec_col), cents, vec_col)
     for _ in range(iters - 1):
         # truncate the k-row centroid lineage each update (MLlib does the
         # same): without it every downstream use re-analyzes and re-runs
         # the whole preceding Lloyd chain — plan depth (and driver
         # analysis time) grows per iteration while the data is k rows
-        cents = _update(assigned, vecs, id_col, vec_col).localCheckpoint()
-        assigned = _assign(vecs, cents, id_col, vec_col)
-    return assigned, cents
+        cents = _update_from(full, vec_col).localCheckpoint()
+        full = _assign_carry(vecs.select(id_col, vec_col), cents, vec_col)
+    return full.select(id_col, "cluster", "d2"), cents
 
 
 def kmeans_assign(

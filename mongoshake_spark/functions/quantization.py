@@ -15,16 +15,18 @@ Pieces (all composable DataFrame ops, no driver-side corpus loops):
   Lloyd arithmetic as ``clustering.kmeans_fit`` (smallest-id init,
   rounded centroids/distances), all m subspaces trained JOINTLY in one
   (sub, cluster)-keyed chain — m·k codebook rows total;
-- :func:`pq_encode` — nearest-codeword assignment per subspace: the
-  corpus is exploded to (id, sub, subvector) rows and joined against the
-  BROADCAST codebook — map-only over the corpus, argmin via a struct
-  min exactly like ``clustering._assign``;
+- :func:`pq_encode` — nearest-codeword assignment per subspace,
+  computed IN-ROW against the BROADCAST collected codebook (array_min
+  over (d2, cluster) structs — the same tie-break as
+  ``clustering._assign``): map-only over the corpus, zero exchanges;
 - :func:`pq_reconstruct` — codes back to the quantized vector (codebook
   lookups, order-preserving flatten);
 - :func:`pq_topk` — asymmetric distance computation (ADC): the query
   keeps its EXACT subvectors; per (query, sub, codeword) inner products
-  form a Q·m·k-row lookup table, broadcast; each corpus code row then
-  scores by m table lookups. Approximate cosine =
+  form Q broadcast lookup MAPS keyed ``sub·stride + cluster``; each
+  corpus code row then scores ALL queries in-row by m map lookups per
+  query — no corpus exchange before the (WindowGroupLimit-pruned)
+  top-k window. Approximate cosine =
   ADC-dot / (‖q‖ · ‖reconstruction‖), with ‖reconstruction‖² =
   Σ_sub ‖codeword‖² (the subspaces are an orthogonal decomposition).
 
@@ -34,11 +36,13 @@ order (per-sub dots left-to-right inside a subspace via the shared
 the DuckDB oracle reproduces bit-identical doubles — an unordered
 SQL ``sum()`` over doubles would be association-order-dependent.
 
-Scale shape: codebooks and ADC tables are k·m- and Q·m·k-row
+Scale shape: codebooks and ADC tables are k·m- and Q·m·k-entry
 broadcasts; the corpus is touched by one map-only pass per train
-iteration, one encode pass, and one scoring pass over the m-row-per-
-vector code explosion with map-side partial aggregation. Nothing is
-all-pairs; nothing collects the corpus.
+iteration (whose only exchange carries m·k·d partial means per
+partition), one map-only encode pass, and one map-only scoring pass
+whose single exchange is the WindowGroupLimit-pruned top-k window.
+Nothing is all-pairs; nothing collects the corpus; the corpus itself
+never hash-shuffles.
 """
 
 from __future__ import annotations
@@ -53,11 +57,49 @@ from mongoshake_spark.functions.similarity import (
 )
 
 
-def _infer_dim(vecs: DataFrame, vec_col: str) -> int:
-    row = vecs.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
-        raise ValueError("pq: empty vector table")
-    return int(row["d"])
+#: key stride for the flattened (sub, cluster) lookup maps: key =
+#: sub * _LUT_STRIDE + cluster. Codeword ids are 0..k_code-1 (init
+#: numbers them 0..k-1 and updates only re-emit existing ids), so any
+#: stride > k_code is collision-free; 1 << 20 leaves the bound loud.
+_LUT_STRIDE = 1 << 20
+
+
+def _codebook_arr(codebooks: DataFrame) -> DataFrame:
+    """The m·k-row codebook collected into ONE array-of-structs row —
+    the broadcast side of every in-row nearest-codeword fold."""
+    return codebooks.agg(
+        F.collect_list(F.struct("sub", "cluster", "centroid")).alias("_cb")
+    )
+
+
+def _best_code(vec_col: str, s: int, d: int):
+    """struct<d2, cluster> of the nearest codeword of subspace ``s`` for
+    the current row's ``vec_col`` slice, computed in-row against the
+    collected ``_cb`` column. The d2 arithmetic (zip_with squared-diff
+    fold, round 6) and the (d2, cluster) lexicographic min are exactly
+    the old grouped form's, so the winning codeword is bit-identical —
+    only the plan shape changes (no per-(vector, sub) shuffle)."""
+    sv = F.slice(F.col(vec_col), s * d + 1, d)
+
+    def one(c):
+        d2 = F.aggregate(
+            F.zip_with(
+                sv,
+                c["centroid"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(
+            F.round(d2, 6).alias("d2"), c["cluster"].alias("cluster")
+        )
+
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("_cb"), lambda c: c["sub"] == F.lit(s)), one
+        )
+    )
 
 
 def _sub_rows(
@@ -94,21 +136,41 @@ def pq_train(
     rows keyed by (sub, cluster) instead of m independent chains —
     identical arithmetic per subspace (same smallest-id init, same
     round(d2,6)/cluster-asc tie-break, same rounded means as
-    ``clustering.kmeans_fit``), but one assign job and one update job
-    per iteration for ALL subspaces, so the fit costs O(iters) Spark
-    jobs rather than O(m·iters) (measured ~2x on the registry query)."""
+    ``clustering.kmeans_fit``), one update job per iteration for ALL
+    subspaces — the nearest-codeword assignment happens IN-ROW inside
+    that job (see :func:`_best_code`), so an iteration's only exchange
+    carries the m·k·d partial means."""
+    return _pq_train_dims(vecs, m, k, iters, id_col, vec_col)[0]
+
+
+def _pq_train_dims(
+    vecs: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, int]:
+    """``(codebooks, d)`` — :func:`pq_train` plus the subspace width it
+    derived, so in-process callers (pq_topk) skip the codebook-probe
+    job that re-infers it."""
     if k < 1 or iters < 1:
         raise ValueError("pq_train: k and iters must be >= 1")
-    dim = _infer_dim(vecs, vec_col)
-    if dim % m != 0:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
-    d = dim // m
     # init: the k smallest-id vectors, sliced per subspace (k·m rows
     # total, k bounded by the operator's own parameter — the same
-    # driver residency clustering._init_centroids has)
+    # driver residency clustering._init_centroids has). The dimension
+    # comes from the seed rows themselves — the former separate
+    # _infer_dim first() was one more full-plan job for a value the
+    # seed collect already holds.
     seed_rows = (
         vecs.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not seed_rows:
+        raise ValueError("pq: empty vector table")
+    dim = len(seed_rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d = dim // m
     spark = vecs.sparkSession
     init = spark.createDataFrame(
         [
@@ -123,38 +185,39 @@ def pq_train(
         "cluster",
         F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
     )
-    rows = _sub_rows(vecs, m, d, id_col, vec_col)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sv"),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def assign(cb: DataFrame) -> DataFrame:
-        cand = rows.join(F.broadcast(cb), "sub").select(
-            id_col, "sub", F.round(d2, 6).alias("d2"), "cluster"
-        )
-        return (
-            cand.groupBy(id_col, "sub")
-            .agg(F.min(F.struct("d2", "cluster")).alias("_b"))
-            .select(id_col, "sub", F.col("_b.cluster").alias("cluster"))
-        )
-
+    base = vecs.select(vec_col)
     for _ in range(iters - 1):
-        assigned = assign(cents)
+        # assignment + update input built IN-ROW (guide §2.4): for each
+        # vector and subspace the nearest codeword is an array_min fold
+        # over the broadcast collected codebook — the former shape
+        # exploded (id, sub, sv) rows, shuffled them through a
+        # groupBy(id, sub) argmin and joined the result BACK to the
+        # exploded rows (two corpus-sized exchanges per iteration);
+        # the per-(sub, cluster, pos) means aggregate below is now the
+        # only exchange, and it carries m·k·d rows per upstream
+        # partition after map-side combine. The averaged row multiset —
+        # and therefore every rounded mean — is identical.
+        subbest = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _best_code(vec_col, s, d)["cluster"].alias("cluster"),
+                    F.slice(F.col(vec_col), s * d + 1, d).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
         pos = (
-            assigned.join(rows, [id_col, "sub"])
-            .select("sub", "cluster", F.posexplode("sv").alias("pos", "val"))
+            base.crossJoin(F.broadcast(_codebook_arr(cents)))
+            .select(F.explode(subbest).alias("x"))
+            .select("x.sub", "x.cluster", F.posexplode("x.sv").alias("pos", "val"))
         )
         means = pos.groupBy("sub", "cluster", "pos").agg(
             F.round(F.avg(F.col("val").cast("double")), 6).alias("mv")
         )
         # truncate the m·k-row centroid lineage per update, like
-        # clustering.kmeans_fit does
+        # clustering.kmeans_fit does (the last update's checkpoint is
+        # the returned frame — no second checkpoint of the same rows)
         cents = (
             means.groupBy("sub", "cluster")
             .agg(
@@ -165,7 +228,9 @@ def pq_train(
             )
             .localCheckpoint()
         )
-    return cents.localCheckpoint(eager=True)
+    if iters == 1:
+        cents = cents.localCheckpoint(eager=True)
+    return cents, d
 
 
 def pq_encode(
@@ -173,37 +238,35 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: tuple[int, int] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest codeword per subspace, codes
-    ordered by subspace index. Distance ties break to the smaller
-    cluster id, exactly like ``clustering._assign`` (and the oracle)."""
-    m_d = codebooks.agg(
-        F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
-    ).first()
-    m, d = int(m_d["mx"]) + 1, int(m_d["d"])
-    rows = _sub_rows(vecs, m, d, id_col, vec_col).join(
-        F.broadcast(codebooks), "sub"
+    """(id, *keep_cols, codes array<int>): nearest codeword per
+    subspace, codes ordered by subspace index. Distance ties break to
+    the smaller cluster id, exactly like ``clustering._assign`` (and
+    the oracle).
+
+    Encoding is MAP-ONLY (guide §2.4): each row folds its subvectors
+    against the broadcast collected codebook and emits its code array
+    directly — the former shape exploded m rows per vector and paid two
+    corpus exchanges (groupBy(id, sub) argmin + groupBy(id) re-pack) to
+    produce the same array. ``keep_cols`` ride through on the row for
+    free (the old shape needed a corpus self-join to re-attach them).
+    ``dims=(m, d)`` skips the codebook-probe job when the caller
+    already knows the geometry."""
+    if dims is not None:
+        m, d = dims
+    else:
+        m_d = codebooks.agg(
+            F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
+        ).first()
+        m, d = int(m_d["mx"]) + 1, int(m_d["d"])
+    codes = F.array(
+        *[_best_code(vec_col, s, d)["cluster"] for s in range(m)]
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sv"),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    best = (
-        rows.select(id_col, "sub", F.round(d2, 6).alias("d2"), "cluster")
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d2", "cluster")).alias("_b"))
-        .select(id_col, "sub", F.col("_b.cluster").alias("cluster"))
-    )
-    return best.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
-            lambda s: s["cluster"],
-        ).alias("codes")
+    return (
+        vecs.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+        .select(id_col, *keep_cols, codes.alias("codes"))
     )
 
 
@@ -300,12 +363,12 @@ def pq_topk(
     ADC pass still scans nothing but m-byte codes. Recall@k at C=10·k is
     measured in scripts/ann_recall_proof.py (gated >= 0.9 at sf0.1)."""
     if codebooks is None:
-        codebooks = pq_train(vecs, m, k_code, iters, id_col, vec_col)
-    m_d = codebooks.agg(
-        F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
-    ).first()
-    m, d = int(m_d["mx"]) + 1, int(m_d["d"])
-    codes = pq_encode(vecs, codebooks, id_col, vec_col)
+        codebooks, d = _pq_train_dims(vecs, m, k_code, iters, id_col, vec_col)
+    else:
+        m_d = codebooks.agg(
+            F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
+        ).first()
+        m, d = int(m_d["mx"]) + 1, int(m_d["d"])
     # per-codeword squared norms: the reconstruction's norm decomposes
     # across the orthogonal subspaces
     cn = codebooks.select(
@@ -318,49 +381,75 @@ def pq_topk(
     qnorm = unit.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col("vnorm").alias("qnorm")
     )
-    # ADC lookup table: Q*m*k rows, broadcast to the code scan
+    # ADC lookup tables, flattened to (sub·stride + cluster) -> dsub
+    # maps: one per query (collected with qnorm into a single broadcast
+    # row) plus one shared cn2 map. Scoring is then IN-ROW over the
+    # code scan — m map lookups per (neighbor, query), folded in sub
+    # order — where the former shape posexploded m rows per vector,
+    # joined the Q·m·k ADC table and re-grouped by (query, neighbor)
+    # through a corpus×Q exchange with two collect_list folds. The
+    # Python-loop fold below adds the same doubles in the same sub-
+    # ascending order as the old array_sort(collect_list(...)) fold, so
+    # every cos_sim is bit-identical.
     adc = q_subs.join(F.broadcast(codebooks), "sub").select(
         "query_id",
         "sub",
         "cluster",
         F.expr(dot_expr("qsv", "centroid")).alias("dsub"),
     )
-    scored = (
-        codes.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.posexplode("codes").alias("sub", "cluster"),
-        )
-        .join(F.broadcast(adc), ["sub", "cluster"])
-        .join(F.broadcast(cn), ["sub", "cluster"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            # fixed-order folds (by sub) so the oracle's list_sum over
-            # the same ordering reproduces identical doubles
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "dsub"))),
-                    lambda s: s["dsub"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adc_dot"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "cn2"))),
-                    lambda s: s["cn2"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("cn2_sum"),
-        )
+    qlut = adc.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("sub") * _LUT_STRIDE + F.col("cluster")).alias("key"),
+                    F.col("dsub").alias("value"),
+                )
+            )
+        ).alias("_lut")
     )
-    out = scored.join(F.broadcast(qnorm), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.col("adc_dot") / (F.col("qnorm") * F.sqrt(F.col("cn2_sum"))), 6
-        ).alias("cos_sim"),
+    qs = qlut.join(qnorm, "query_id").agg(
+        F.collect_list(F.struct("query_id", "_lut", "qnorm")).alias("_qs")
+    )
+    cnmap = cn.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("sub") * _LUT_STRIDE + F.col("cluster")).alias("key"),
+                    F.col("cn2").alias("value"),
+                )
+            )
+        ).alias("_cn")
+    )
+    codes = pq_encode(vecs, codebooks, id_col, vec_col, dims=(m, d))
+
+    def lut_sum(lut_col):
+        expr = F.lit(0.0)
+        for s in range(m):
+            expr = expr + F.element_at(
+                lut_col,
+                F.lit(s * _LUT_STRIDE) + F.element_at(F.col("codes"), s + 1),
+            )
+        return expr
+
+    out = (
+        codes.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(cnmap))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            F.explode("_qs").alias("q"),
+            "_cn",
+        )
+        .filter(F.col("neighbor_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "neighbor_id",
+            F.round(
+                lut_sum(F.col("q._lut"))
+                / (F.col("q.qnorm") * F.sqrt(lut_sum(F.col("_cn")))),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -458,8 +547,11 @@ def ivfpq_topk(
     res = ivfpq_assign_residuals(unit, cents, id_col, vec_col).persist()
     res.count()  # materialize once for train + encode + the cell map
     codebooks = pq_train(res, m, k_code, iters, id_col, "res")
-    codes = pq_encode(res, codebooks, id_col, "res").join(
-        res.select(id_col, "cell"), id_col
+    # cell rides through the map-only encode — the former
+    # `.join(res.select(id, cell), id)` re-attached it with a
+    # corpus-sized shuffle of both sides
+    codes = pq_encode(
+        res, codebooks, id_col, "res", dims=(m, d), keep_cols=("cell",)
     )
     queries = unit.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
@@ -600,51 +692,90 @@ def ivfadc_score(
         "sub", "cluster", F.expr(dot_expr("centroid", "centroid")).alias("rn2")
     )
 
-    def _ordered_sum(col):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", F.col(col).alias("v")))),
-                lambda s: s["v"],
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    # The three model-state tables flatten into (sub·stride + cluster)
+    # -> value lookup MAPS — per (query, cell) for the ADC terms, per
+    # cell for the centroid×codeword cross terms, one global map for
+    # the codeword norms — and the per-cell probe context (queries
+    # probing that cell, with q_dot_c/cnorm/qnorm) collects into a
+    # cells-row broadcast. Scoring is then IN-ROW over the code scan: m
+    # map lookups per (neighbor, probing query) folded in sub-ascending
+    # order — the exact order (and doubles) of the former
+    # array_sort(collect_list) folds, without posexploding m rows per
+    # code and re-grouping them through a corpus×probes exchange. The
+    # inner join on cell still restricts the scan to probed cells.
+    def _map_agg(col):
+        return F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("sub") * _LUT_STRIDE + F.col("cluster")).alias("key"),
+                    F.col(col).alias("value"),
+                )
+            )
         )
 
-    scored = (
-        codes.select(
-            F.col(id_col).alias("neighbor_id"),
-            "cell",
-            F.posexplode("codes").alias("sub", "cluster"),
+    adc_lut = adc.groupBy("query_id", "cell").agg(_map_agg("dsub").alias("_lut"))
+    cd_lut = cdot.groupBy("cell").agg(_map_agg("cdsub").alias("_cd"))
+    rn2map = rn2.agg(_map_agg("rn2").alias("_rn2"))
+    cellrows = (
+        adc_lut.join(
+            qc.select("query_id", "cell", "q_dot_c", "cnorm", "qnorm"),
+            ["query_id", "cell"],
         )
-        .join(F.broadcast(adc), ["cell", "sub", "cluster"])
-        .join(F.broadcast(cdot), ["cell", "sub", "cluster"])
-        .join(F.broadcast(rn2), ["sub", "cluster"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id", "cell")
+        .groupBy("cell")
         .agg(
-            _ordered_sum("dsub").alias("adc_sum"),
-            _ordered_sum("cdsub").alias("cd_sum"),
-            _ordered_sum("rn2").alias("rn2_sum"),
+            F.collect_list(
+                F.struct("query_id", "_lut", "q_dot_c", "cnorm", "qnorm")
+            ).alias("_qs")
         )
+        .join(cd_lut, "cell")
     )
-    out = scored.join(
-        F.broadcast(qc.select("query_id", "cell", "q_dot_c", "cnorm", "qnorm")),
-        ["query_id", "cell"],
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            (F.col("q_dot_c") + F.col("adc_sum") + F.col("cd_sum"))
-            / (
-                F.col("qnorm")
-                * F.sqrt(
-                    F.col("cnorm") * F.col("cnorm")
-                    + 2 * F.col("cd_sum")
-                    + F.col("rn2_sum")
-                )
-            ),
-            6,
-        ).alias("cos_sim"),
+
+    def lut_sum(lut_col):
+        expr = F.lit(0.0)
+        for s in range(m):
+            expr = expr + F.element_at(
+                lut_col,
+                F.lit(s * _LUT_STRIDE) + F.element_at(F.col("codes"), s + 1),
+            )
+        return expr
+
+    out = (
+        codes.join(F.broadcast(cellrows), "cell")
+        .crossJoin(F.broadcast(rn2map))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            F.explode("_qs").alias("q"),
+            "_cd",
+            "_rn2",
+        )
+        .filter(F.col("neighbor_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "neighbor_id",
+            lut_sum(F.col("q._lut")).alias("adc_sum"),
+            lut_sum(F.col("_cd")).alias("cd_sum"),
+            lut_sum(F.col("_rn2")).alias("rn2_sum"),
+            "q.q_dot_c",
+            "q.cnorm",
+            "q.qnorm",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                (F.col("q_dot_c") + F.col("adc_sum") + F.col("cd_sum"))
+                / (
+                    F.col("qnorm")
+                    * F.sqrt(
+                        F.col("cnorm") * F.col("cnorm")
+                        + 2 * F.col("cd_sum")
+                        + F.col("rn2_sum")
+                    )
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -363,22 +363,40 @@ def assign_nearest_centroid(
     ``row_number ORDER BY cs DESC, cid``, so it lives in exactly one
     place). ``unit`` carries ``vnorm`` (see :func:`with_norm`);
     ``centroids`` is small — (cid, cvec, cnorm) — and broadcast. The
-    argmax is a hash aggregate over a (cos, -cid) struct — map-side
-    partial combine, no window, so the corpus never shuffles more than one
-    row per vector; ``carry`` columns ride through via any_value. Returns
-    ``(id_col, *carry, cell)``."""
-    scored = unit.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        *carry,
-        "cid",
-        (
-            F.expr(dot_expr(vec_col, "cvec")) / (F.col("vnorm") * F.col("cnorm"))
-        ).alias("cs"),
+    argmax runs IN-ROW over the centroid table collected into a one-row
+    array and broadcast (guide §2.4): the per-(cos, -cid) struct max is
+    the same lexicographic comparison the old grouped
+    ``max(struct(cs, ncid))`` aggregate used, computed by ``array_max``
+    over the k candidates of each row — so the winning cell per vector
+    is bit-identical but the corpus never shuffles at all (the former
+    shape exploded k candidate rows per vector and re-grouped them by
+    id — one corpus exchange per assignment). ``carry`` columns simply
+    stay on the row. Returns ``(id_col, *carry, cell)``."""
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("_cents")
     )
-    aggs = [F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("m")]
-    aggs += [F.any_value(c).alias(c) for c in carry]
-    return scored.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), *carry, (-F.col("m.ncid")).alias("cell")
+
+    def one(c):
+        cs = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c["cvec"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / (F.col("vnorm") * c["cnorm"])
+        return F.struct(cs.alias("cs"), (-c["cid"]).alias("ncid"))
+
+    best = F.array_max(F.transform(F.col("_cents"), one))
+    return (
+        unit.crossJoin(F.broadcast(carr))
+        .withColumn("_best", best)
+        # an empty centroid table produced zero rows in the grouped form
+        # (nothing to explode); the in-row form must drop the null-best
+        # rows to match
+        .filter(F.col("_best").isNotNull())
+        .select(F.col(id_col), *carry, (-F.col("_best.ncid")).alias("cell"))
     )
 
 

@@ -153,9 +153,8 @@ def streaming_ann_ingest(
             return
         unit = with_norm(batch_df, vec_col)
         res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
-        codes = pq_encode(res, codebooks, id_col, "res").join(
-            res.select(id_col, "cell"), id_col
-        )
+        # cell rides through the map-only encode (no re-attach join)
+        codes = pq_encode(res, codebooks, id_col, "res", keep_cols=("cell",))
         # append-only, like the band index: a crash before the commit
         # replays the batch and re-appends the same rows — the probe
         # path dedups by id, so the store converges

@@ -325,9 +325,8 @@ def retrain_ann_store(
     codebooks = spark.read.parquet(os.path.join(gen_dir, "model_codebooks"))
     unit = with_norm(corpus, vec_col)
     res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
-    codes = pq_encode(res, codebooks, id_col, "res").join(
-        res.select(id_col, "cell"), id_col
-    )
+    # cell rides through the map-only encode (no re-attach join)
+    codes = pq_encode(res, codebooks, id_col, "res", keep_cols=("cell",))
     codes.write.mode("overwrite").parquet(os.path.join(gen_dir, "codes"))
     activate_generation(store_dir, gen)
     if prune:

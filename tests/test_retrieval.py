@@ -737,3 +737,47 @@ def test_hash_vectors_compose_with_lsh_neardup(spark, sf_dir):
     assert lsh <= exact  # banded candidates are a subset
     if exact:
         assert len(lsh) / len(exact) >= 0.5  # sane recall on hashed vecs
+
+
+def test_inrow_assignment_plans_are_map_only(spark):
+    """The round-12 in-row restructure (guide §2.4) pinned structurally:
+    nearest-codeword encode and nearest-centroid assignment must not
+    hash-shuffle the corpus — the argmin folds in-row against the
+    broadcast collected model table. A reappearing `Exchange
+    hashpartitioning` on these frames is the regression this guards."""
+    from mongoshake_spark.functions import quantization as pq
+    from mongoshake_spark.functions.clustering import kmeans_assign
+    from mongoshake_spark.functions.similarity import (
+        assign_nearest_centroid,
+        with_norm,
+    )
+
+    def plan(df):
+        jvm = df.sparkSession.sparkContext._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    rows = [
+        (i, [float(i + 1)] * 4 + [float(10 - i)] * 4) for i in range(12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq.pq_train(vecs, m=2, k=4, iters=2)
+    enc_plan = plan(pq.pq_encode(vecs, cb, keep_cols=()))
+    assert "hashpartitioning" not in enc_plan, enc_plan
+    # keep_cols ride through with no join re-attach
+    tagged = vecs.selectExpr("vec_id", "embedding", "vec_id % 3 as cell")
+    enc2 = pq.pq_encode(tagged, cb, keep_cols=("cell",))
+    assert enc2.columns == ["vec_id", "cell", "codes"]
+    assert "hashpartitioning" not in plan(enc2)
+    # k-means assignment: in-row, no corpus exchange (the init collect
+    # and the broadcast build are the only non-map work)
+    asg = kmeans_assign(vecs, k=3, iters=2)
+    assert "hashpartitioning" not in plan(asg)
+    # cell assignment: in-row argmax, no corpus exchange
+    unit = with_norm(vecs)
+    cents = unit.filter("vec_id % 5 = 0").selectExpr(
+        "vec_id as cid", "embedding as cvec", "vnorm as cnorm"
+    )
+    cell = assign_nearest_centroid(unit, cents)
+    assert "hashpartitioning" not in plan(cell)
