@@ -447,18 +447,24 @@ def hash_tfidf_vectors(
     LSH prebucketing, PCA/OPQ, ANN all operate on it unchanged).
 
     Scale shape: tokenize/count is map-side + one (doc, token) combine;
-    document frequencies are ONE token-keyed aggregate joined back on
-    the token shuffle key (never a vocabulary broadcast — the vocab can
-    exceed memory at corpus scale); bucket-summing is one (doc, dim)
-    combine with map-side partials; densification builds a per-doc
-    <= dim-entry map in-row. The only driver scalar is N = docs.count().
+    document frequencies are a COUNT window over the one token-keyed
+    exchange (never a vocabulary broadcast — the vocab can exceed
+    memory at corpus scale — and never a second tok shuffle for a
+    join-back); bucket-summing is one (doc, dim) combine with map-side
+    partials; densification builds a per-doc <= dim-entry map in-row
+    and re-attaches it by id WITHOUT the text payload riding the
+    exchange. The only driver scalar is N = docs.count().
     Weights are rounded AFTER the bucket sum so both engines fold
     identical doubles downstream (the poly hash is the dialect-portable
     one from functions/texthash).
 
     Tokenizer is the dedup family's raw whitespace split (NOT bm25's
     lowercased alnum split) so hashed vectors agree with the shingle
-    machinery about what a token is."""
+    machinery about what a token is.
+
+    Returns the input columns MINUS ``text_col`` plus ``out_col`` —
+    the text payload's job ends at tokenization and must not ride the
+    densification exchange."""
     from mongoshake_spark.functions.texthash import poly_hash_spark
 
     n_docs = docs.count()  # bounded: one scalar
@@ -466,9 +472,16 @@ def hash_tfidf_vectors(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # document frequency as a tok-partitioned COUNT window over the tf
+    # table itself — the former (groupBy(tok) aggregate + join back on
+    # tok) shuffled the token-keyed table TWICE for the same integer;
+    # the window needs the one tok exchange it shares with nothing
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). Counts are integers — idf is bit-identical.
     wt = (
-        tf.join(dfreq, "tok")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("tok"))
+        )
         .withColumn(
             "dim", F.expr(f"({poly_hash_spark('tok')}) % {dim}").cast("int")
         )
@@ -488,7 +501,11 @@ def hash_tfidf_vectors(
     m = sparse.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("dim", "w"))).alias("_m")
     )
-    dense = docs.join(m, id_col, "left").withColumn(
+    # the dense build re-attaches per-doc maps to the doc rows by id;
+    # the text column must not ride that exchange (guide §2.3: project
+    # before the exchange — the payload's job here is done once toks
+    # exist)
+    dense = docs.drop(text_col).join(m, id_col, "left").withColumn(
         out_col,
         F.array(
             *[
@@ -516,16 +533,19 @@ def hash_vector_neardup(
     standard blocking step that keeps the candidate set sum-of-blocks²
     instead of corpus²; for unblocked scale the vectors drop into
     similarity.neardup_pairs(prebucket='lsh') unchanged, which is the
-    recall-gated production path. Key columns are renamed apart before
-    the self-join so resolution is explicit (no trivially-true-predicate
-    hazard)."""
-    from mongoshake_spark.functions.similarity import dot_expr, with_norm
+    recall-gated production path. Scoring is the tiled numpy block
+    scan (vectorized A @ B-transpose per (block, tile, tile) group —
+    guide §4.2), not a per-pair JVM fold."""
+    from mongoshake_spark.functions.similarity import with_norm
 
     # localCheckpoint BEFORE the self-join: both sides read the same
     # derived frame, and without pinning, the whole vectorization
     # pipeline (tokenize, two shuffles, densify) executes TWICE — the
     # same 2x the banded phash self-join paid before round 11 pinned
     # its fingerprints. Measured 26 s -> ~14 s pooled at sf0.1.
+    import numpy as np
+    import pandas as pd
+
     vecs = with_norm(
         hash_tfidf_vectors(
             docs.select(id_col, block_col, text_col),
@@ -535,31 +555,70 @@ def hash_vector_neardup(
         ).select(id_col, block_col, "tvec"),
         "tvec",
     ).localCheckpoint(eager=True)
-    a = vecs.select(
-        F.col(id_col).alias("doc_a"),
-        F.col(block_col).alias("_blk_a"),
-        F.col("tvec").alias("_va"),
-        F.col("vnorm").alias("_na"),
-    )
-    b = vecs.select(
-        F.col(id_col).alias("doc_b"),
-        F.col(block_col).alias("_blk_b"),
-        F.col("tvec").alias("_vb"),
-        F.col("vnorm").alias("_nb"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("_blk_a") == F.col("_blk_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    # Pair scoring is the tiled numpy block scan of
+    # similarity.neardup_pairs, keyed (block, tile_lo, tile_hi): one
+    # vectorized A @ Bᵀ per group instead of a JVM higher-order fold
+    # per candidate pair (the former block-equality self-join evaluated
+    # an interpreted zip_with/aggregate fold per same-block candidate —
+    # measured ~1.9 s of the query at sf0.1; guide §4.2). Tiling keeps
+    # per-task memory at two tiles of one block and spreads a dominant
+    # block over T(T+1)/2 tasks; every same-block id pair lands in
+    # exactly one (lo, hi) group, so recall is exact with no dedup
+    # pass. cos is np.round(dot/(na·nb), 6) with the threshold applied
+    # to the ROUNDED value — the oracle's WHERE cos_sim >= t on the
+    # rounded column; BLAS vs sequential-fold summation differs ~1e-15
+    # relative, far below the round(6) output granularity (the same
+    # adjudication every numpy rescorer in functions/similarity
+    # carries, hash-pinned at all three SFs).
+    n_tiles = 4
+    replicated = (
+        vecs.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.col("tvec").alias("_vec"),
         )
         .withColumn(
-            "cos_sim",
-            F.round(
-                F.expr(dot_expr("_va", "_vb")) / (F.col("_na") * F.col("_nb")),
-                6,
-            ),
+            "_t", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_tiles)).cast("int")
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", "cos_sim")
+        .withColumn("_u", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))))
+        .select(
+            "_blk",
+            F.least("_t", "_u").alias("_lo"),
+            F.greatest("_t", "_u").alias("_hi"),
+            "_t",
+            "_id",
+            "_vec",
+        )
+    )
+
+    def block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(key[1]), int(key[2])
+        a = pdf[pdf["_t"] == lo]
+        b = pdf[pdf["_t"] == hi] if hi != lo else a
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "cos_sim": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cos_sim": "float64"})
+        a_ids = a["_id"].to_numpy()
+        b_ids = b["_id"].to_numpy()
+        a_mat = np.array(a["_vec"].tolist(), dtype=np.float64)
+        b_mat = np.array(b["_vec"].tolist(), dtype=np.float64)
+        a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = np.round(
+            (a_mat @ b_mat.T) / np.outer(a_norm, b_norm), 6
+        )
+        keep = (cos >= threshold) & (a_ids[:, None] != b_ids[None, :])
+        ai, bi = np.nonzero(keep)
+        lo_ids = np.minimum(a_ids[ai], b_ids[bi])
+        hi_ids = np.maximum(a_ids[ai], b_ids[bi])
+        out = pd.DataFrame(
+            {"doc_a": lo_ids, "doc_b": hi_ids, "cos_sim": cos[ai, bi]}
+        )
+        # same-tile blocks see each (x, y) twice — canonicalized above,
+        # dedup here; cross-tile blocks don't
+        return out.drop_duplicates(["doc_a", "doc_b"]) if hi == lo else out
+
+    return replicated.groupBy("_blk", "_lo", "_hi").applyInPandas(
+        block, schema="doc_a bigint, doc_b bigint, cos_sim double"
     )
