@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from mongoshake_spark.plans.queries._shared import (  # noqa: F401
     F,
+    Window,
     _STOP_IN,
     _dd_dot,
     _q,
@@ -433,11 +434,18 @@ def pipeline_curation_q(spark, sf_dir):
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     # dedup keep: min doc_id per normalized content hash (THE shared
     # canonicalization — dedup.normalize_text — so this pipeline and
-    # dedup_exact_normalized cannot drift on which doc survives)
-    keep_ids = corpus.groupBy(F.md5(dedup.normalize_text("text")).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # dedup_exact_normalized cannot drift on which doc survives).
+    # Computed as a hash-partitioned window min instead of the former
+    # aggregate + left-semi join-back: identical surviving rows, but ONE
+    # corpus exchange instead of three (the keep-id table was itself
+    # corpus-sized, so the semi-join re-shuffled both sides by doc_id —
+    # guide §2.4).
+    keep_w = Window.partitionBy(F.md5(dedup.normalize_text("text")))
+    dd = (
+        corpus.withColumn("_keep_id", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .drop("_keep_id")
     )
-    dd = corpus.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
     # quality gate (the quality_signals class-2 rule, inline)
     n_tok = textfn.token_count(F.col("text"))
     n_stop = textfn.stopword_count(F.col("text"))
