@@ -140,13 +140,16 @@ def hybrid_rrf_topk(
     joins against ``id_col``); the semantic query vector is the corpus
     row ``query_vec_id`` (a stand-in for an encoded query).
 
-    Both rank assignments use the distributed two-pass prefix sum
-    (operators/prefix.running_total) over (score desc, id) — never a
-    partition-less ordered window — then filter to the top-k candidate
-    lists, so the fusion join is k-sized. Scores are rounded to 6
-    decimals BEFORE ranking (rank ties then break by id), which is what
-    makes the ranks — and therefore the fused scores — bit-identical
-    across engines.
+    Both candidate lists cut to top-k FIRST with orderBy+limit — a
+    TakeOrderedAndProject, per-partition partial top-k merged driver-
+    side, so the scored corpus never shuffles for the rank — and the
+    distributed prefix sum (operators/prefix.running_total, never a
+    partition-less ordered window) then assigns ranks over the k
+    surviving rows, which equal the global ranks because the limit's
+    total order IS the rank order. The fusion join is k-sized. Scores
+    are rounded to 6 decimals BEFORE ranking (rank ties then break by
+    id), which is what makes the ranks — and therefore the fused
+    scores — bit-identical across engines.
     """
     from mongoshake_spark.functions.similarity import dot_expr, with_norm
     from mongoshake_spark.operators.prefix import running_total
@@ -155,9 +158,22 @@ def hybrid_rrf_topk(
         id_col, F.round("score", 6).alias("lex_score")
     )
     lex = lex.withColumn("_neg", -F.col("lex_score"))
+    # top-k FIRST via orderBy+limit — a TakeOrderedAndProject
+    # (per-partition partial top-k + k-row driver merge, NO exchange of
+    # the scored corpus) — then the prefix-sum rank runs over the k
+    # surviving rows only. The former shape ranked the ENTIRE scored
+    # corpus through the range-exchange + checkpoint prefix machinery
+    # and discarded all but k rows (guide §1.2: don't compute things
+    # you throw away). Ranks are identical: the limit's total order is
+    # the rank order, so the top-k subset's prefix ranks ARE the global
+    # ranks 1..k.
     lex_ranked = (
-        running_total(lex, ["_neg", id_col], F.lit(1), "lex_rank")
-        .filter(F.col("lex_rank") <= k_lex)
+        running_total(
+            lex.orderBy(F.col("_neg").asc(), F.col(id_col).asc()).limit(k_lex),
+            ["_neg", id_col],
+            F.lit(1),
+            "lex_rank",
+        )
         .select(id_col, F.col("lex_rank").cast("bigint").alias("lex_rank"))
     )
 
@@ -177,8 +193,12 @@ def hybrid_rrf_topk(
         .withColumn("_neg", -F.col("cos_sim"))
     )
     sem_ranked = (
-        running_total(sem, ["_neg", id_col], F.lit(1), "sem_rank")
-        .filter(F.col("sem_rank") <= k_sem)
+        running_total(
+            sem.orderBy(F.col("_neg").asc(), F.col(id_col).asc()).limit(k_sem),
+            ["_neg", id_col],
+            F.lit(1),
+            "sem_rank",
+        )
         .select(id_col, F.col("sem_rank").cast("bigint").alias("sem_rank"))
     )
     fused = rrf_fuse(lex_ranked, sem_ranked, id_col=id_col, rrf_k=rrf_k)
