@@ -195,9 +195,49 @@ def pca_project(
 ) -> DataFrame:
     """Adds ``out_col``: the k-dim projection of ``vec_col`` (centered,
     not whitened). Map-only; the source column is untouched so callers
-    can still exact-rerank against it."""
-    exprs = project_exprs(model, vec_col)
-    return df.withColumn(out_col, F.expr("array(" + ", ".join(exprs) + ")"))
+    can still exact-rerank against it.
+
+    The components ride as ONE broadcast row of (component, offset)
+    structs and each coordinate is a zip_with/aggregate fold against
+    its component — the same left-to-right dot fold (and the same
+    driver-computed centering offsets) as the literal-expression form
+    in :func:`project_exprs`, so projections are bit-identical; but the
+    expression tree is O(1) instead of O(k·dim) literals pushed through
+    the SQL parser, which cost ~2 s of driver plan-build per query at
+    k=48, dim=64 (measured; guide §7.3 — planning time is driver-side,
+    single-threaded)."""
+    import numpy as np
+
+    offsets = model.components @ np.asarray(model.mean)
+    rows = [
+        (
+            [
+                (list(map(float, c)), float(o))
+                for c, o in zip(model.components, offsets)
+            ],
+        )
+    ]
+    crow = df.sparkSession.createDataFrame(
+        rows, "_comps array<struct<c:array<double>,o:double>>"
+    )
+
+    def one(comp):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                comp["c"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dot - comp["o"]
+
+    return (
+        df.crossJoin(F.broadcast(crow))
+        .withColumn(out_col, F.transform(F.col("_comps"), one))
+        .drop("_comps")
+    )
 
 
 def pca_topk(
@@ -227,10 +267,15 @@ def pca_topk(
     proj = pca_project(unit, model, vec_col).withColumn(
         "pnorm", F.expr(f"sqrt({dot_expr('pvec', 'pvec')})")
     )
-    q = proj.filter(F.col(id_col).isin(list(query_ids))).select(
+    # the query side projects ONLY the filtered Q rows — deriving it
+    # from `proj` re-ran the full-corpus projection a second time
+    # (projection is per-row, so the Q-row projection is identical)
+    q = pca_project(
+        unit.filter(F.col(id_col).isin(list(query_ids))), model, vec_col
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("pvec").alias("qpvec"),
-        F.col("pnorm").alias("qpnorm"),
+        F.expr(f"sqrt({dot_expr('pvec', 'pvec')})").alias("qpnorm"),
     )
     scored = (
         proj.select(
