@@ -20,7 +20,7 @@ from mongoshake_spark.sources.oplog import (
     hashed_chunks_view,
     oplog_view,
 )
-from mongoshake_spark.sources.tables import load_table, range_scan
+from mongoshake_spark.sources.tables import load_table, range_scan  # noqa: F401
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -114,6 +114,52 @@ def _stream_tmpdir(prefix: str) -> str:
         except OSError:
             pass
     return tempfile.mkdtemp(prefix=mine + prefix, dir=base)
+
+
+def _write_class_feed(df, class_expr, n_classes: int, feed_dir: str, tmp: str):
+    """Write a replay feed split by DETERMINISTIC arrival class in ONE
+    job: ``class_expr`` (int in [0, n_classes)) names each row's
+    micro-batch, and every class must land in exactly one parquet file
+    so ``maxFilesPerTrigger=1`` makes file = batch. A ``partitionBy``
+    write on the class column from a single task yields one file per
+    class while scanning/computing ``df`` ONCE — the per-class
+    ``filter(pred).coalesce(1)`` loop it replaces ran one full plan per
+    class (guide §1.2: don't compute things you throw away N-1 times).
+    The data files exclude the class column, so the feed schema is
+    ``df``'s own. Files are mtime-stamped in class order (the file
+    source admits oldest-first)."""
+    import os
+    import shutil
+    import time
+
+    d = os.path.join(tmp, "_classes")
+    (
+        df.withColumn("_cls", class_expr.cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("_cls")
+        .parquet(d)
+    )
+    os.makedirs(feed_dir, exist_ok=True)
+    for i in range(n_classes):
+        cdir = os.path.join(d, f"_cls={i}")
+        try:
+            part = next(
+                f for f in os.listdir(cdir) if f.endswith(".parquet")
+            )
+        except (FileNotFoundError, StopIteration):
+            raise RuntimeError(
+                f"_write_class_feed: class {i} produced no rows — every "
+                "arrival class must be non-empty or the batch-boundary "
+                "claim silently weakens"
+            ) from None
+        os.replace(os.path.join(cdir, part), f"{feed_dir}/class{i}.parquet")
+    shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time() - n_classes - 10
+    for i in range(n_classes):
+        os.utime(f"{feed_dir}/class{i}.parquet", (t0 + i, t0 + i))
+
+
 _POLY_SHINGLE = poly_hash_duckdb("shingle")
 _POLY_TEXT = poly_hash_duckdb("text")
 

@@ -8,6 +8,7 @@ from mongoshake_spark.plans.queries._shared import (  # noqa: F401
     _dd_dot,
     _q,
     _stream_tmpdir,
+    _write_class_feed,
     dedup,
     load_table,
     similarity,
@@ -694,18 +695,7 @@ def stream_ann_ingest_q(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ann_index_bootstrap(vecs, index_dir, m=4, k_code=8, iters=2)
-        os.makedirs(feed_dir, exist_ok=True)
-        for i in range(3):
-            d = f"{tmp}/b{i}"
-            vecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(d)
-            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
-        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
-        t0 = time.time() - len(parts) - 10
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        _write_class_feed(vecs, F.col("vec_id") % 3, 3, feed_dir, tmp)
         stream = (
             spark.readStream.schema(vecs.schema)
             .option("maxFilesPerTrigger", 1)

@@ -7,6 +7,7 @@ from mongoshake_spark.plans.queries._shared import (  # noqa: F401
     _MINHASH_CTES,
     _q,
     _stream_tmpdir,
+    _write_class_feed,
     dedup,
     load_table,
     merge,
@@ -59,18 +60,9 @@ def stream_dedup_q(spark, sf_dir):
         # boundary could leak a few originals into batch 2 next to their
         # copies and quietly weaken the cross-batch claim): batch 1 =
         # every original, batch 2 = every re-crawl copy, by id threshold
-        os.makedirs(feed_dir, exist_ok=True)
-        for i, pred in enumerate(
-            (F.col("doc_id") < shift, F.col("doc_id") >= shift)
-        ):
-            d = f"{tmp}/b{i}"
-            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
-            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
-        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
-        t0 = time.time() - len(parts) - 10
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        _write_class_feed(
+            docs, F.col("doc_id") >= shift, 2, feed_dir, tmp
+        )
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -396,26 +388,9 @@ def stream_neardup_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = _stream_tmpdir("sndup_")
     feed = os.path.join(tmp, "feed")
-    os.makedirs(feed, exist_ok=True)
     # one feed file per arrival class, mtime-stamped so the tail admits
     # them in class order (the replay convention, see write_replay_feed)
-    for i in range(2):
-        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(feed, f"b{i}"))
-    flat = []
-    for i in range(2):
-        import shutil
-
-        d = os.path.join(feed, f"b{i}")
-        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-        dst = os.path.join(feed, f"class{i}.parquet")
-        os.replace(os.path.join(d, part), dst)
-        shutil.rmtree(d)  # the tail must see ONLY the three flat files
-        flat.append(dst)
-    base = time.time() - len(flat) - 10
-    for i, f in enumerate(flat):
-        os.utime(f, (base + i, base + i))
+    _write_class_feed(docs, F.col("doc_id") % 2, 2, feed, tmp)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -461,18 +436,7 @@ def stream_media_neardup_q(spark, sf_dir):
     tmp = _stream_tmpdir("mneardup_")
     feed_dir = f"{tmp}/feed"
     try:
-        os.makedirs(feed_dir, exist_ok=True)
-        for i in range(2):
-            d = f"{tmp}/b{i}"
-            media.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(d)
-            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-            os.replace(os.path.join(d, part), f"{feed_dir}/class{i}.parquet")
-        parts = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
-        t0 = time.time() - len(parts) - 10
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(feed_dir, f), (t0 + i, t0 + i))
+        _write_class_feed(media, F.col("doc_id") % 2, 2, feed_dir, tmp)
         stream = (
             spark.readStream.schema(media.schema)
             .option("maxFilesPerTrigger", 1)

@@ -1427,3 +1427,46 @@ def test_streaming_phash_dedup_matches_batch_and_replays_idempotently(
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert got2 == want
+
+
+def test_write_class_feed_one_file_per_class_in_one_job(spark, tmp_path):
+    """_write_class_feed must produce exactly one parquet file per
+    arrival class, carrying exactly that class's rows with the source
+    schema (no class column), mtime-ordered — file = micro-batch is what
+    every replay harness's cross-batch claim stands on."""
+    import os
+
+    from mongoshake_spark.plans.queries._shared import _write_class_feed
+
+    df = spark.range(0, 97).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    feed = str(tmp_path / "feed")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    _write_class_feed(df, F.col("doc_id") % 3, 3, feed, str(tmp_path))
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    # ONE write job (the old per-class filter+coalesce loop ran three)
+    assert jobs_after - jobs_before == 1
+    files = sorted(os.listdir(feed))
+    assert files == ["class0.parquet", "class1.parquet", "class2.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(feed, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    for i, f in enumerate(files):
+        got = spark.read.parquet(os.path.join(feed, f))
+        assert got.columns == ["doc_id", "text"]
+        ids = {r["doc_id"] for r in got.collect()}
+        assert ids == {n for n in range(97) if n % 3 == i}
+
+
+def test_write_class_feed_empty_class_fails_loudly(spark, tmp_path):
+    import pytest as _pytest
+
+    from mongoshake_spark.plans.queries._shared import _write_class_feed
+
+    df = spark.range(0, 10).select((F.col("id") * 2).alias("doc_id"))
+    with _pytest.raises(RuntimeError, match="produced no rows"):
+        _write_class_feed(
+            df, F.col("doc_id") % 2, 2, str(tmp_path / "feed"), str(tmp_path)
+        )
