@@ -674,9 +674,7 @@ def ann_ivfpq_rerank_q(spark, sf_dir):
     stream=True,
 )
 def stream_ann_ingest_q(spark, sf_dir):
-    import os
     import shutil
-    import time
 
     from mongoshake_spark.streaming.ann_ingest import (
         ann_index_bootstrap,

@@ -31,10 +31,7 @@ from mongoshake_spark.plans.queries._shared import (  # noqa: F401
     stream=True,
 )
 def stream_dedup_q(spark, sf_dir):
-    import os
     import shutil
-    import tempfile
-    import time
 
     from mongoshake_spark.streaming.dedup import stream_exact_dedup
 
@@ -381,7 +378,6 @@ ORDER BY origin, doc_a, doc_b"""
 )
 def stream_neardup_q(spark, sf_dir):
     import os
-    import time
 
     from mongoshake_spark.streaming.neardup import run_streaming_lsh_dedup
 
@@ -424,9 +420,7 @@ from mongoshake_spark.plans.queries.dedup import _PHASH_ORACLE  # noqa: E402
     stream=True,
 )
 def stream_media_neardup_q(spark, sf_dir):
-    import os
     import shutil
-    import time
 
     from mongoshake_spark.operators import multimodal
     from mongoshake_spark.streaming.neardup import streaming_phash_dedup
