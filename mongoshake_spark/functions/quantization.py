@@ -680,42 +680,48 @@ def ivfadc_score(
         "query_id", "cell", "sub", "cluster",
         F.expr(dot_expr("sv", "centroid")).alias("dsub"),
     )
-    # centroid × codeword cross terms and codeword norms (cells·m·k and
-    # m·k rows — both broadcast model state)
+    # centroid × codeword cross terms and codeword norms (cells·m·k
+    # rows — broadcast model state). The codeword self-norm rides the
+    # SAME per-cell rows as the cross terms: it depends only on (sub,
+    # cluster), so every cell's copy is the identical double, and
+    # carrying it here removes what used to be a separate global-map
+    # aggregate plus its own broadcast crossJoin (one fewer exchange and
+    # one fewer broadcast job per probe).
     cdot = sub_explode(
         cents.select(F.col("cid").alias("cell"), "cvec"), "cvec", ["cell"]
     ).join(F.broadcast(codebooks), "sub").select(
         "cell", "sub", "cluster",
         F.expr(dot_expr("sv", "centroid")).alias("cdsub"),
-    )
-    rn2 = codebooks.select(
-        "sub", "cluster", F.expr(dot_expr("centroid", "centroid")).alias("rn2")
+        F.expr(dot_expr("centroid", "centroid")).alias("rn2"),
     )
 
-    # The three model-state tables flatten into (sub·stride + cluster)
-    # -> value lookup MAPS — per (query, cell) for the ADC terms, per
-    # cell for the centroid×codeword cross terms, one global map for
-    # the codeword norms — and the per-cell probe context (queries
-    # probing that cell, with q_dot_c/cnorm/qnorm) collects into a
-    # cells-row broadcast. Scoring is then IN-ROW over the code scan: m
-    # map lookups per (neighbor, probing query) folded in sub-ascending
-    # order — the exact order (and doubles) of the former
-    # array_sort(collect_list) folds, without posexploding m rows per
-    # code and re-grouping them through a corpus×probes exchange. The
-    # inner join on cell still restricts the scan to probed cells.
-    def _map_agg(col):
+    # The model-state tables flatten into (sub·stride + cluster) ->
+    # value lookup MAPS — per (query, cell) for the ADC terms, per cell
+    # for the centroid×codeword cross terms + codeword norms — and the
+    # per-cell probe context (queries probing that cell, with
+    # q_dot_c/cnorm/qnorm) collects into a cells-row broadcast. Scoring
+    # is then IN-ROW over the code scan: m map lookups per (neighbor,
+    # probing query) folded in sub-ascending order — the exact order
+    # (and doubles) of the former array_sort(collect_list) folds,
+    # without posexploding m rows per code and re-grouping them through
+    # a corpus×probes exchange. The inner join on cell still restricts
+    # the scan to probed cells.
+    def _map_agg(value):
         return F.map_from_entries(
             F.collect_list(
                 F.struct(
                     (F.col("sub") * _LUT_STRIDE + F.col("cluster")).alias("key"),
-                    F.col(col).alias("value"),
+                    value.alias("value"),
                 )
             )
         )
 
-    adc_lut = adc.groupBy("query_id", "cell").agg(_map_agg("dsub").alias("_lut"))
-    cd_lut = cdot.groupBy("cell").agg(_map_agg("cdsub").alias("_cd"))
-    rn2map = rn2.agg(_map_agg("rn2").alias("_rn2"))
+    adc_lut = adc.groupBy("query_id", "cell").agg(
+        _map_agg(F.col("dsub")).alias("_lut")
+    )
+    cd_lut = cdot.groupBy("cell").agg(
+        _map_agg(F.struct("cdsub", "rn2")).alias("_cd")
+    )
     cellrows = (
         adc_lut.join(
             qc.select("query_id", "cell", "q_dot_c", "cnorm", "qnorm"),
@@ -730,32 +736,33 @@ def ivfadc_score(
         .join(cd_lut, "cell")
     )
 
-    def lut_sum(lut_col):
+    def lut_sum(lut_col, field=None):
         expr = F.lit(0.0)
         for s in range(m):
-            expr = expr + F.element_at(
+            v = F.element_at(
                 lut_col,
                 F.lit(s * _LUT_STRIDE) + F.element_at(F.col("codes"), s + 1),
             )
+            if field is not None:
+                v = v.getField(field)
+            expr = expr + v
         return expr
 
     out = (
         codes.join(F.broadcast(cellrows), "cell")
-        .crossJoin(F.broadcast(rn2map))
         .select(
             F.col(id_col).alias("neighbor_id"),
             "codes",
             F.explode("_qs").alias("q"),
             "_cd",
-            "_rn2",
         )
         .filter(F.col("neighbor_id") != F.col("q.query_id"))
         .select(
             F.col("q.query_id").alias("query_id"),
             "neighbor_id",
             lut_sum(F.col("q._lut")).alias("adc_sum"),
-            lut_sum(F.col("_cd")).alias("cd_sum"),
-            lut_sum(F.col("_rn2")).alias("rn2_sum"),
+            lut_sum(F.col("_cd"), "cdsub").alias("cd_sum"),
+            lut_sum(F.col("_cd"), "rn2").alias("rn2_sum"),
             "q.q_dot_c",
             "q.cnorm",
             "q.qnorm",

@@ -100,7 +100,10 @@ def ann_index_bootstrap(
         raise ValueError(f"ann_index_bootstrap: dim {dim} not divisible by m={m}")
     res = ivfpq_assign_residuals(unit, cents, id_col, vec_col).persist()
     try:
-        res.count()
+        # no eager count: pq_train's seed collect (orderBy + limit) is
+        # the first action and scans every partition, so it materializes
+        # the persisted residuals itself — a count first was one extra
+        # full pass over the corpus for a number nothing used
         codebooks = pq_train(res, m, k_code, iters, id_col, "res")
         cents.write.mode("overwrite").parquet(cent_path)
         codebooks.write.mode("overwrite").parquet(cb_path)
@@ -149,8 +152,9 @@ def streaming_ann_ingest(
                 "pinned-model stream — restart the ingest stream to pick up "
                 "the new generation"
             )
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: the guard itself cost one job per
+        # batch, the same price as just encoding an empty batch (one
+        # empty-write task the probe's dedup never sees)
         unit = with_norm(batch_df, vec_col)
         res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
         # cell rides through the map-only encode (no re-attach join)

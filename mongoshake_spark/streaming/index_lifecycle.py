@@ -256,23 +256,24 @@ def compact_ann_store(
     gen_dir = os.path.join(store_dir, gen)
     cent_dst, cb_dst, codes_dst = (os.path.join(gen_dir, p) for p in ANN_PARTS)
     before = _parquet_files(codes_src)
-    codes = spark.read.parquet(codes_src)
-    rows_before = codes.count()
+    codes, obs_in = _observed_count(spark.read.parquet(codes_src))
     out = codes.dropDuplicates([id_col])
     if retention is not None:
         out = out.filter(retention)
+    out, obs_out = _observed_count(out)
     out.write.mode("overwrite").parquet(codes_dst)
+    rows_before = int(obs_in.get["n"])
+    rows_after = int(obs_out.get["n"])
     spark.read.parquet(cent_src).write.mode("overwrite").parquet(cent_dst)
     spark.read.parquet(cb_src).write.mode("overwrite").parquet(cb_dst)
     # fold rows appended while we compacted (new files = the whole diff)
     late = _parquet_files(codes_src) - before
     if late:
-        spark.read.parquet(*sorted(late)).write.mode("append").parquet(
-            codes_dst
-        )
+        late_df, obs_late = _observed_count(spark.read.parquet(*sorted(late)))
+        late_df.write.mode("append").parquet(codes_dst)
+        rows_after += int(obs_late.get["n"])
     activate_generation(store_dir, gen)
     prune_generations(store_dir, keep=keep_generations)
-    rows_after = spark.read.parquet(codes_dst).count()
     return {
         "generation": gen,
         "rows_before": rows_before,
@@ -335,6 +336,17 @@ def retrain_ann_store(
     return {"generation": gen, "rows": n}
 
 
+def _observed_count(df: DataFrame):
+    """Attach a row-count Observation at this point of the plan: the
+    count is collected DURING the write action instead of costing its
+    own store-sized scan (the before/after stats used to be two extra
+    full passes on top of the rewrite itself)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
+
 def _compact(
     spark: SparkSession,
     store_dir: str,
@@ -346,20 +358,23 @@ def _compact(
     before = _parquet_files(src)
     if not before:
         raise ValueError(f"compact: no parquet payload under {src!r}")
-    df = spark.read.parquet(src)
-    rows_before = df.count()
+    df, obs_in = _observed_count(spark.read.parquet(src))
     out = df.dropDuplicates(dedup_subset) if dedup_subset else df.dropDuplicates()
     if retention is not None:
         out = out.filter(retention)
+    out, obs_out = _observed_count(out)
     gen = _next_gen_name(store_dir)
     gen_dir = os.path.join(store_dir, gen)
     out.write.mode("overwrite").parquet(gen_dir)
+    rows_before = int(obs_in.get["n"])
+    rows_after = int(obs_out.get["n"])
     late = _parquet_files(src) - before
     if late:
-        spark.read.parquet(*sorted(late)).write.mode("append").parquet(gen_dir)
+        late_df, obs_late = _observed_count(spark.read.parquet(*sorted(late)))
+        late_df.write.mode("append").parquet(gen_dir)
+        rows_after += int(obs_late.get["n"])
     activate_generation(store_dir, gen)
     prune_generations(store_dir, keep=keep_generations)
-    rows_after = spark.read.parquet(gen_dir).count()
     return {
         "generation": gen,
         "rows_before": rows_before,
