@@ -142,40 +142,23 @@ def hybrid_rrf_topk(
 
     Both candidate lists cut to top-k FIRST with orderBy+limit — a
     TakeOrderedAndProject, per-partition partial top-k merged driver-
-    side, so the scored corpus never shuffles for the rank — and the
-    distributed prefix sum (operators/prefix.running_total, never a
-    partition-less ordered window) then assigns ranks over the k
-    surviving rows, which equal the global ranks because the limit's
-    total order IS the rank order. The fusion join is k-sized. Scores
-    are rounded to 6 decimals BEFORE ranking (rank ties then break by
-    id), which is what makes the ranks — and therefore the fused
-    scores — bit-identical across engines.
+    side, so the scored corpus never shuffles for the rank — and ranks
+    1..k are assigned on the driver over the k collected survivors
+    (bounded by the operator's own ``k_lex``/``k_sem``, the same
+    driver-residency contract as ``clustering._init_centroids``; the
+    limit's total order IS the rank order). Each ranked list re-enters
+    the plan as a k-row local relation, so the fusion join is k-sized.
+    Scores are rounded to 6 decimals BEFORE ranking (rank ties then
+    break by id), which is what makes the ranks — and therefore the
+    fused scores — bit-identical across engines.
     """
     from mongoshake_spark.functions.similarity import dot_expr, with_norm
-    from mongoshake_spark.operators.prefix import running_total
 
     lex = bm25_scores(docs, terms, id_col=id_col, text_col=text_col).select(
         id_col, F.round("score", 6).alias("lex_score")
     )
     lex = lex.withColumn("_neg", -F.col("lex_score"))
-    # top-k FIRST via orderBy+limit — a TakeOrderedAndProject
-    # (per-partition partial top-k + k-row driver merge, NO exchange of
-    # the scored corpus) — then the prefix-sum rank runs over the k
-    # surviving rows only. The former shape ranked the ENTIRE scored
-    # corpus through the range-exchange + checkpoint prefix machinery
-    # and discarded all but k rows (guide §1.2: don't compute things
-    # you throw away). Ranks are identical: the limit's total order is
-    # the rank order, so the top-k subset's prefix ranks ARE the global
-    # ranks 1..k.
-    lex_ranked = (
-        running_total(
-            lex.orderBy(F.col("_neg").asc(), F.col(id_col).asc()).limit(k_lex),
-            ["_neg", id_col],
-            F.lit(1),
-            "lex_rank",
-        )
-        .select(id_col, F.col("lex_rank").cast("bigint").alias("lex_rank"))
-    )
+    lex_ranked = _ranked_topk_local(lex, id_col, k_lex, "lex_rank")
 
     unit = with_norm(vecs, vec_col)
     qrow = unit.filter(F.col(vec_id_col) == query_vec_id).select(
@@ -192,17 +175,40 @@ def hybrid_rrf_topk(
         )
         .withColumn("_neg", -F.col("cos_sim"))
     )
-    sem_ranked = (
-        running_total(
-            sem.orderBy(F.col("_neg").asc(), F.col(id_col).asc()).limit(k_sem),
-            ["_neg", id_col],
-            F.lit(1),
-            "sem_rank",
-        )
-        .select(id_col, F.col("sem_rank").cast("bigint").alias("sem_rank"))
-    )
+    sem_ranked = _ranked_topk_local(sem, id_col, k_sem, "sem_rank")
     fused = rrf_fuse(lex_ranked, sem_ranked, id_col=id_col, rrf_k=rrf_k)
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _ranked_topk_local(
+    scored: DataFrame, id_col: str, k: int, rank_col: str
+) -> DataFrame:
+    """``(id_col, rank 1..k)`` over a ``(_neg, id)``-ordered score table,
+    as a k-row LOCAL relation. The top-k cut is a TakeOrderedAndProject
+    (per-partition partial top-k, k-row driver merge — the scored corpus
+    never shuffles); the rank over the k survivors is then pure counting
+    in the already-established order, so it happens at the driver merge
+    instead of re-entering the cluster. The former shape pushed the k
+    rows back through the distributed prefix-sum machinery — an eager
+    localCheckpoint job, a range exchange, a triangular offset join and
+    a broadcast join per candidate list, all to number 50 rows whose
+    order the limit had already fixed (guide §1.2 order-of-operations:
+    the checkpoint/exchange cost was per-QUERY fixed overhead, and at
+    100 TB the k-row driver residency is bounded by the operator's own
+    ``k`` — the ``_init_centroids`` contract — not by data size)."""
+    rows = (
+        scored.select(id_col, "_neg")
+        .orderBy(F.col("_neg").asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    # TakeOrderedAndProject returns rows in order; the re-sort is a
+    # k-row defensive pin of the rank order, not data work
+    rows.sort(key=lambda r: (r["_neg"], r[id_col]))
+    return scored.sparkSession.createDataFrame(
+        [(r[id_col], i + 1) for i, r in enumerate(rows)],
+        f"{id_col} bigint, {rank_col} bigint",
+    )
 
 
 def bm25_topk(

@@ -99,10 +99,11 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15""",
     "Hybrid retrieval: BM25 top-50 lexical candidates fused with "
     "embedding-cosine top-50 semantic candidates (query vector = corpus "
     "row 0, a stand-in for an encoded query) by reciprocal-rank fusion "
-    "(1/(60+rank), Cormack et al.). Both ranks come from the distributed "
-    "two-pass prefix sum over (rounded score desc, id) — no "
-    "partition-less window — so the fusion join is candidate-list-sized "
-    "and the fused scores are bit-identical across engines "
+    "(1/(60+rank), Cormack et al.). Each candidate list is a "
+    "TakeOrderedAndProject top-k over (rounded score desc, id) — no "
+    "partition-less window, no corpus exchange — ranked at the k-row "
+    "driver merge, so the fusion join is candidate-list-sized and the "
+    "fused scores are bit-identical across engines "
     "(functions/retrieval.hybrid_rrf_topk).",
 )
 def hybrid_rrf_topk_q(spark, sf_dir):
