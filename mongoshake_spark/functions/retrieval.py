@@ -373,9 +373,18 @@ def hard_negatives(
     tok, tf, df_t = _tf_df(docs, id_col, text_col)
     tf = tf.persist()
     _PERSISTED_TF.append(tf)
-    stats = tok.agg(
+    # the two corpus scalars are consumed by TWO broadcast crossJoins
+    # (keyword scoring and idf) — as a lazy aggregate each broadcast
+    # build re-tokenized the whole corpus to produce the same one row,
+    # so it is collected ONCE (a single corpus pass, one-row driver
+    # residency) and re-enters both plans as a local relation; the
+    # collected doubles round-trip bit-exactly
+    srow = tok.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    stats = docs.sparkSession.createDataFrame(
+        [(srow["n_docs"], srow["avgdl"])], "n_docs double, avgdl double"
     )
     # anchor pushdown: the keyword scoring join and its rank window only
     # ever see the anchors' tf rows (df/stats stay corpus-wide, so idf
