@@ -31,10 +31,27 @@ from mongoshake_spark.session import get_spark  # noqa: E402
 POOL = int(os.environ.get("SPARK_GRAFT_BENCH_POOL", "8"))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the first /proc/stat line — the
+    delta across the run gives host_steal_pct, the signal that lets a
+    PERF consumer discount a contaminated pair (round-12 lesson: host
+    steal masqueraded as a 22% regression)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except OSError:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    steal0, ticks0 = _cpu_ticks()
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     def fresh_session():
         """New warmed session: JVM/codegen, parquet reader and Python UDF
@@ -267,6 +284,17 @@ def main() -> None:
         3,
     )
 
+    # host-health fields (round-13): steal% of total cpu ticks across the
+    # run plus 1-min loadavg at both ends — lets a consumer of this line
+    # recognise a contended-host pair instead of reading it as a plan
+    # regression. Additions only; the timing protocol is untouched.
+    steal1, ticks1 = _cpu_ticks()
+    host_steal_pct = (
+        round(100.0 * (steal1 - steal0) / (ticks1 - ticks0), 2)
+        if ticks1 > ticks0
+        else None
+    )
+
     full = {
         "metric": "total_query_wall",
         "value": total,
@@ -295,6 +323,9 @@ def main() -> None:
         "data_proportional_duck_sec": data_duck if duck_timings else None,
         "stream_floor_sec": stream_floor,
         "stream_floor_n_queries": len(STREAMY),
+        "host_steal_pct": host_steal_pct,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
         "duckdb_queries": duck_timings,
     }
     # Full payload (pooled AND serial per-query spans) goes to a file; the

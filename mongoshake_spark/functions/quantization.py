@@ -156,6 +156,14 @@ def _pq_train_dims(
     job that re-infers it."""
     if k < 1 or iters < 1:
         raise ValueError("pq_train: k and iters must be >= 1")
+    if k >= _LUT_STRIDE:
+        # flattened (sub·stride + cluster) LUT keys are collision-free
+        # only while cluster ids stay below the stride; map_from_entries
+        # is last-wins, so a collision would silently corrupt ADC scores
+        raise ValueError(
+            f"pq_train: k_code={k} >= LUT stride {_LUT_STRIDE} — "
+            "codeword ids would collide in the flattened ADC lookup maps"
+        )
     # init: the k smallest-id vectors, sliced per subspace (k·m rows
     # total, k bounded by the operator's own parameter — the same
     # driver residency clustering._init_centroids has). The dimension

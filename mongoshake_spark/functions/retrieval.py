@@ -180,6 +180,13 @@ def hybrid_rrf_topk(
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
 
 
+#: hard ceiling on :func:`_ranked_topk_local`'s k — the collect below is
+#: DRIVER-resident by design (bounded by the operator's own k, the
+#: _init_centroids contract); a caller passing an unbounded k would turn
+#: it into an unguarded driver collect, so the bound is enforced loudly.
+_RANKED_TOPK_MAX_K = 10_000
+
+
 def _ranked_topk_local(
     scored: DataFrame, id_col: str, k: int, rank_col: str
 ) -> DataFrame:
@@ -196,6 +203,13 @@ def _ranked_topk_local(
     the checkpoint/exchange cost was per-QUERY fixed overhead, and at
     100 TB the k-row driver residency is bounded by the operator's own
     ``k`` — the ``_init_centroids`` contract — not by data size)."""
+    if k > _RANKED_TOPK_MAX_K:
+        raise ValueError(
+            f"_ranked_topk_local: k={k} exceeds the driver-residency "
+            f"ceiling {_RANKED_TOPK_MAX_K} — the k rows are collected to "
+            "the driver by design; use the distributed ranking path for "
+            "larger k"
+        )
     rows = (
         scored.select(id_col, "_neg")
         .orderBy(F.col("_neg").asc(), F.col(id_col).asc())
@@ -205,9 +219,10 @@ def _ranked_topk_local(
     # TakeOrderedAndProject returns rows in order; the re-sort is a
     # k-row defensive pin of the rank order, not data work
     rows.sort(key=lambda r: (r["_neg"], r[id_col]))
+    id_type = scored.schema[id_col].dataType.simpleString()
     return scored.sparkSession.createDataFrame(
         [(r[id_col], i + 1) for i, r in enumerate(rows)],
-        f"{id_col} bigint, {rank_col} bigint",
+        f"{id_col} {id_type}, {rank_col} bigint",
     )
 
 
@@ -612,6 +627,12 @@ def hash_vector_neardup(
             F.col(block_col).alias("_blk"),
             F.col("tvec").alias("_vec"),
         )
+        # NULL blocks never pair: the pinned oracle's a.lang = b.lang
+        # predicate (and the former _blk_a == _blk_b self-join) drop
+        # NULLs, while groupBy would collect them into one group and
+        # pair them with each other — filter keeps the two shapes
+        # equivalent for a corpus with NULL block values
+        .filter(F.col("_blk").isNotNull())
         .withColumn(
             "_t", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_tiles)).cast("int")
         )
@@ -640,9 +661,13 @@ def hash_vector_neardup(
         b_mat = np.array(b["_vec"].tolist(), dtype=np.float64)
         a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = np.round(
-            (a_mat @ b_mat.T) / np.outer(a_norm, b_norm), 6
-        )
+        # half-UP rounding to match F.round / DuckDB round on an exact
+        # 6-decimal tie (np.round is half-even: 0.0078125 -> 0.007812
+        # there vs 0.007813 in the oracle, which can flip the >=
+        # threshold test). Valid because hashed TF-IDF weights are all
+        # >= 0, so every cosine here is non-negative.
+        raw = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+        cos = np.floor(raw * 1e6 + 0.5) / 1e6
         keep = (cos >= threshold) & (a_ids[:, None] != b_ids[None, :])
         ai, bi = np.nonzero(keep)
         lo_ids = np.minimum(a_ids[ai], b_ids[bi])

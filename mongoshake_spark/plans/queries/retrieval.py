@@ -299,8 +299,10 @@ WHERE cos_sim >= 0.95 ORDER BY doc_a, doc_b""",
     "corpus²; for unblocked scale the same vectors drop into "
     "similarity.neardup_pairs(prebucket='lsh'), the recall-gated path). "
     "Weighted-cosine semantics catch reorderings and heavy-overlap "
-    "rewrites that byte/shingle dedup scores differently; self-join "
-    "keys renamed apart (functions/retrieval.hash_vector_neardup).",
+    "rewrites that byte/shingle dedup scores differently; scoring is "
+    "the tiled numpy block scan — one vectorized A @ B-transpose per "
+    "(block, tile, tile) group, every same-block pair in exactly one "
+    "group (functions/retrieval.hash_vector_neardup).",
 )
 def text_vector_neardup_q(spark, sf_dir):
     from mongoshake_spark.functions.retrieval import hash_vector_neardup

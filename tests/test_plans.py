@@ -602,9 +602,11 @@ def test_registry_package_integrity():
         140: "d1dbae0d9844607a37a04ba22f9ae3ab",
         141: "0f360e6e0f19fbbf79e59897d173ecb8",
         142: "ca5e0db220cabb14c3b81161b1aae314",
-        # 144 re-pinned in round 12: hybrid_rrf_topk doc text updated for
-        # the driver-merge rank (oracle SQL unchanged)
-        144: "23fc0e9664fdcdf54b726fae5c21abfd",
+        # 144 re-pinned in round 12 (hybrid_rrf_topk doc text) and again
+        # in round 13: text_vector_neardup doc text updated to describe
+        # the tiled block scan that replaced the self-join (oracle SQL
+        # unchanged both times)
+        144: "37abf2ab17822a0dac7507d56dbbb952",
     }
     assert len(QUERIES) >= 131
     if len(QUERIES) in pins:

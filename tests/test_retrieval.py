@@ -176,6 +176,31 @@ def test_hybrid_plan_has_no_global_ordered_window(spark, sf_dir):
         assert "ASC" not in first_arg and "DESC" not in first_arg
 
 
+def test_ranked_topk_local_guards_driver_residency(spark):
+    """_ranked_topk_local collects its k rows to the driver BY DESIGN
+    (bounded by the operator's k); a k above the documented ceiling must
+    raise instead of silently becoming an unbounded driver collect. The
+    id column's type must also follow the input schema (a string-id
+    caller must not get a bigint cast)."""
+    from mongoshake_spark.functions.retrieval import (
+        _RANKED_TOPK_MAX_K,
+        _ranked_topk_local,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, -3.0), (2, -1.0)], "doc_id bigint, _neg double"
+    )
+    with pytest.raises(ValueError, match="driver-residency"):
+        _ranked_topk_local(scored, "doc_id", _RANKED_TOPK_MAX_K + 1, "rank")
+    # string ids survive with their own type
+    s = spark.createDataFrame(
+        [("b", -2.0), ("a", -1.0)], "doc_id string, _neg double"
+    )
+    got = _ranked_topk_local(s, "doc_id", 2, "rank")
+    assert dict(got.collect()) == {"b": 1, "a": 2}
+    assert got.schema["doc_id"].dataType.simpleString() == "string"
+
+
 def test_ivf_topk_accepts_trained_kmeans_centroids(spark, sf_dir):
     """A k-means-trained coarse quantizer swaps in for the id-sample:
     same output schema, deterministic results, and probing every cell
