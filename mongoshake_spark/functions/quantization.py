@@ -530,10 +530,21 @@ def ivfpq_topk(
     compression × exact finish.
     """
     unit = with_norm(vecs, vec_col)
-    cents = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
+    # the centroid table is MODEL-sized (|corpus| / centroid_mod rows)
+    # but derived from a corpus scan — without the eager checkpoint
+    # every consumer re-ran that scan (the assignment broadcast, the
+    # probe broadcast, the query-context broadcast, the cross-term
+    # build: ~5 corpus scans per query for a KB-scale table). One
+    # materialization, every reuse reads the checkpointed rows
+    # (guide §1.2/§2.3; same pin streaming_ann_ingest holds).
+    cents = (
+        unit.filter((F.col(id_col) % centroid_mod) == 0)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+        .localCheckpoint(eager=True)
     )
     # one driver action validates the centroid sample AND infers the
     # dimension (centroids are corpus rows, same dim) — isEmpty +

@@ -455,10 +455,18 @@ def ivf_topk(
         if centroids.isEmpty():
             raise ValueError("ivf_topk: trained centroid table is empty")
     else:
-        centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            F.col("vnorm").alias("cnorm"),
+        # model-sized rows from a corpus scan: checkpoint once so the
+        # emptiness probe, the assignment broadcast and the probe-map
+        # broadcast reuse ONE materialization instead of three corpus
+        # scans (guide §1.2; same pin as ivfpq_topk)
+        centroids = (
+            unit.filter((F.col(id_col) % centroid_mod) == 0)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+                F.col("vnorm").alias("cnorm"),
+            )
+            .localCheckpoint(eager=True)
         )
         if centroids.isEmpty():
             # an id space with no multiple of centroid_mod would otherwise
@@ -626,10 +634,17 @@ def semantic_neardup(
     import pandas as pd
 
     unit = with_norm(vecs, vec_col)
-    centroids = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
+    # model-sized rows from a corpus scan: checkpoint once so the
+    # emptiness probe and the assignment broadcast reuse ONE
+    # materialization instead of two corpus scans (guide §1.2)
+    centroids = (
+        unit.filter((F.col(id_col) % centroid_mod) == 0)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+        .localCheckpoint(eager=True)
     )
     if centroids.isEmpty():
         # an id space with no multiple of centroid_mod would otherwise

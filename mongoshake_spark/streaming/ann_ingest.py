@@ -84,10 +84,18 @@ def ann_index_bootstrap(
     probe path read these tables as frozen model state."""
     cent_path, cb_path, _ = _model_paths(index_dir)
     unit = with_norm(vecs, vec_col)
-    cents = unit.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
+    # model-sized rows from a corpus scan: checkpoint once so the probe
+    # action, the residual-assignment broadcast and the model write all
+    # reuse ONE materialization instead of three corpus scans (same
+    # reasoning as ivfpq_topk — guide §1.2)
+    cents = (
+        unit.filter((F.col(id_col) % centroid_mod) == 0)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+        .localCheckpoint(eager=True)
     )
     cent_probe = cents.select(F.size("cvec").alias("d")).first()
     if cent_probe is None:
@@ -189,9 +197,19 @@ def ann_index_topk(
     cents = spark.read.parquet(cent_path)
     codebooks = spark.read.parquet(cb_path)
     codes = spark.read.parquet(codes_path).dropDuplicates([id_col])
-    shape = codebooks.agg(
-        F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
-    ).first()
+    # model geometry comes from the persisted codebook payload itself,
+    # read DRIVER-side (m*k rows, KB-scale) — the former Spark aggregate
+    # launched a full job per probe for two scalars the files already
+    # hold (guide §1.2)
+    import pyarrow.parquet as _pq
+
+    cb_local = _pq.read_table(cb_path, columns=["sub", "centroid"])
+    if cb_local.num_rows == 0:
+        raise ValueError(f"ann_index_topk: empty codebook table {cb_path!r}")
+    shape = {
+        "mx": max(cb_local.column("sub").to_pylist()),
+        "d": max(len(c) for c in cb_local.column("centroid").to_pylist()),
+    }
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

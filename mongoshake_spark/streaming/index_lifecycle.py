@@ -264,8 +264,13 @@ def compact_ann_store(
     out.write.mode("overwrite").parquet(codes_dst)
     rows_before = int(obs_in.get["n"])
     rows_after = int(obs_out.get["n"])
-    spark.read.parquet(cent_src).write.mode("overwrite").parquet(cent_dst)
-    spark.read.parquet(cb_src).write.mode("overwrite").parquet(cb_dst)
+    # the model tables are FROZEN for the generation's lifetime (only
+    # retrain_ann_store replaces them) and parquet payloads are
+    # immutable once written — a byte-verbatim file copy preserves them
+    # exactly, where the former read+rewrite paid two Spark jobs to
+    # re-encode identical content (guide §1.2)
+    shutil.copytree(cent_src, cent_dst)
+    shutil.copytree(cb_src, cb_dst)
     # fold rows appended while we compacted (new files = the whole diff)
     late = _parquet_files(codes_src) - before
     if late:
