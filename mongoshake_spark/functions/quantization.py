@@ -248,6 +248,7 @@ def pq_encode(
     vec_col: str = "embedding",
     dims: tuple[int, int] | None = None,
     keep_cols: tuple[str, ...] = (),
+    cb_arr: DataFrame | None = None,
 ) -> DataFrame:
     """(id, *keep_cols, codes array<int>): nearest codeword per
     subspace, codes ordered by subspace index. Distance ties break to
@@ -261,7 +262,10 @@ def pq_encode(
     produce the same array. ``keep_cols`` ride through on the row for
     free (the old shape needed a corpus self-join to re-attach them).
     ``dims=(m, d)`` skips the codebook-probe job when the caller
-    already knows the geometry."""
+    already knows the geometry. ``cb_arr``: a pre-built
+    :func:`_codebook_arr` frame, aggregated once by callers that encode
+    many batches against one frozen codebook (the nearest-codeword
+    array_min is order-independent, so reuse is bit-exact)."""
     if dims is not None:
         m, d = dims
     else:
@@ -272,8 +276,10 @@ def pq_encode(
     codes = F.array(
         *[_best_code(vec_col, s, d)["cluster"] for s in range(m)]
     )
+    if cb_arr is None:
+        cb_arr = _codebook_arr(codebooks)
     return (
-        vecs.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+        vecs.crossJoin(F.broadcast(cb_arr))
         .select(id_col, *keep_cols, codes.alias("codes"))
     )
 
@@ -594,14 +600,22 @@ def ivfpq_topk(
 
 
 def ivfpq_assign_residuals(
-    unit: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    unit: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents_arr: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, res) — nearest-cell assignment plus the residual
     ``v - centroid(cell)`` that IVFADC quantizes. Shared by the batch
     :func:`ivfpq_topk` and the streaming ingest encoder
     (streaming/ann_ingest) so a vector encodes IDENTICALLY whether it
-    arrived in the training corpus or in a later micro-batch."""
-    assigned = assign_nearest_centroid(unit, cents, vec_col, id_col, carry=(vec_col,))
+    arrived in the training corpus or in a later micro-batch.
+    ``cents_arr``: optional pre-aggregated one-row centroid array
+    (see similarity.collect_centroid_arr) for many-batch callers."""
+    assigned = assign_nearest_centroid(
+        unit, cents, vec_col, id_col, carry=(vec_col,), cents_arr=cents_arr
+    )
     return assigned.join(
         F.broadcast(cents.select(F.col("cid").alias("cell"), "cvec")), "cell"
     ).select(

@@ -350,12 +350,24 @@ def _neardup_pairs_lsh(
     )
 
 
+def collect_centroid_arr(centroids: DataFrame) -> DataFrame:
+    """The (cid, cvec, cnorm) centroid table collected into the ONE-row
+    ``_cents`` array :func:`assign_nearest_centroid` broadcasts. Callers
+    that assign MANY batches against one frozen table (the streaming
+    ingest encoder) checkpoint this once instead of re-running the
+    collect_list aggregate inside every micro-batch plan."""
+    return centroids.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("_cents")
+    )
+
+
 def assign_nearest_centroid(
     unit: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     carry: tuple[str, ...] = (),
+    cents_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment — the ONE implementation shared by
     :func:`ivf_assign`, :func:`ivf_topk` and :func:`semantic_neardup`
@@ -371,10 +383,12 @@ def assign_nearest_centroid(
     is bit-identical but the corpus never shuffles at all (the former
     shape exploded k candidate rows per vector and re-grouped them by
     id — one corpus exchange per assignment). ``carry`` columns simply
-    stay on the row. Returns ``(id_col, *carry, cell)``."""
-    carr = centroids.agg(
-        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("_cents")
-    )
+    stay on the row. Returns ``(id_col, *carry, cell)``. ``cents_arr``
+    (optional): a pre-built :func:`collect_centroid_arr` frame — the
+    same one-row array, aggregated once by the caller instead of per
+    plan (argmax over the array is order-independent, so reuse is
+    bit-exact)."""
+    carr = cents_arr if cents_arr is not None else collect_centroid_arr(centroids)
 
     def one(c):
         cs = F.aggregate(

@@ -136,6 +136,9 @@ def streaming_ann_ingest(
     a divergent model per batch."""
     from mongoshake_spark.streaming.index_lifecycle import read_current
 
+    from mongoshake_spark.functions.quantization import _codebook_arr
+    from mongoshake_spark.functions.similarity import collect_centroid_arr
+
     spark = stream.sparkSession
     cent_path, cb_path, codes_path = _model_paths(index_dir)
     # the model is FROZEN for the stream's lifetime (train-once contract),
@@ -144,6 +147,19 @@ def streaming_ann_ingest(
     # (k centroids, m*k codewords), so the eager checkpoint is KB-scale
     cents = spark.read.parquet(cent_path).localCheckpoint(eager=True)
     codebooks = spark.read.parquet(cb_path).localCheckpoint(eager=True)
+    # the one-row collected model ARRAYS the encode broadcasts are
+    # likewise frozen: aggregate them once here instead of re-running
+    # the collect_list inside every micro-batch's plan (the in-row
+    # argmin/argmax folds are order-independent, so reuse is bit-exact)
+    cents_arr = collect_centroid_arr(cents).localCheckpoint(eager=True)
+    cb_arr = _codebook_arr(codebooks).localCheckpoint(eager=True)
+    # m comes from the pinned codebook rows (dims for pq_encode): one
+    # tiny collect at stream start saves a probe job per batch
+    m_d = codebooks.agg(
+        F.max("sub").alias("mx"), F.max(F.size("centroid")).alias("d")
+    ).first()
+    dims = (int(m_d["mx"]) + 1, int(m_d["d"]))
+    fan = spark.sparkContext.defaultParallelism
     # generation pinned WITH the model: a retrain/compaction cutover
     # (streaming/index_lifecycle) swaps the active generation, and rows
     # encoded under the pinned model must not land in a store this stream
@@ -163,10 +179,25 @@ def streaming_ann_ingest(
         # no isEmpty() pre-check: the guard itself cost one job per
         # batch, the same price as just encoding an empty batch (one
         # empty-write task the probe's dedup never sees)
-        unit = with_norm(batch_df, vec_col)
-        res = ivfpq_assign_residuals(unit, cents, id_col, vec_col)
+        #
+        # fan the batch out first: a maxFilesPerTrigger=1 micro-batch
+        # arrives as ONE scan split, and the in-row nearest-centroid /
+        # nearest-codeword folds are interpreted higher-order exprs —
+        # left on a single task they serialize the whole encode
+        # (measured ~1.5 s/batch at sf0.1; the row-wise arithmetic is
+        # partition-independent, so the fan-out is bit-exact). The
+        # exchange carries only the batch's own rows; at production
+        # batch sizes the scan arrives pre-split and the repartition
+        # cost stays one narrow pass of the batch, never the store.
+        unit = with_norm(batch_df.repartition(fan), vec_col)
+        res = ivfpq_assign_residuals(
+            unit, cents, id_col, vec_col, cents_arr=cents_arr
+        )
         # cell rides through the map-only encode (no re-attach join)
-        codes = pq_encode(res, codebooks, id_col, "res", keep_cols=("cell",))
+        codes = pq_encode(
+            res, codebooks, id_col, "res",
+            dims=dims, keep_cols=("cell",), cb_arr=cb_arr,
+        )
         # append-only, like the band index: a crash before the commit
         # replays the batch and re-appends the same rows — the probe
         # path dedups by id, so the store converges

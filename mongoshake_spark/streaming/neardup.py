@@ -58,9 +58,17 @@ def streaming_lsh_dedup(
     batch_id)``, the band index under ``index_dir``."""
     spark = stream.sparkSession
 
+    fan = spark.sparkContext.defaultParallelism
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # fan the batch out first: a one-file micro-batch arrives as ONE
+        # scan split, which serializes the Arrow signature kernel on a
+        # single task (row-wise arithmetic, so the fan-out is bit-exact;
+        # same fix as streaming/ann_ingest — at production batch sizes
+        # the scan arrives pre-split and this is one narrow pass)
+        batch_df = batch_df.repartition(fan)
         # band indexes are model-free, so the ACTIVE generation resolves
         # per batch (streaming/index_lifecycle): a compaction cutover
         # between micro-batches transparently redirects both the probe
@@ -187,6 +195,11 @@ def streaming_phash_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # NO batch fan-out here, unlike streaming_lsh_dedup: repartition
+        # would ship the media PAYLOAD bytes through an exchange, and the
+        # measured addBatch got ~40% SLOWER with it (the vectorized phash
+        # kernel is cheaper than moving the payloads; A/B in
+        # OPTIMIZATION_r13.md)
         idx = resolve_store(index_dir)  # per-batch generation resolution
         sims = (
             phash64(batch_df, decoder)
