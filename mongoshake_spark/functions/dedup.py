@@ -628,15 +628,47 @@ def simhash_pairs64(
     else:
         keyed = keyed.withColumn("sub", F.lit(0))
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if bucket_cap is None:
+        # min-matching-band emission replaces the pair `distinct`: a
+        # Hamming<=3 pair collides in up to all 4 bands and used to be
+        # deduplicated through its own (doc_a, doc_b, hamming) exchange.
+        # Which bands match is fully determined IN-ROW by the xor of the
+        # two fingerprints (band j matches iff its 16-bit chunk is 0), so
+        # emitting the pair only from its LOWEST matching band yields each
+        # pair exactly once — same set, one less corpus-pairs shuffle
+        # (guide §2.4). Only valid uncapped: a re-split bucket's `sub`
+        # bits depend on the census broadcast, so whether a pair matched
+        # in a LOWER band is no longer row-computable — the capped path
+        # keeps the distinct.
+        first_band = F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN ((a.simhash ^ b.simhash) >> {16 * j}) & 65535 = 0 "
+                f"THEN {j}"
+                for j in range(SIMHASH64_BANDS - 1)
+            )
+            + f" ELSE {SIMHASH64_BANDS - 1} END"
         )
-        .select(
+        return (
+            joined.filter(F.col("a.k") == first_band)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    return (
+        joined.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
