@@ -382,10 +382,30 @@ def hard_negatives(
     """
     from mongoshake_spark.functions.curation import _doc_ngrams
 
+    from mongoshake_spark.operators.parallel import fan_out_scan
+
     anchor_ids = list(anchor_ids)
+    # fan the corpus scan once for the whole composition: tokenize, the
+    # (doc, term) count map side and the 8-gram explode are all heavy
+    # PRE-shuffle stages that otherwise run at scan width — an
+    # under-split corpus file serialized them on 2 tasks of a 32-core
+    # run (sf1 scaling fixture, BENCH_SCALING.md); same rule as the
+    # curation gram lanes
+    docs = fan_out_scan(docs)
     # one tokenize + one (doc, term) count + one df aggregate feed BOTH
     # the keyword extraction and the candidate scoring
     tok, tf, df_t = _tf_df(docs, id_col, text_col)
+    # explicit-width repartition before the persist: the (doc, term)
+    # rows are narrow, so AQE coalesces the count shuffle's output to
+    # ~2 partitions by BYTES — and the cache then freezes that width
+    # for all three consumers, serializing the candidate-scoring map
+    # side (measured 11 s on 2 tasks of a 32-core run at the sf1
+    # scaling fixture; BENCH_SCALING.md). An explicit repartition is
+    # exempt from AQE coalescing; one narrow exchange buys full stage
+    # width on every cache consumer. Downstream aggregates re-key
+    # anyway, and the BM25 sum is rounded before ranking, so the
+    # partitioning is result-invariant.
+    tf = tf.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tf = tf.persist()
     _PERSISTED_TF.append(tf)
     # the two corpus scalars are consumed by TWO broadcast crossJoins
@@ -460,6 +480,7 @@ def hard_negatives(
             ).alias("score")
         )
     )
+    # docs already scan-fanned above — the gram explode shares the width
     grams = _doc_ngrams(docs, overlap_n, text_col, id_col)
     anchor_grams = grams.filter(F.col(id_col).isin(anchor_ids)).select(
         F.col(id_col).alias("anchor_id"), "gram"

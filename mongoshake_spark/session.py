@@ -25,6 +25,16 @@ def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> 
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # one BLAS thread per task slot: Spark already runs one python worker
+    # per core, so a multi-threaded BLAS inside each worker oversubscribes
+    # the host (measured on the sf1 scaling run: the tiled numpy pair scan
+    # at 32 cores dropped 15.8 -> 10.3 s with this pin — n_workers x
+    # blas_threads exceeded the cores). setdefault BEFORE the JVM starts:
+    # local-mode python workers inherit the gateway's environment; the
+    # executorEnv below is the cluster-mode equivalent.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -56,6 +66,11 @@ def get_spark(app_name: str = "mongoshake_spark", master: str | None = None) -> 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # cluster-mode twin of the os.environ pin above (executors are
+        # separate processes there and do not inherit the driver env)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
