@@ -755,9 +755,14 @@ FROM oplog_v GROUP BY op ORDER BY op""",
     stream=True,
 )
 def q28_tunnel_roundtrip(spark, sf_dir):
+    from mongoshake_spark.operators.parallel import fan_out_scan
     from mongoshake_spark.sources.tunnel import decode_frames, encode_frames
 
-    oplog = _oplog(spark, sf_dir)
+    # the JSON encode+decode chain is heavy per-row JVM work that runs at
+    # SCAN width — an under-split events file serialized the whole codec
+    # on one task (profiled in OPTIMIZATION_r13.md item 8); the aggregate
+    # below re-keys anyway, so the fan-out is result-invariant
+    oplog = fan_out_scan(_oplog(spark, sf_dir))
     decoded = decode_frames(encode_frames(oplog))
     return (
         decoded.groupBy("op")
@@ -1232,13 +1237,19 @@ GROUP BY fmt, op ORDER BY fmt, op""",
     stream=True,
 )
 def q38_tunnel_formats(spark, sf_dir):
+    from mongoshake_spark.operators.parallel import fan_out_scan
     from mongoshake_spark.sources.tunnel import (
         decode_ext_frames,
         decode_raw_frames,
         encode_frames,
     )
 
-    oplog = _oplog(spark, sf_dir)
+    # fan BEFORE the encode: the checkpointed frame tables inherit the
+    # scan's split count, and an under-split events file left BOTH decode
+    # legs (from_json + CRC gate over every frame) on ONE task each
+    # (profiled in OPTIMIZATION_r13.md item 8 — the frames measured
+    # 1 partition at sf0.1)
+    oplog = fan_out_scan(_oplog(spark, sf_dir))
     # lineage break between producer and consumer: a receiver decodes
     # frames from STORAGE (Kafka/file), never by re-deriving the encode
     # plan — and without the break, predicate pushdown through the
