@@ -59,7 +59,19 @@ def bpe_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     syms = F.concat(
         F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
     )
-    return words.withColumn("syms", syms).localCheckpoint(eager=True)
+    # explicit-width repartition before the eager checkpoint: AQE
+    # coalesces the distinct-word shuffle to ~1 partition by BYTES, and
+    # the checkpoint freezes that width — every downstream interpreted
+    # merge_rewrite fold (4 chained HOFs per word in bpe_encode) then ran
+    # single-task (probed ~1 s on one task of a 32-core run at sf0.1).
+    # An explicit repartition is exempt from AQE coalescing; the rewrite
+    # is per-word, so the fan-out is result-invariant.
+    fan = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        words.withColumn("syms", syms)
+        .repartition(fan)
+        .localCheckpoint(eager=True)
+    )
 
 
 def _adjacent_pairs(syms) -> Column:

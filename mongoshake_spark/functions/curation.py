@@ -696,6 +696,12 @@ def cdc_chunks(
     """
     if window < 1 or divisor < 1:
         raise ValueError("cdc_chunks: window and divisor must be >= 1")
+    # map-only means the input partitioning flows through UNCHANGED — an
+    # under-split corpus file serializes the whole rolling-hash kernel on
+    # its scan width (probed 1.7 s on ONE task of a 32-core run at
+    # sf0.1); the chunk rows are per-document, so the fan-out is
+    # result-invariant (same rule as the curation gram lanes)
+    docs = fan_out_scan(docs)
     if impl == "arrow":
         return _cdc_chunks_arrow(docs, window, divisor, text_col, id_col)
     if impl != "expr":
