@@ -650,123 +650,135 @@ def ivfadc_score(
     round-trip is exact for doubles, so scores hash-equal the batch
     path). ``codes`` = (id, cell, codes), ``cents`` = (cid, cvec,
     cnorm), ``queries`` = (query_id, qvec, qnorm). ``rerank`` requires
-    ``unit`` (the stored raw vectors)."""
+    ``unit`` (the stored raw vectors).
+
+    The probe/ADC model math — nearest-cell probes, per-(query, cell)
+    residual LUTs, centroid×codeword cross terms — is computed on the
+    DRIVER from the collected model tables and re-enters the plan as ONE
+    local-relation broadcast (``cellrows``). Everything here is
+    MODEL-sized (cells, Q·n_probe·m·k LUT entries — KB at any corpus
+    size; the same bounded residency the PQ seeds, SQ8 bounds and PCA
+    components already carry), while the former plan spent ~4 exchanges
+    and ~6 broadcast builds per probe shuffling those same KB around the
+    cluster. The CORPUS path — the code scan and its in-row map-lookup
+    scoring below — is untouched. Bit-exactness: every driver fold
+    replays ``dot_expr``'s arithmetic literally (acc = acc + x*y over
+    doubles, left to right — Python floats are IEEE doubles, so each
+    step performs the identical two roundings); subtraction, division
+    and comparison are single IEEE ops on both sides; and the probe
+    tie-break (cs desc, cid asc) is the same lexicographic order the old
+    row_number window used."""
     if rerank is not None and unit is None:
         raise ValueError("ivfadc_score: rerank needs the raw-vector table")
-    # probe map: per query, the n_probe nearest cells (tiny, broadcast)
-    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "cid",
-        (
-            F.expr(dot_expr("qvec", "cvec")) / (F.col("qnorm") * F.col("cnorm"))
-        ).alias("cs"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cs").desc(), F.col("cid").asc()
-    )
-    probes = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", F.col("cid").alias("cell"))
-    )
-    # per-(query, probed cell) terms: dot(q, c) and the query residual
-    qc = (
-        probes.join(
-            F.broadcast(
-                cents.select(F.col("cid").alias("cell"), "cvec", "cnorm")
-            ),
-            "cell",
-        )
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "cell",
-            F.expr(dot_expr("qvec", "cvec")).alias("q_dot_c"),
-            F.col("cnorm"),
-            F.col("qnorm"),
-            F.zip_with(
-                F.col("qvec"),
-                F.col("cvec"),
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ).alias("qr"),
-        )
-    )
+    spark = codes.sparkSession
 
-    def sub_explode(df, src, key_cols):
-        subs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"), F.slice(F.col(src), s * d + 1, d).alias("sv")
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    cent_rows = cents.select("cid", "cvec", "cnorm").collect()
+    q_rows = queries.collect()
+    cb_rows = codebooks.select("sub", "cluster", "centroid").collect()
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(r)
+    cent_by_id = {r["cid"]: r for r in cent_rows}
+
+    def _cd_map(cvec):
+        # centroid×codeword cross terms + codeword self-norms for one
+        # PROBED cell (the old per-cell inner joins kept exactly the
+        # probed cells' rows)
+        out = {}
+        for s, rows in by_sub.items():
+            csv = cvec[s * d : (s + 1) * d]
+            for r in rows:
+                out[s * _LUT_STRIDE + int(r["cluster"])] = (
+                    _dot(csv, r["centroid"]),
+                    _dot(r["centroid"], r["centroid"]),
                 )
-                for s in range(m)
-            ]
-        )
-        return df.select(*key_cols, F.explode(subs).alias("x")).select(
-            *key_cols, "x.sub", "x.sv"
-        )
+        return out
 
-    # ADC tables: Q·n_probe·m·k rows — dot of each query-cell residual
-    # subvector against every codeword
-    adc = sub_explode(qc, "qr", ["query_id", "cell"]).join(
-        F.broadcast(codebooks), "sub"
-    ).select(
-        "query_id", "cell", "sub", "cluster",
-        F.expr(dot_expr("sv", "centroid")).alias("dsub"),
-    )
-    # centroid × codeword cross terms and codeword norms (cells·m·k
-    # rows — broadcast model state). The codeword self-norm rides the
-    # SAME per-cell rows as the cross terms: it depends only on (sub,
-    # cluster), so every cell's copy is the identical double, and
-    # carrying it here removes what used to be a separate global-map
-    # aggregate plus its own broadcast crossJoin (one fewer exchange and
-    # one fewer broadcast job per probe).
-    cdot = sub_explode(
-        cents.select(F.col("cid").alias("cell"), "cvec"), "cvec", ["cell"]
-    ).join(F.broadcast(codebooks), "sub").select(
-        "cell", "sub", "cluster",
-        F.expr(dot_expr("sv", "centroid")).alias("cdsub"),
-        F.expr(dot_expr("centroid", "centroid")).alias("rn2"),
-    )
-
-    # The model-state tables flatten into (sub·stride + cluster) ->
-    # value lookup MAPS — per (query, cell) for the ADC terms, per cell
-    # for the centroid×codeword cross terms + codeword norms — and the
-    # per-cell probe context (queries probing that cell, with
-    # q_dot_c/cnorm/qnorm) collects into a cells-row broadcast. Scoring
-    # is then IN-ROW over the code scan: m map lookups per (neighbor,
-    # probing query) folded in sub-ascending order — the exact order
-    # (and doubles) of the former array_sort(collect_list) folds,
-    # without posexploding m rows per code and re-grouping them through
-    # a corpus×probes exchange. The inner join on cell still restricts
-    # the scan to probed cells.
-    def _map_agg(value):
-        return F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    (F.col("sub") * _LUT_STRIDE + F.col("cluster")).alias("key"),
-                    value.alias("value"),
+    probed: dict = {}  # cell -> [(query_id, lut, q_dot_c, cnorm, qnorm)]
+    for q in q_rows:
+        qvec, qnorm = q["qvec"], float(q["qnorm"])
+        scored = [
+            (_dot(qvec, c["cvec"]) / (qnorm * float(c["cnorm"])), c["cid"])
+            for c in cent_rows
+        ]
+        # top n_probe by (cs desc, cid asc) — row_number's tie-break
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for _cs, cid in scored[:n_probe]:
+            c = cent_by_id[cid]
+            qr = [float(x) - float(y) for x, y in zip(qvec, c["cvec"])]
+            lut = {}
+            for s, rows in by_sub.items():
+                qsv = qr[s * d : (s + 1) * d]
+                for r in rows:
+                    lut[s * _LUT_STRIDE + int(r["cluster"])] = _dot(
+                        qsv, r["centroid"]
+                    )
+            probed.setdefault(cid, []).append(
+                (
+                    q["query_id"],
+                    lut,
+                    _dot(qvec, c["cvec"]),
+                    float(c["cnorm"]),
+                    qnorm,
                 )
             )
-        )
 
-    adc_lut = adc.groupBy("query_id", "cell").agg(
-        _map_agg(F.col("dsub")).alias("_lut")
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        MapType,
+        StructField,
+        StructType,
     )
-    cd_lut = cdot.groupBy("cell").agg(
-        _map_agg(F.struct("cdsub", "rn2")).alias("_cd")
+
+    qid_type = queries.schema["query_id"].dataType
+    cell_type = cents.schema["cid"].dataType
+    cell_schema = StructType(
+        [
+            StructField("cell", cell_type),
+            StructField(
+                "_qs",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("query_id", qid_type),
+                            StructField(
+                                "_lut", MapType(LongType(), DoubleType())
+                            ),
+                            StructField("q_dot_c", DoubleType()),
+                            StructField("cnorm", DoubleType()),
+                            StructField("qnorm", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField(
+                "_cd",
+                MapType(
+                    LongType(),
+                    StructType(
+                        [
+                            StructField("cdsub", DoubleType()),
+                            StructField("rn2", DoubleType()),
+                        ]
+                    ),
+                ),
+            ),
+        ]
     )
-    cellrows = (
-        adc_lut.join(
-            qc.select("query_id", "cell", "q_dot_c", "cnorm", "qnorm"),
-            ["query_id", "cell"],
-        )
-        .groupBy("cell")
-        .agg(
-            F.collect_list(
-                F.struct("query_id", "_lut", "q_dot_c", "cnorm", "qnorm")
-            ).alias("_qs")
-        )
-        .join(cd_lut, "cell")
+    cellrows = spark.createDataFrame(
+        [
+            (cell, qs, _cd_map(cent_by_id[cell]["cvec"]))
+            for cell, qs in probed.items()
+        ],
+        cell_schema,
     )
 
     def lut_sum(lut_col, field=None):
