@@ -316,7 +316,13 @@ def _neardup_pairs_lsh(
     # (both build float64 matrices) — a float32 schema here made
     # near-threshold pairs and cos_sim values diverge between the modes
     # for array<double> corpora
-    keyed = vecs.select(id_col, vec_col).mapInPandas(
+    from mongoshake_spark.operators.parallel import fan_out_scan
+
+    # the sign pass (V @ planes-T per Arrow batch) is the lane's heavy
+    # pre-shuffle stage and runs at SCAN width — one task on an
+    # under-split embeddings file (probed 1.0 s single-task at sf0.1);
+    # row-wise, so the fan-out is result-invariant
+    keyed = fan_out_scan(vecs.select(id_col, vec_col)).mapInPandas(
         sign_batches,
         schema="_band int, _bucket bigint, _id bigint, _vec array<double>",
     )

@@ -824,6 +824,11 @@ GROUP BY eff_ns, op ORDER BY eff_ns, op"""
     "applyOps kept; DML on system.indexes routed by o.ns.",
 )
 def q29_ddl_ns(spark, sf_dir):
+    # NOT scan-fanned: the DDL filter chain LOOKS heavy (1.4 s single
+    # task in the stage probe) but an A/B of fan_out_scan here measured
+    # consistently SLOWER (1.78 -> 2.11 s min-of-3) — the exchange +
+    # lost scan-local pipelining outweigh the parallelism at this
+    # per-row cost, unlike the codec/gram lanes (OPTIMIZATION_r13.md)
     base = _oplog(spark, sf_dir).filter(F.col("op").isin("c", "i", "u", "d"))
     db = F.concat(F.lit("db"), (F.col("user_id") % 4).cast("string"))
     tgt = F.concat(F.lit("t"), (F.col("id") % 12).cast("string"))
